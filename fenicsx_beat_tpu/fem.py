@@ -1,0 +1,807 @@
+"""Finite-element layer: spaces, functions, assembly — precomputed for XLA.
+
+TPU-native replacement for the UFL/Basix/FFCx/DOLFINx pipeline the reference
+builds on (forms at ``src/beat/monodomain_model.py:68-98``, assembly at
+``src/beat/base_model.py:114-124,188-206``).  The reference needs runtime
+symbolic form compilation because it solves arbitrary forms; this framework's
+forms are fixed (P1 mass/stiffness with an anisotropic conductivity tensor +
+marked-subdomain sources), so everything reduces to:
+
+* host-side (numpy, setup time): element tabulation, cell geometry factors,
+  COO->ELL assembly of mass/stiffness with a shared sparsity pattern,
+  quadrature tables for load vectors and scalar functionals;
+* device-side (jnp, inside jit): gathers, segment-sums and SpMVs over those
+  precomputed static-shape tables.
+
+Supported elements: P1/P2 (continuous Lagrange), DG0/DG1, and Quadrature
+spaces — the set exercised by the reference's tests and demos
+(``tests/test_monodomain_solver.py:31-37``, ``src/beat/utils.py:61-84``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import default_dtype
+from .mesh import Mesh, MeshTags
+from .ops.quadrature import simplex_rule
+from .ops.sparse import ELLMatrix, coo_to_ell
+
+__all__ = [
+    "Element",
+    "FunctionSpace",
+    "functionspace",
+    "Function",
+    "Constant",
+    "Expression",
+    "interpolation_points",
+    "CellGeometry",
+    "cell_geometry",
+    "assemble_mass_stiffness",
+    "lumped_mass",
+    "CellQuadData",
+    "cell_quadrature",
+    "facet_quadrature",
+    "ScalarForm",
+    "assemble_scalar",
+    "integral",
+    "function_integral",
+    "locate_dofs_topological",
+    "DirichletBC",
+    "dirichletbc",
+    "evaluate_function",
+    "build_transfer_matrix",
+]
+
+
+# ---------------------------------------------------------------------------
+# Elements
+
+
+def _bary(pts: np.ndarray) -> np.ndarray:
+    """Barycentric coords [np, tdim+1] of reference-simplex points [np, tdim]."""
+    lam0 = 1.0 - pts.sum(axis=1, keepdims=True)
+    return np.concatenate([lam0, pts], axis=1)
+
+
+def _edge_combos(tdim: int) -> list[tuple[int, int]]:
+    return list(itertools.combinations(range(tdim + 1), 2))
+
+
+@dataclass(frozen=True)
+class Element:
+    family: str  # "P" | "DG" | "Quadrature"
+    degree: int
+
+    @property
+    def discontinuous(self) -> bool:
+        return self.family in ("DG", "Quadrature")
+
+    @property
+    def family_name(self) -> str:
+        return {"P": "Lagrange", "DG": "Discontinuous Lagrange", "Quadrature": "Quadrature"}[
+            self.family
+        ]
+
+    def ndofs_per_cell(self, tdim: int) -> int:
+        if self.family == "Quadrature":
+            return simplex_rule(tdim, self.degree)[0].shape[0]
+        if self.degree == 0:
+            return 1
+        if self.degree == 1:
+            return tdim + 1
+        if self.degree == 2:
+            return (tdim + 1) + len(_edge_combos(tdim))
+        raise NotImplementedError(f"degree {self.degree} not supported")
+
+    def dof_ref_points(self, tdim: int) -> np.ndarray:
+        """Interpolation points in the reference cell, one per local dof."""
+        verts = np.concatenate([np.zeros((1, tdim)), np.eye(tdim)], axis=0)
+        if self.family == "Quadrature":
+            return simplex_rule(tdim, self.degree)[0]
+        if self.degree == 0:
+            return verts.mean(axis=0, keepdims=True)
+        if self.degree == 1:
+            return verts
+        if self.degree == 2:
+            mids = np.stack([(verts[i] + verts[j]) / 2 for i, j in _edge_combos(tdim)])
+            return np.concatenate([verts, mids], axis=0)
+        raise NotImplementedError
+
+    def tabulate(self, tdim: int, pts: np.ndarray) -> np.ndarray:
+        """Basis values [np, ndofs_per_cell] at reference points [np, tdim]."""
+        if self.family == "Quadrature":
+            raise TypeError("Quadrature elements have no pointwise basis")
+        lam = _bary(pts)
+        if self.degree == 0:
+            return np.ones((pts.shape[0], 1))
+        if self.degree == 1:
+            return lam
+        if self.degree == 2:
+            vert = lam * (2 * lam - 1)
+            edge = np.stack([4 * lam[:, i] * lam[:, j] for i, j in _edge_combos(tdim)], axis=1)
+            return np.concatenate([vert, edge], axis=1)
+        raise NotImplementedError
+
+    def tabulate_grad(self, tdim: int, pts: np.ndarray) -> np.ndarray:
+        """Reference gradients [np, ndofs_per_cell, tdim]."""
+        npts = pts.shape[0]
+        lam = _bary(pts)
+        # d(lam)/d(xi): lam0 -> -1 each dir; lam_i -> e_i
+        dlam = np.concatenate([-np.ones((1, tdim)), np.eye(tdim)], axis=0)  # [tdim+1, tdim]
+        if self.degree == 1:
+            return np.broadcast_to(dlam, (npts, tdim + 1, tdim)).copy()
+        if self.degree == 2:
+            parts = []
+            for i in range(tdim + 1):
+                parts.append((4 * lam[:, i : i + 1] - 1) * dlam[i][None, :])
+            for i, j in _edge_combos(tdim):
+                parts.append(4 * (lam[:, i : i + 1] * dlam[j][None, :] + lam[:, j : j + 1] * dlam[i][None, :]))
+            return np.stack(parts, axis=1)
+        if self.degree == 0:
+            return np.zeros((npts, 1, tdim))
+        raise NotImplementedError
+
+
+_FAMILY_ALIASES = {
+    "P": "P",
+    "CG": "P",
+    "Lagrange": "P",
+    "DG": "DG",
+    "dP": "DG",
+    "Discontinuous Lagrange": "DG",
+    "Q": "Quadrature",
+    "Quad": "Quadrature",
+    "Quadrature": "Quadrature",
+}
+
+
+# ---------------------------------------------------------------------------
+# Function space
+
+
+@dataclass
+class FunctionSpace:
+    mesh: Mesh
+    element: Element
+    cell_dofs: np.ndarray  # [nc, ndpc] int32
+    ndofs: int
+    dof_coords: np.ndarray  # [ndofs, gdim]
+    dof_owner_cell: np.ndarray  # [ndofs] int32 (max adjacent cell id)
+
+    @property
+    def ndofs_per_cell(self) -> int:
+        return self.cell_dofs.shape[1]
+
+    # dolfinx-ish compat
+    @property
+    def dofmap(self):
+        return self
+
+    @property
+    def index_map(self):
+        return self
+
+    @property
+    def size_local(self) -> int:
+        return self.ndofs
+
+    @property
+    def num_ghosts(self) -> int:
+        return 0
+
+    def tabulate_dof_coordinates(self) -> np.ndarray:
+        return self.dof_coords
+
+
+def _space_from_element(mesh: Mesh, element: Element) -> FunctionSpace:
+    tdim = mesh.tdim
+    ndpc = element.ndofs_per_cell(tdim)
+    nc = mesh.num_cells
+
+    if element.family == "P" and element.degree == 1:
+        cell_dofs = mesh.cells
+        ndofs = mesh.num_vertices
+        dof_coords = mesh.coords
+    elif element.family == "P" and element.degree == 2:
+        edges = mesh.entities(1)
+        from .mesh import _row_searchsorted  # local helper
+
+        order = np.lexsort(edges.T[::-1])
+        sorted_edges = edges[order]
+        edge_ids = np.empty((nc, len(_edge_combos(tdim))), dtype=np.int64)
+        for li, (i, j) in enumerate(_edge_combos(tdim)):
+            local = np.sort(mesh.cells[:, [i, j]], axis=1)
+            idx = _row_searchsorted(sorted_edges, local)
+            edge_ids[:, li] = order[idx]
+        cell_dofs = np.concatenate(
+            [mesh.cells.astype(np.int64), mesh.num_vertices + edge_ids], axis=1
+        ).astype(np.int32)
+        ndofs = mesh.num_vertices + edges.shape[0]
+        mids = mesh.coords[edges].mean(axis=1)
+        dof_coords = np.concatenate([mesh.coords, mids], axis=0)
+    elif element.discontinuous:
+        cell_dofs = np.arange(nc * ndpc, dtype=np.int32).reshape(nc, ndpc)
+        ndofs = nc * ndpc
+        refpts = element.dof_ref_points(tdim)
+        geom = cell_geometry(mesh)
+        # x = x0 + refpts @ E  per cell
+        x0 = mesh.coords[mesh.cells[:, 0]]  # [nc, gdim]
+        dof_coords = (x0[:, None, :] + np.einsum("qd,cdg->cqg", refpts, geom.edges)).reshape(
+            ndofs, mesh.gdim
+        )
+    else:
+        raise NotImplementedError(f"{element}")
+
+    owner = np.full(ndofs, -1, dtype=np.int64)
+    np.maximum.at(owner, cell_dofs.ravel(), np.repeat(np.arange(nc), ndpc))
+    return FunctionSpace(
+        mesh=mesh,
+        element=element,
+        cell_dofs=np.ascontiguousarray(cell_dofs, dtype=np.int32),
+        ndofs=int(ndofs),
+        dof_coords=dof_coords,
+        dof_owner_cell=owner.astype(np.int32),
+    )
+
+
+def functionspace(mesh: Mesh, element) -> FunctionSpace:
+    """Create a function space.
+
+    ``element`` may be an Element, or a ("family", degree) tuple mirroring
+    ``dolfinx.fem.functionspace(mesh, ("P", 1))``.
+    """
+    if isinstance(element, tuple):
+        family, degree = element
+        element = Element(_FAMILY_ALIASES[family], int(degree))
+    return _space_from_element(mesh, element)
+
+
+# ---------------------------------------------------------------------------
+# Functions & constants
+
+
+class _XView:
+    """Mimics dolfinx's ``Function.x``: mutable host array + scatter no-op."""
+
+    def __init__(self, array: np.ndarray):
+        self._array = array
+
+    @property
+    def array(self) -> np.ndarray:
+        return self._array
+
+    @array.setter
+    def array(self, v) -> None:
+        self._array[...] = v
+
+    def scatter_forward(self) -> None:  # single-process host view
+        pass
+
+
+class Function:
+    """A finite-element function: host dof array + its space.
+
+    Host numpy storage keeps the dolfinx-style mutable ``.x.array`` API
+    (reference uses it pervasively, e.g. ``odesolver.py:164-170``).  Device
+    kernels take/return jnp arrays; the fused solver path keeps state on
+    device and only syncs at save points.
+    """
+
+    def __init__(self, V: FunctionSpace, name: str | None = None, dtype=np.float64):
+        self._V = V
+        self.name = name or "f"
+        self._array = np.zeros(V.ndofs, dtype=dtype)
+        self.x = _XView(self._array)
+
+    @property
+    def function_space(self) -> FunctionSpace:
+        return self._V
+
+    def ufl_element(self):
+        return self._V.element
+
+    def copy(self) -> "Function":
+        f = Function(self._V, name=self.name)
+        f.x.array[:] = self.x.array
+        return f
+
+    def interpolate(self, source) -> None:
+        V = self._V
+        if isinstance(source, Expression):
+            source = source.source
+        if isinstance(source, Function):
+            T = build_transfer_matrix(source.function_space, V)
+            self.x.array[:] = np.asarray(T @ jnp.asarray(source.x.array))
+            return
+        if callable(source):
+            x = np.zeros((3, V.ndofs))
+            x[: V.mesh.gdim, :] = V.dof_coords.T
+            vals = np.asarray(source(x))
+            self.x.array[:] = np.broadcast_to(vals, (V.ndofs,))
+            return
+        raise TypeError(f"Cannot interpolate from {type(source)}")
+
+    def eval(self, points: np.ndarray) -> np.ndarray:
+        return evaluate_function(self, points)
+
+
+class Constant:
+    """Mutable scalar/vector constant (mirrors ``dolfinx.fem.Constant``)."""
+
+    def __init__(self, mesh_or_value, value=None):
+        if value is None:
+            value = mesh_or_value
+        self._value = np.asarray(value, dtype=np.float64)
+
+    @property
+    def value(self):
+        return self._value if self._value.ndim else float(self._value)
+
+    @value.setter
+    def value(self, v):
+        self._value = np.asarray(v, dtype=np.float64)
+
+    def __float__(self) -> float:
+        return float(self._value)
+
+    def __len__(self) -> int:
+        return self._value.shape[0] if self._value.ndim else 0
+
+    def __array__(self, dtype=None):
+        return np.asarray(self._value, dtype=dtype)
+
+
+@dataclass
+class Expression:
+    """Interpolation-source wrapper (compat with ``dolfinx.fem.Expression``)."""
+
+    source: Any
+    points: Any = None
+
+
+def interpolation_points(V: FunctionSpace):
+    """Compat shim mirroring reference ``utils.py:19-23``."""
+    return V.element.dof_ref_points(V.mesh.tdim)
+
+
+# ---------------------------------------------------------------------------
+# Cell geometry
+
+
+@dataclass
+class CellGeometry:
+    edges: np.ndarray  # [nc, tdim, gdim] edge vectors from vertex 0
+    volume: np.ndarray  # [nc]
+    grads: np.ndarray  # [nc, tdim+1, gdim]  physical gradients of P1 basis
+    inv_edges: np.ndarray  # [nc, tdim, gdim] rows = grad of ref coord xi_i
+
+
+_geom_cache: dict[int, CellGeometry] = {}
+
+
+def cell_geometry(mesh: Mesh) -> CellGeometry:
+    key = id(mesh)
+    if key in _geom_cache:
+        return _geom_cache[key]
+    X = mesh.coords[mesh.cells]  # [nc, tdim+1, gdim]
+    E = X[:, 1:, :] - X[:, :1, :]  # [nc, tdim, gdim]
+    tdim, gdim = mesh.tdim, mesh.gdim
+    if tdim == gdim:
+        detJ = np.linalg.det(E)
+        import math
+
+        vol = np.abs(detJ) / math.factorial(tdim)
+        invE = np.linalg.inv(E)  # maps: xi = invE^T ... careful below
+        # x = x0 + xi @ E  =>  dx/dxi = E^T (cols)  => dxi/dx = inv(E^T) = invE^T
+        # grad_x xi_i = row i of inv(E^T)^T? Work it out: xi = (x - x0) @ invE
+        # so d xi_i / d x_g = invE[g, i]  => grad xi_i = invE[:, i]
+        Gi = np.transpose(invE, (0, 2, 1))  # [nc, tdim(i), gdim]
+    else:
+        # embedded simplex (not needed yet for PDE; used for facet areas only)
+        G = np.einsum("cik,cjk->cij", E, E)
+        import math
+
+        vol = np.sqrt(np.abs(np.linalg.det(G))) / math.factorial(tdim)
+        Gi = np.einsum("cij,cjk->cik", np.linalg.inv(G), E)
+    g0 = -Gi.sum(axis=1, keepdims=True)
+    grads = np.concatenate([g0, Gi], axis=1)  # [nc, tdim+1, gdim]
+    geom = CellGeometry(edges=E, volume=vol, grads=grads, inv_edges=Gi)
+    _geom_cache[key] = geom
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# Matrix assembly (P1)
+
+
+def _element_matrices_to_coo(V: FunctionSpace, Ke: np.ndarray):
+    """Scatter per-cell dense matrices [nc, ndpc, ndpc] to COO triplets."""
+    nd = V.ndofs_per_cell
+    rows = np.repeat(V.cell_dofs, nd, axis=1).ravel()
+    cols = np.tile(V.cell_dofs, (1, nd)).ravel()
+    return rows, cols, Ke.reshape(-1)
+
+
+def assemble_mass_stiffness(
+    V: FunctionSpace,
+    M_cells: np.ndarray | float,
+    dtype=None,
+) -> tuple[ELLMatrix, ELLMatrix]:
+    """Assemble consistent mass and anisotropic stiffness with one shared
+    ELL sparsity pattern, so ``A = a*Mass + b*Stiff`` is a pure value-level
+    combination on device (dt can then be a traced jit argument — the
+    reference instead re-assembles the PETSc matrix on dt change,
+    ``base_model.py:188-194,225-230``).
+
+    ``M_cells``: scalar, [gdim,gdim], or per-cell [nc,gdim,gdim] tensor.
+    """
+    if V.element.family != "P" or V.element.degree != 1:
+        raise NotImplementedError("PDE assembly is P1 (reference default, base_model.py:160-162)")
+    dtype = dtype or np.float64
+    mesh = V.mesh
+    geom = cell_geometry(mesh)
+    nc, d = mesh.num_cells, mesh.tdim
+    g = mesh.gdim
+
+    Mc = np.asarray(M_cells, dtype=np.float64)
+    if Mc.ndim == 0:
+        Mc = np.broadcast_to(np.eye(g) * Mc, (nc, g, g))
+    elif Mc.ndim == 2:
+        Mc = np.broadcast_to(Mc, (nc, g, g))
+
+    # mass: vol/((d+1)(d+2)) * (1 + delta_ij)
+    base = (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
+    Me = geom.volume[:, None, None] * base[None]
+    # stiffness: vol * G_i . M . G_j
+    MG = np.einsum("cgh,cjh->cjg", Mc, geom.grads)
+    Ke = geom.volume[:, None, None] * np.einsum("cig,cjg->cij", geom.grads, MG)
+
+    rows, cols, mvals = _element_matrices_to_coo(V, Me)
+    _, _, kvals = _element_matrices_to_coo(V, Ke)
+    shape = (V.ndofs, V.ndofs)
+    mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
+    stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
+    return mass, stiff
+
+
+def lumped_mass(V: FunctionSpace, dtype=None) -> jnp.ndarray:
+    """Row-sum lumped mass vector (for projections / ECG normalization)."""
+    geom = cell_geometry(V.mesh)
+    d = V.mesh.tdim
+    contrib = np.repeat(geom.volume / (d + 1), d + 1)
+    out = np.zeros(V.ndofs)
+    np.add.at(out, V.cell_dofs.ravel(), contrib)
+    return jnp.asarray(out, dtype=dtype or np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Quadrature data for load vectors and functionals
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class CellQuadData:
+    """Static-shape quadrature tables for a (sub)domain integral.
+
+    X: [ne, nq, gdim] physical quad points; W: [ne, nq] physical weights
+    (already include |detJ|); N: [nq, nd] basis at quad points;
+    dofs: [ne, nd] global dofs.  ``assemble_load`` and ``integrate`` are
+    pure jnp and safe inside jit.
+    """
+
+    X: jnp.ndarray
+    W: jnp.ndarray
+    N: jnp.ndarray
+    dofs: jnp.ndarray
+    ndofs: int
+
+    def tree_flatten(self):
+        return (self.X, self.W, self.N, self.dofs), (self.ndofs,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        X, W, N, dofs = children
+        return cls(X, W, N, dofs, aux[0])
+
+    def assemble_load(self, fn: Callable, t) -> jnp.ndarray:
+        """b_i = sum_q W_q phi_i(x_q) fn(x_q, t)   (fn jax-traceable)."""
+        x = jnp.moveaxis(self.X, -1, 0)  # [gdim, ne, nq]
+        vals = fn(x, t) * self.W  # [ne, nq]
+        cellvals = jnp.einsum("eq,qd->ed", vals, self.N)
+        b = jnp.zeros(self.ndofs, dtype=vals.dtype)
+        return b.at[self.dofs.ravel()].add(cellvals.ravel())
+
+    def interpolate(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Values of the FE function u at quad points: [ne, nq]."""
+        return jnp.einsum("ed,qd->eq", u[self.dofs], self.N)
+
+    def integrate(self, integrand: Callable, u: jnp.ndarray | None = None, t=None) -> jnp.ndarray:
+        """∫ integrand(x[, u_q][, t]) over the subdomain."""
+        x = jnp.moveaxis(self.X, -1, 0)
+        args = [x]
+        if u is not None:
+            args.append(self.interpolate(u))
+        if t is not None:
+            args.append(t)
+        return jnp.sum(self.W * integrand(*args))
+
+
+def cell_quadrature(
+    V: FunctionSpace, cells: np.ndarray | None = None, degree: int = 4, dtype=None
+) -> CellQuadData:
+    """Quadrature tables over (a subset of) cells for the space ``V``."""
+    dtype = dtype or np.float64
+    mesh = V.mesh
+    geom = cell_geometry(mesh)
+    if cells is None:
+        cells = np.arange(mesh.num_cells)
+    cells = np.asarray(cells, dtype=np.int64)
+    pts, wts = simplex_rule(mesh.tdim, degree)
+    N = V.element.tabulate(mesh.tdim, pts)  # [nq, nd]
+    x0 = mesh.coords[mesh.cells[cells, 0]]
+    X = x0[:, None, :] + np.einsum("qd,cdg->cqg", pts, geom.edges[cells])
+    import math
+
+    scale = math.factorial(mesh.tdim)
+    W = (geom.volume[cells] * scale)[:, None] * wts[None, :]
+    return CellQuadData(
+        X=jnp.asarray(X, dtype=dtype),
+        W=jnp.asarray(W, dtype=dtype),
+        N=jnp.asarray(N, dtype=dtype),
+        dofs=jnp.asarray(V.cell_dofs[cells], dtype=jnp.int32),
+        ndofs=V.ndofs,
+    )
+
+
+def facet_quadrature(
+    V: FunctionSpace, facets: np.ndarray, degree: int = 4, dtype=None
+) -> CellQuadData:
+    """Quadrature tables over boundary facets (for "ds" stimuli,
+    reference ``stimulation.py:99-106``).  P1 spaces only."""
+    if V.element.family != "P" or V.element.degree != 1:
+        raise NotImplementedError("facet integrals implemented for P1")
+    dtype = dtype or np.float64
+    mesh = V.mesh
+    fdim = mesh.tdim - 1
+    fverts = mesh.entities(fdim)[np.asarray(facets, dtype=np.int64)]  # [nf, fdim+1]
+    F = mesh.coords[fverts]  # [nf, fdim+1, gdim]
+    E = F[:, 1:, :] - F[:, :1, :]
+    import math
+
+    if fdim == 0:
+        area = np.ones(F.shape[0])
+        pts = np.zeros((1, 0))
+        wts = np.ones(1)
+        N = np.ones((1, 1))
+        X = F[:, :1, :]
+    else:
+        G = np.einsum("cik,cjk->cij", E, E)
+        area = np.sqrt(np.abs(np.linalg.det(G))) / math.factorial(fdim)
+        pts, wts = simplex_rule(fdim, degree)
+        N = _bary(pts)  # P1 basis on the facet simplex
+        X = F[:, :1, :] + np.einsum("qd,cdg->cqg", pts, E)
+    scale = math.factorial(fdim) if fdim > 0 else 1.0
+    W = (area * scale)[:, None] * wts[None, :]
+    return CellQuadData(
+        X=jnp.asarray(X, dtype=dtype),
+        W=jnp.asarray(W, dtype=dtype),
+        N=jnp.asarray(N, dtype=dtype),
+        dofs=jnp.asarray(fverts, dtype=jnp.int32),
+        ndofs=V.ndofs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar forms
+
+
+@dataclass
+class ScalarForm:
+    """Lazily-assembled scalar integral (mirrors ``dolfinx.fem.form`` +
+    ``assemble_scalar`` usage, e.g. reference ``tests/test_monodomain.py:59-62``
+    and ``ecg.py:295-298``).  Re-reads coefficient Functions at assembly
+    time, so a form built once stays valid as solutions update."""
+
+    quad: CellQuadData
+    integrand: Callable  # (x[, u_q][, t]) -> values
+    coefficient: Function | None = None
+    time: Constant | None = None
+
+    def assemble(self) -> float:
+        u = None
+        if self.coefficient is not None:
+            u = jnp.asarray(self.coefficient.x.array)
+        t = None if self.time is None else jnp.asarray(float(self.time))
+        return float(self.quad.integrate(self.integrand, u=u, t=t))
+
+
+def assemble_scalar(form: ScalarForm) -> float:
+    return form.assemble()
+
+
+def integral(mesh_or_space, integrand: Callable, degree: int = 4) -> ScalarForm:
+    """Form for ∫ integrand(x) dx over the whole domain."""
+    V = mesh_or_space
+    if isinstance(V, Mesh):
+        V = functionspace(V, ("P", 1))
+    return ScalarForm(quad=cell_quadrature(V, degree=degree), integrand=integrand)
+
+
+def function_integral(
+    u: Function, integrand: Callable, degree: int = 4, time: Constant | None = None
+) -> ScalarForm:
+    """Form for ∫ integrand(x, u(x)[, t]) dx — covers error norms and the
+    ECG electrode integral (reference ``ecg.py:295-298``)."""
+    return ScalarForm(
+        quad=cell_quadrature(u.function_space, degree=degree),
+        integrand=integrand,
+        coefficient=u,
+        time=time,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet BCs and dof location
+
+
+def locate_dofs_topological(V: FunctionSpace, dim: int, entities: np.ndarray) -> np.ndarray:
+    """Dofs attached to the given mesh entities (reference:
+    ``dolfinx.fem.locate_dofs_topological`` used at ``utils.py:177-178``)."""
+    mesh = V.mesh
+    ents = mesh.entities(dim)[np.asarray(entities, dtype=np.int64)]
+    if V.element.family == "P" and V.element.degree == 1:
+        return np.unique(ents.ravel()).astype(np.int32)
+    if V.element.family == "P" and V.element.degree == 2:
+        vert_dofs = np.unique(ents.ravel())
+        if dim == 0:
+            return vert_dofs.astype(np.int32)
+        # add edge dofs on those entities
+        edges = mesh.entities(1)
+        from .mesh import _row_searchsorted
+
+        order = np.lexsort(edges.T[::-1])
+        sorted_edges = edges[order]
+        edge_sets = []
+        for i, j in itertools.combinations(range(ents.shape[1]), 2):
+            local = np.sort(ents[:, [i, j]], axis=1)
+            idx = _row_searchsorted(sorted_edges, local)
+            # keep only actual mesh edges
+            found = (sorted_edges[idx] == local).all(axis=1)
+            edge_sets.append(order[idx[found]])
+        edge_dofs = mesh.num_vertices + np.unique(np.concatenate(edge_sets))
+        return np.concatenate([vert_dofs, edge_dofs]).astype(np.int32)
+    raise NotImplementedError
+
+
+@dataclass
+class DirichletBC:
+    value: float
+    dofs: np.ndarray
+
+
+def dirichletbc(value: float, dofs: np.ndarray, V: FunctionSpace | None = None) -> DirichletBC:
+    return DirichletBC(value=float(value), dofs=np.asarray(dofs, dtype=np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Point evaluation & transfer
+
+
+def _locate_cells(mesh: Mesh, points: np.ndarray, tol: float = 1e-10) -> np.ndarray:
+    """Cell containing each point (host, vectorized barycentric test)."""
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim == 1:
+        pts = pts[None, :]
+    pts = pts[:, : mesh.gdim]
+    geom = cell_geometry(mesh)
+    x0 = mesh.coords[mesh.cells[:, 0]]  # [nc, gdim]
+    out = np.full(pts.shape[0], -1, dtype=np.int64)
+    # xi = (p - x0) @ invE ; bary = [1-sum, xi]
+    for pi, p in enumerate(pts):
+        d = p[None, :] - x0  # [nc, gdim]
+        xi = np.einsum("cg,cig->ci", d, geom.inv_edges)  # [nc, tdim]
+        lam0 = 1.0 - xi.sum(axis=1)
+        ok = (xi >= -tol).all(axis=1) & (lam0 >= -tol)
+        hits = np.nonzero(ok)[0]
+        if hits.size:
+            out[pi] = hits[0]
+    return out
+
+
+def evaluate_function(u: Function, points: np.ndarray, tol: float = 1e-8) -> np.ndarray:
+    """Evaluate ``u`` at physical points (replaces scifem.evaluate_function
+    used in reference ``tests/test_utils.py:62-69``)."""
+    V = u.function_space
+    mesh = V.mesh
+    pts = np.asarray(points, dtype=np.float64)
+    squeeze = pts.ndim == 1
+    if squeeze:
+        pts = pts[None, :]
+    cells = _locate_cells(mesh, pts, tol=tol)
+    if (cells < 0).any():
+        missing = pts[cells < 0]
+        raise ValueError(f"Points outside mesh: {missing}")
+    geom = cell_geometry(mesh)
+    x0 = mesh.coords[mesh.cells[cells, 0]]
+    xi = np.einsum("pg,pig->pi", pts[:, : mesh.gdim] - x0, geom.inv_edges[cells])
+    if V.element.family == "Quadrature":
+        raise NotImplementedError("evaluate_function on quadrature spaces")
+    # tabulate is pointwise: row i of N uses reference point i (the point's
+    # own cell-local coordinates), so a single vectorized call suffices.
+    N = V.element.tabulate(mesh.tdim, xi)
+    dofs = V.cell_dofs[cells]
+    vals = (u.x.array[dofs] * N).sum(axis=1)
+    return vals[0] if squeeze else vals
+
+
+_transfer_cache: dict[tuple[int, int], ELLMatrix] = {}
+
+
+def build_transfer_matrix(Vs: FunctionSpace, Vt: FunctionSpace) -> ELLMatrix:
+    """Interpolation matrix T: target_dofs = T @ source_dofs.
+
+    Replaces the reference's ``local_project`` / Expression-interpolate
+    transfer between ODE and PDE spaces (``utils.py:26-58``,
+    ``odesolver.py:101-115``).  For pointwise elements the target dof value
+    is the source evaluated at the target dof point in the dof's owner cell
+    (last-cell-wins, matching dolfinx cell-wise interpolation).  For
+    Quadrature sources a mass-lumped L2 projection is used.
+    """
+    key = (id(Vs), id(Vt))
+    if key in _transfer_cache:
+        return _transfer_cache[key]
+    mesh = Vs.mesh
+    nt, ns = Vt.ndofs, Vs.ndofs
+
+    if Vs.element.family == "Quadrature":
+        # lumped L2: u_i = sum_{c,q} w phi_i v_q / sum w phi_i
+        quadV = Vs
+        pts, wts = simplex_rule(mesh.tdim, Vs.element.degree)
+        geom = cell_geometry(mesh)
+        import math
+
+        W = (geom.volume * math.factorial(mesh.tdim))[:, None] * wts[None, :]  # [nc, nq]
+        Nt = Vt.element.tabulate(mesh.tdim, pts)  # [nq, ndt]
+        nc = mesh.num_cells
+        rows = np.repeat(Vt.cell_dofs, pts.shape[0], axis=1).ravel()
+        cols = np.tile(quadV.cell_dofs, (1, Vt.ndofs_per_cell)).ravel()
+        # entry (i from cell c, q) = W[c,q] * Nt[q, i]
+        vals = np.einsum("cq,qd->cdq", W, Nt).ravel()
+        num = coo_to_ell(rows, cols, vals, (nt, ns))
+        den = np.zeros(nt)
+        np.add.at(den, Vt.cell_dofs.ravel(), np.einsum("cq,qd->cd", W, Nt).ravel())
+        den[den == 0] = 1.0
+        T = num.with_values(num.vals / jnp.asarray(den)[:, None])
+        _transfer_cache[key] = T
+        return T
+
+    # pointwise target dofs
+    if Vt.element.family == "Quadrature":
+        pts, _ = simplex_rule(mesh.tdim, Vt.element.degree)
+        owner = np.repeat(np.arange(mesh.num_cells), pts.shape[0])
+        ref = np.tile(pts, (mesh.num_cells, 1))
+        tgt_dofs = Vt.cell_dofs.ravel()
+    else:
+        owner = Vt.dof_owner_cell
+        # ref coords of target dof points in owner cells
+        geom = cell_geometry(mesh)
+        x0 = mesh.coords[mesh.cells[owner, 0]]
+        ref = np.einsum("pg,pig->pi", Vt.dof_coords - x0, geom.inv_edges[owner])
+        tgt_dofs = np.arange(nt)
+
+    # evaluate source basis at each target point (tabulate is pointwise)
+    Ns = Vs.element.tabulate(mesh.tdim, ref)  # [npts, nds]
+    src_dofs = Vs.cell_dofs[owner]
+    rows = np.repeat(tgt_dofs, Vs.ndofs_per_cell)
+    cols = src_dofs.ravel()
+    vals = Ns.ravel()
+    T = coo_to_ell(rows, cols, vals, (nt, ns))
+    _transfer_cache[key] = T
+    return T

@@ -1,0 +1,19 @@
+"""In-repo ionic cell models (replaces the reference's gotranx codegen, L9).
+
+Each model module exposes the contract the solvers consume (used at
+reference ``demos/niederer_benchmark.py:88-92``):
+
+* ``init_state_values(**overrides) -> np.ndarray``
+* ``init_parameter_values(**overrides) -> np.ndarray``
+* ``state_index(name) / parameter_index(name)``
+* one or more schemes: ``forward_euler`` / ``generalized_rush_larsen``
+  with signature ``(states, t, parameters, dt) -> new_states`` operating on
+  ``(num_states, num_points)`` arrays — jax-traceable and vectorized.
+"""
+
+from . import fitzhughnagumo  # noqa: F401
+
+try:  # larger models, added over time
+    from . import tentusscher_panfilov_2006 as tentusscher_panfilov_2006  # noqa: F401
+except ImportError:
+    pass

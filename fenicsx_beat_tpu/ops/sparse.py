@@ -1,0 +1,120 @@
+"""Sparse operators in ELL (padded row) format for TPU SpMV.
+
+Replaces PETSc sparse matrices used by the reference (assembled at
+``src/beat/base_model.py:123,193,202``).  ELL with row-sorted, padded
+column indices maps cleanly onto XLA/TPU: an SpMV is one static-shape
+gather plus a row-wise multiply-reduce, which XLA fuses into a single
+bandwidth-bound kernel.  Matrices are assembled once on host (numpy) and
+live on device as a pytree of jnp arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ELLMatrix:
+    """Padded sparse matrix: row i has entries (cols[i, k], vals[i, k)).
+
+    Padding entries point at column ``i`` itself with value 0 so the gather
+    stays in-bounds without masking.
+    """
+
+    cols: jnp.ndarray  # [n_rows, width] int32
+    vals: jnp.ndarray  # [n_rows, width] float
+    shape: tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, vals = children
+        return cls(cols=cols, vals=vals, shape=aux[0])
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1]
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return ell_spmv(self, x)
+
+    def diagonal(self) -> jnp.ndarray:
+        n = self.shape[0]
+        rows = jnp.arange(n, dtype=self.cols.dtype)[:, None]
+        mask = self.cols == rows
+        return jnp.sum(jnp.where(mask, self.vals, 0.0), axis=1)
+
+    def scale_values(self, alpha) -> "ELLMatrix":
+        return ELLMatrix(cols=self.cols, vals=self.vals * alpha, shape=self.shape)
+
+    def with_values(self, vals: jnp.ndarray) -> "ELLMatrix":
+        return ELLMatrix(cols=self.cols, vals=vals, shape=self.shape)
+
+
+def ell_spmv(A: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x via gather + row reduce. x: [n_cols] or [n_cols, k]."""
+    if x.ndim == 1:
+        return jnp.sum(A.vals * x[A.cols], axis=1)
+    # batched columns
+    return jnp.einsum("rw,rwk->rk", A.vals, x[A.cols])
+
+
+def coo_to_ell(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: tuple[int, int],
+    pattern: tuple[np.ndarray, np.ndarray] | None = None,
+    dtype=None,
+) -> ELLMatrix:
+    """Assemble duplicate-summed COO triplets into a padded ELL matrix.
+
+    If ``pattern`` (ell_cols, row_nnz) is given, reuse that sparsity pattern
+    (so e.g. mass and stiffness share one pattern and can be combined
+    value-wise on device without re-gathering).
+    """
+    n_rows = shape[0]
+    key = rows.astype(np.int64) * shape[1] + cols.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+    vals_sorted = np.asarray(vals)[order]
+    uniq, inv = np.unique(key_sorted, return_inverse=True)
+    summed = np.zeros(uniq.shape[0], dtype=vals_sorted.dtype)
+    np.add.at(summed, inv, vals_sorted)
+    urows = (uniq // shape[1]).astype(np.int64)
+    ucols = (uniq % shape[1]).astype(np.int32)
+
+    counts = np.bincount(urows, minlength=n_rows)
+    width = int(counts.max()) if counts.size else 1
+    if pattern is not None:
+        ell_cols_np, _ = pattern
+        width = ell_cols_np.shape[1]
+    ell_cols = np.tile(np.arange(n_rows, dtype=np.int32)[:, None], (1, width))
+    ell_vals = np.zeros((n_rows, width), dtype=vals_sorted.dtype)
+    # position within row
+    row_start = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    pos = np.arange(uniq.shape[0]) - row_start[urows]
+    ell_cols[urows, pos] = ucols
+    ell_vals[urows, pos] = summed
+    if dtype is not None:
+        ell_vals = ell_vals.astype(dtype)
+    return ELLMatrix(
+        cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape
+    )
+
+
+def ell_pattern_union(*coo_sets, shape):
+    """Compute (rows, cols) union pattern for multiple COO triplet sets."""
+    keys = []
+    for rows, cols in coo_sets:
+        keys.append(rows.astype(np.int64) * shape[1] + cols.astype(np.int64))
+    uniq = np.unique(np.concatenate(keys))
+    return (uniq // shape[1]).astype(np.int64), (uniq % shape[1]).astype(np.int32)

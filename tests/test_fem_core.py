@@ -1,0 +1,127 @@
+"""Sanity tests of the FEM layer: geometry, assembly, quadrature, transfer."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+
+
+@pytest.mark.parametrize(
+    "make_mesh, vol",
+    [
+        (lambda: meshmod.create_unit_interval(None, 7), 1.0),
+        (lambda: meshmod.create_unit_square(None, 4, 5), 1.0),
+        (lambda: meshmod.create_unit_cube(None, 2, 3, 2), 1.0),
+        (lambda: meshmod.create_rectangle(None, ((0, 0), (2.0, 3.0)), (4, 4)), 6.0),
+        (lambda: meshmod.create_box(None, ((0, 0, 0), (2.0, 1.0, 0.5)), (3, 2, 2)), 1.0),
+    ],
+)
+def test_cell_volumes(make_mesh, vol):
+    mesh = make_mesh()
+    geom = fem.cell_geometry(mesh)
+    assert np.isclose(geom.volume.sum(), vol)
+
+
+def test_mass_matrix_total():
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    ones = jnp.ones(V.ndofs)
+    # 1^T M 1 = |domain| ; K @ constant = 0
+    assert np.isclose(float(jnp.dot(ones, mass @ ones)), 1.0)
+    assert np.allclose(np.asarray(stiff @ ones), 0.0, atol=1e-12)
+
+
+def test_stiffness_poisson_energy():
+    # For u = x, grad u = e_x: u^T K u = |domain| * M_xx
+    mesh = meshmod.create_unit_square(None, 10, 10)
+    V = fem.functionspace(mesh, ("P", 1))
+    Mtensor = np.array([[2.0, 0.0], [0.0, 1.0]])
+    _, stiff = fem.assemble_mass_stiffness(V, Mtensor)
+    u = jnp.asarray(V.dof_coords[:, 0])
+    assert np.isclose(float(jnp.dot(u, stiff @ u)), 2.0)
+    v = jnp.asarray(V.dof_coords[:, 1])
+    assert np.isclose(float(jnp.dot(v, stiff @ v)), 1.0)
+
+
+def test_quadrature_exactness():
+    from fenicsx_beat_tpu.ops.quadrature import simplex_rule
+
+    # integrate x^a y^b over reference triangle: a! b! / (a+b+2)!
+    import math
+
+    for deg in (2, 4, 8):
+        pts, w = simplex_rule(2, deg)
+        for a, b in [(0, 0), (1, 1), (2, 1), (4, 4)]:
+            if a + b > deg:
+                continue
+            exact = math.factorial(a) * math.factorial(b) / math.factorial(a + b + 2)
+            approx = np.sum(w * pts[:, 0] ** a * pts[:, 1] ** b)
+            assert np.isclose(approx, exact, rtol=1e-12), (deg, a, b)
+    # tetrahedron: x^a y^b z^c -> a! b! c! / (a+b+c+3)!
+    for deg in (2, 5):
+        pts, w = simplex_rule(3, deg)
+        for a, b, c in [(0, 0, 0), (1, 1, 1), (2, 1, 0)]:
+            if a + b + c > deg:
+                continue
+            exact = (
+                math.factorial(a)
+                * math.factorial(b)
+                * math.factorial(c)
+                / math.factorial(a + b + c + 3)
+            )
+            approx = np.sum(w * pts[:, 0] ** a * pts[:, 1] ** b * pts[:, 2] ** c)
+            assert np.isclose(approx, exact, rtol=1e-12), (deg, a, b, c)
+
+
+def test_integral_form():
+    mesh = meshmod.create_unit_square(None, 16, 16)
+    form = fem.integral(mesh, lambda x: jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1]), degree=6)
+    val = fem.assemble_scalar(form)
+    assert np.isclose(val, (2 / np.pi) ** 2, rtol=1e-6)
+
+
+def test_interpolate_and_evaluate():
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    V = fem.functionspace(mesh, ("P", 1))
+    f = fem.Function(V)
+    f.interpolate(lambda x: 2 * x[0] + 3 * x[1])
+    pts = np.array([[0.25, 0.5], [0.7, 0.1], [1.0, 1.0]])
+    vals = fem.evaluate_function(f, pts)
+    assert np.allclose(vals, 2 * pts[:, 0] + 3 * pts[:, 1])
+
+
+@pytest.mark.parametrize("family,deg", [("P", 2), ("DG", 1), ("DG", 0)])
+def test_transfer_roundtrip(family, deg):
+    mesh = meshmod.create_unit_square(None, 5, 5)
+    Vp = fem.functionspace(mesh, ("P", 1))
+    Vo = fem.functionspace(mesh, (family, deg))
+    src = fem.Function(Vp)
+    src.interpolate(lambda x: x[0] + 2 * x[1])
+    tgt = fem.Function(Vo)
+    tgt.interpolate(src)  # P1 -> other
+    if deg >= 1:
+        # linear functions are reproduced exactly by P2/DG1
+        assert np.allclose(np.asarray(tgt.x.array), Vo.dof_coords[:, 0] + 2 * Vo.dof_coords[:, 1])
+        back = fem.Function(Vp)
+        back.interpolate(tgt)
+        assert np.allclose(back.x.array, src.x.array)
+
+
+def test_p2_space_sizes():
+    mesh = meshmod.create_unit_square(None, 4, 4)
+    V2 = fem.functionspace(mesh, ("P", 2))
+    n_edges = mesh.entities(1).shape[0]
+    assert V2.ndofs == mesh.num_vertices + n_edges
+
+
+def test_locate_entities_and_facets():
+    mesh = meshmod.create_unit_square(None, 4, 4)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: np.logical_and(x[0] <= 0.5, x[1] <= 0.5))
+    assert len(cells) == 8  # quarter of 32 triangles
+    left = meshmod.locate_entities_boundary(mesh, 1, lambda x: x[0] <= 1e-12)
+    assert len(left) == 4
+    ext = mesh.exterior_facets()
+    assert len(ext) == 16

@@ -1,0 +1,116 @@
+"""Monodomain PDE MMS tests — mirror of reference ``tests/test_monodomain.py``.
+
+Manufactured solution v = cos(2 pi x) cos(2 pi y) sin(t) with matching
+source; L2 error thresholds, spatial order >= 2 and temporal order >= 2
+(Crank-Nicolson).  See reference ``tests/README.md`` for the derivation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fenicsx_beat_tpu as beat
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+
+
+def _l2_error(state, exact_fn, T):
+    form = fem.function_integral(
+        state, lambda x, u: (u - exact_fn(x, T)) ** 2, degree=8
+    )
+    return np.sqrt(fem.assemble_scalar(form))
+
+
+@pytest.mark.parametrize(
+    "M, ac_str, err",
+    (
+        (
+            0.0,
+            lambda x, t: jnp.cos(2 * jnp.pi * x[0]) * jnp.cos(2 * jnp.pi * x[1]) * jnp.cos(t),
+            1e-4,
+        ),
+        (
+            1.0,
+            lambda x, t: jnp.cos(2 * jnp.pi * x[0])
+            * jnp.cos(2 * jnp.pi * x[1])
+            * (jnp.cos(t) + 8 * jnp.pi**2 * jnp.sin(t)),
+            2e-4,
+        ),
+        (
+            2.0,
+            lambda x, t: jnp.cos(2 * jnp.pi * x[0])
+            * jnp.cos(2 * jnp.pi * x[1])
+            * (jnp.cos(t) + 16 * jnp.pi**2 * jnp.sin(t)),
+            2e-4,
+        ),
+    ),
+)
+def test_monodomain_analytic(M, ac_str, err):
+    N = 15
+    theta = 0.5
+    dt = 0.001
+    T = 10 * dt
+
+    params = dict(theta=theta, linear_solver_type="direct")
+    mesh = meshmod.create_unit_square(None, N, N)
+    time = fem.Constant(0.0)
+
+    exact = lambda x, t: jnp.cos(2 * jnp.pi * x[0]) * jnp.cos(2 * jnp.pi * x[1]) * jnp.sin(t)
+
+    model = beat.MonodomainModel(time=time, mesh=mesh, M=M, I_s=ac_str, params=params)
+    res = model.solve((0, T), dt=dt)
+
+    v_error = _l2_error(res.state, exact, T)
+    assert v_error < err
+
+
+def test_monodomain_spatial_convergence():
+    Ns = [2**level for level in (2, 3, 4, 5)]
+    errors = []
+    theta = 0.5
+    dt = 0.001
+    T = 10 * dt
+    params = dict(theta=theta, linear_solver_type="direct")
+
+    ac = lambda x, t: (
+        jnp.cos(2 * jnp.pi * x[0])
+        * jnp.cos(2 * jnp.pi * x[1])
+        * (jnp.cos(t) + 8 * jnp.pi**2 * jnp.sin(t))
+    )
+    exact = lambda x, t: jnp.cos(2 * jnp.pi * x[0]) * jnp.cos(2 * jnp.pi * x[1]) * jnp.sin(t)
+
+    for N in Ns:
+        mesh = meshmod.create_unit_square(None, N, N)
+        time = fem.Constant(0.0)
+        model = beat.MonodomainModel(time=time, mesh=mesh, M=1.0, I_s=ac, params=params)
+        res = model.solve((0, T), dt=dt)
+        errors.append(_l2_error(res.state, exact, T))
+
+    rates = [np.log(e1 / e2) / np.log(2) for e1, e2 in zip(errors[:-1], errors[1:])]
+    assert all(rate >= 2.0 for rate in rates), (rates, errors)
+
+
+def test_monodomain_temporal_convergence():
+    theta = 0.5
+    T = 1.0
+    N = 100
+    params = dict(theta=theta, linear_solver_type="direct")
+    mesh = meshmod.create_unit_square(None, N, N)
+
+    ac = lambda x, t: (
+        jnp.cos(2 * jnp.pi * x[0])
+        * jnp.cos(2 * jnp.pi * x[1])
+        * (jnp.cos(t) + 8 * jnp.pi**2 * jnp.sin(t))
+    )
+    exact = lambda x, t: jnp.cos(2 * jnp.pi * x[0]) * jnp.cos(2 * jnp.pi * x[1]) * jnp.sin(t)
+
+    errors = []
+    dts = [1.0 / (2**level) for level in (0, 1, 2, 3)]
+    for dt in dts:
+        time = fem.Constant(0.0)
+        model = beat.MonodomainModel(time=time, mesh=mesh, M=1.0, I_s=ac, params=params)
+        res = model.solve((0, T), dt=dt)
+        errors.append(_l2_error(res.state, exact, T))
+
+    rates = [np.log(e1 / e2) / np.log(2) for e1, e2 in zip(errors[:-1], errors[1:])]
+    assert all(rate >= 2.0 for rate in rates), (rates, errors)
