@@ -31,17 +31,21 @@ __version__ = "0.1.0"
 __author__ = "fenicsx-beat-tpu developers"
 __program_name__ = "fenicsx-beat-tpu"
 
-# Modules added as the build progresses (import lazily to keep core light)
-for _name in ("geometry", "odesolver", "monodomain_solver", "utils", "single_cell", "ecg"):
-    try:
-        globals()[_name] = _imp(f".{_name}", __name__)
-    except ImportError:
-        pass
-
-if "monodomain_solver" in globals():
-    from .monodomain_solver import MonodomainSplittingSolver  # noqa: F401
-if "ecg" in globals():
-    from .ecg import ECGRecovery  # noqa: F401
+from . import (  # noqa: E402
+    ecg,
+    fused,
+    geometry,
+    io,
+    models,
+    monodomain_model,
+    monodomain_solver,
+    odesolver,
+    single_cell,
+    utils,
+)
+from .ecg import ECGRecovery
+from .fused import FusedMonodomainSolver
+from .monodomain_solver import MonodomainSplittingSolver
 
 __all__ = [
     "monodomain_model",
@@ -65,4 +69,8 @@ __all__ = [
     "fem",
     "mesh",
     "units",
+    "fused",
+    "FusedMonodomainSolver",
+    "io",
+    "models",
 ]

@@ -1,0 +1,226 @@
+"""Niederer 2011 benchmark (20x7x3 mm TP06 slab) on the fused TPU solver.
+
+Re-creates the reference's headline benchmark
+(``demos/niederer_benchmark.py``): S1 stimulus in a 1.5 mm corner cube,
+Niederer conductivities (g_il=0.17, g_it=0.019, g_el=0.62, g_et=0.24 S/m,
+chi=1400/cm, C_m=1 uF/cm^2, amplitude 50,000 uA/cm^3 — reference
+``demos/niederer_benchmark.py:126-162``), activation times recorded at the
+8 slab corners P1-P8 and center P9.  Published activation-time table for
+comparison: reference ``demos/niederer_benchmark.py:301-311``.
+"""
+
+from __future__ import annotations
+
+import json
+import time as _time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .. import fem
+from ..conductivities import default_conductivities, define_conductivity_tensor
+from ..fused import FusedMonodomainSolver
+from ..geometry import get_3D_slab_geometry
+from ..mesh import locate_entities, meshtags
+from ..models import tentusscher_panfilov_2006 as tp06
+from ..stimulation import define_stimulus
+from ..telemetry import BaseMonitor, NullMonitor
+from ..units import ureg
+
+# Published reference activation times (ms) at (dx, dt) -> P1..P9, from the
+# table committed in the reference repo (demos/niederer_benchmark.py:301-311).
+PUBLISHED_ACTIVATION_TIMES = {
+    (0.5, 0.05): [1.25, 51.1, 34.9, 58.9, 14.1, 49.5, 34.0, 56.65, 26.05],
+    (0.5, 0.01): [1.22, 50.85, 33.96, 58.05, 13.98, 49.36, 33.07, 55.91, 25.64],
+    (0.5, 0.005): [1.215, 50.775, 33.825, 57.96, 13.97, 49.345, 32.945, 55.825, 25.595],
+    (0.2, 0.05): [1.25, 29.7, 32.9, 40.2, 9.55, 30.0, 32.95, 39.9, 18.9],
+    (0.2, 0.01): [1.24, 29.09, 31.25, 38.66, 9.34, 29.4, 31.29, 38.42, 18.14],
+    (0.2, 0.005): [1.235, 29.015, 31.05, 38.475, 9.315, 29.32, 31.08, 38.235, 18.045],
+    (0.1, 0.05): [1.25, 26.85, 33.3, 40.35, 8.4, 27.5, 33.85, 40.55, 18.95],
+    (0.1, 0.01): [1.23, 25.64, 31.46, 38.08, 8.03, 26.24, 31.94, 38.21, 17.95],
+    (0.1, 0.005): [1.225, 25.5, 31.26, 37.81, 7.99, 26.09, 31.72, 37.93, 17.835],
+}
+
+LX, LY, LZ = 20.0, 7.0, 3.0  # mm
+POINT_NAMES = ["P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8", "P9"]
+
+
+def benchmark_points() -> dict[str, tuple[float, float, float]]:
+    return {
+        "P1": (0.0, 0.0, 0.0),
+        "P2": (0.0, LY, 0.0),
+        "P3": (LX, 0.0, 0.0),
+        "P4": (LX, LY, 0.0),
+        "P5": (0.0, 0.0, LZ),
+        "P6": (0.0, LY, LZ),
+        "P7": (LX, 0.0, LZ),
+        "P8": (LX, LY, LZ),
+        "P9": (LX / 2, LY / 2, LZ / 2),
+    }
+
+
+@dataclass
+class NiedererResult:
+    dx: float
+    dt: float
+    activation_times: dict[str, float]
+    wall_time_s: float
+    simulated_ms: float
+    n_nodes: int
+    n_steps: int
+    cg_iters_max: int = 0
+
+    @property
+    def ms_per_second(self) -> float:
+        return self.simulated_ms / self.wall_time_s if self.wall_time_s > 0 else 0.0
+
+    def error_vs_published(self) -> float | None:
+        """Max relative error vs the committed table, if this (dx, dt) row
+        exists (reference demos/niederer_benchmark.py:301-311)."""
+        key = (self.dx, self.dt)
+        if key not in PUBLISHED_ACTIVATION_TIMES:
+            return None
+        ref = PUBLISHED_ACTIVATION_TIMES[key]
+        errs = []
+        for name, r in zip(POINT_NAMES, ref):
+            mine = self.activation_times.get(name, -1.0)
+            if mine < 0:
+                return float("inf")
+            errs.append(abs(mine - r) / r)
+        return max(errs)
+
+    def summary(self) -> str:
+        at = ", ".join(f"{k}={v:.2f}" for k, v in self.activation_times.items())
+        err = self.error_vs_published()
+        err_s = f", max_rel_err_vs_published={err:.3%}" if err is not None else ""
+        return (
+            f"Niederer dx={self.dx} dt={self.dt}: {at}\n"
+            f"wall={self.wall_time_s:.2f}s for {self.simulated_ms:.0f}ms sim "
+            f"({self.ms_per_second:.1f} ms/s, {self.n_nodes} nodes){err_s}"
+        )
+
+
+def run_niederer_benchmark(
+    dx: float = 0.5,
+    dt: float = 0.05,
+    T: float = 100.0,
+    theta: float = 1.0,
+    scheme: str = "generalized_rush_larsen",
+    outdir: Path | None = None,
+    monitor: BaseMonitor | None = None,
+    check_interval_ms: float = 5.0,
+    dtype=None,
+) -> NiedererResult:
+    """Run the benchmark on the fused solver; early-stops once all nine
+    probe points have activated (mirroring the reference's loop condition,
+    ``demos/niederer_benchmark.py:256``)."""
+    monitor = monitor or NullMonitor()
+    mesh_unit = "mm"
+    geo = get_3D_slab_geometry(None, dx=dx, Lx=LX, Ly=LY, Lz=LZ)
+    mesh = geo.mesh
+
+    conductivities = default_conductivities("Niederer")
+    chi = conductivities["chi"]
+    C_m = (1.0 * ureg("uF/cm**2")).to(f"uF/{mesh_unit}**2").magnitude
+
+    # S1: 1.5 mm corner cube
+    L = 1.5
+    tol = 1e-10
+    cells = locate_entities(
+        mesh,
+        mesh.tdim,
+        lambda x: np.logical_and(np.logical_and(x[0] <= L + tol, x[1] <= L + tol), x[2] <= L + tol),
+    )
+    S1_marker = 1
+    S1_tags = meshtags(mesh, mesh.tdim, cells, S1_marker)
+    I_s = define_stimulus(
+        mesh=mesh,
+        chi=chi,
+        time=fem.Constant(0.0),
+        subdomain_data=S1_tags,
+        marker=S1_marker,
+        mesh_unit=mesh_unit,
+        amplitude=50_000.0,
+        duration=2.0,
+    )
+
+    M = define_conductivity_tensor(f0=geo.f0, **conductivities)
+
+    fun = getattr(tp06, scheme)
+    init_states = tp06.init_state_values()
+    parameters = tp06.init_parameter_values(stim_amplitude=0.0)
+
+    solver = FusedMonodomainSolver(
+        mesh=mesh,
+        M=M,
+        ode_fun=fun,
+        init_states=init_states,
+        parameters=parameters,
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        theta=theta,
+        C_m=C_m,
+        monitor=monitor,
+        dtype=dtype,
+    )
+
+    points = benchmark_points()
+    pcoords = np.array(list(points.values()))
+    # activation at a probe = nodal activation interpolated at the point
+    act_fn = fem.Function(solver.V, name="activation")
+
+    # warm-up compile (excluded from timing); results discarded
+    import jax.numpy as jnp
+
+    chunk_steps = max(1, int(round(check_interval_ms / dt)))
+    warm = solver._run_chunk(
+        solver.states,
+        solver.activation_time,
+        jnp.asarray(0.0, dtype=solver.states.dtype),
+        jnp.asarray(dt, dtype=solver.states.dtype),
+        chunk_steps,
+    )
+    warm[0].block_until_ready()
+
+    t = 0.0
+    n_steps = 0
+    tic = _time.perf_counter()
+    while t < T - 1e-9:
+        n = min(chunk_steps, int(round((T - t) / dt)))
+        solver.solve((t, t + n * dt), dt, save_freq=n)
+        t += n * dt
+        n_steps += n
+        act = solver.activation_times()
+        if (act >= 0).all():
+            break
+        # cheaper check: probes only
+        act_fn.x.array[:] = act
+        probe_act = fem.evaluate_function(act_fn, pcoords)
+        if (probe_act >= 0).all():
+            break
+    wall = _time.perf_counter() - tic
+
+    act_fn.x.array[:] = solver.activation_times()
+    probe_act = fem.evaluate_function(act_fn, pcoords)
+    activation = {name: float(a) for name, a in zip(points.keys(), probe_act)}
+
+    result = NiedererResult(
+        dx=dx,
+        dt=dt,
+        activation_times=activation,
+        wall_time_s=wall,
+        simulated_ms=t,
+        n_nodes=solver.V.ndofs,
+        n_steps=n_steps,
+    )
+
+    if outdir is not None:
+        outdir = Path(outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        payload = dict(activation, dx=dx, dt=dt)
+        at_file = outdir / "activation_times.json"
+        existing = json.loads(at_file.read_text()) if at_file.is_file() else []
+        existing.append(payload)
+        at_file.write_text(json.dumps(existing, indent=2))
+    return result

@@ -1,0 +1,216 @@
+"""Fused on-device splitting solver — the TPU performance path.
+
+The object-oriented :class:`~fenicsx_beat_tpu.monodomain_solver.
+MonodomainSplittingSolver` replicates the reference's per-step host
+choreography (``monodomain_solver.py:53-116``): 8+ host->device
+transitions per step.  This module compiles the ENTIRE time loop --
+ionic Rush-Larsen step, voltage exchange, theta-rule CG solve, activation
+tracking -- into one ``jax.lax.scan`` per save interval, so a whole
+simulation runs with zero host round-trips except at save points.
+
+Requirements of the fused path (the standard production configuration):
+the ODE space equals the PDE space (P1 nodes), and the ionic RHS is
+jax-traceable.  Everything else (transfer adapters, multi-space) stays on
+the OO path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fem
+from .base_model import _as_expr, _transform_I_s
+from .config import default_dtype
+from .conductivities import as_cell_tensors
+from .mesh import Mesh
+from .ops.cg import cg
+from .stimulation import Measure, Stimulus, dx as dx_measure
+from .telemetry import BaseMonitor, NullMonitor
+
+__all__ = ["FusedMonodomainSolver"]
+
+
+@dataclass
+class FusedMonodomainSolver:
+    """Monodomain operator-splitting solver fully fused under jit.
+
+    Parameters
+    ----------
+    mesh : Mesh
+    M : conductivity spec (scalar / tensor / ConductivityTensor)
+    ode_fun : jax-traceable ``fun(states, t, parameters, dt) -> states``
+        over a (num_states, n_nodes) array (the reference ODE contract,
+        ``odesolver.py:67-79``).
+    init_states : (num_states,) or (num_states, n_nodes)
+    parameters : model parameter vector (or None)
+    v_index : voltage row in the state array
+    I_s : Stimulus | list[Stimulus] | callable
+    theta : 1.0 Godunov / 0.5 Strang (``monodomain_solver.py:94-113``)
+    C_m, dt-independent set-up mirrors MonodomainModel.
+    """
+
+    mesh: Mesh
+    M: Any
+    ode_fun: Callable
+    init_states: np.ndarray
+    parameters: np.ndarray | None
+    v_index: int = 0
+    I_s: Any = None
+    theta: float = 1.0
+    C_m: float = 1.0
+    params: dict | None = None
+    monitor: BaseMonitor = None  # type: ignore[assignment]
+    activation_threshold: float = 0.0
+    dtype: Any = None
+
+    def __post_init__(self):
+        self.monitor = self.monitor or NullMonitor()
+        self.dtype = self.dtype or default_dtype()
+        p = {
+            "quadrature_degree": 4,
+            "ksp_rtol": 1e-8 if self.dtype == jnp.float64 else 1e-6,
+            "ksp_atol": 1e-10 if self.dtype == jnp.float64 else 1e-7,
+            "ksp_max_it": 1000,
+        }
+        p.update(self.params or {})
+        self._opts = p
+
+        self.V = fem.functionspace(self.mesh, ("P", 1))
+        n = self.V.ndofs
+        M_cells = as_cell_tensors(self.M, self.mesh)
+        self._mass, self._stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
+
+        stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
+        self._stim_quads = []
+        for s in stimuli:
+            ents = s.dz.entities()
+            if len(ents) == 0:
+                continue
+            if s.dz.integral_type() == "cell":
+                quad = fem.cell_quadrature(self.V, ents, degree=p["quadrature_degree"], dtype=self.dtype)
+            else:
+                quad = fem.facet_quadrature(self.V, ents, degree=p["quadrature_degree"], dtype=self.dtype)
+            self._stim_quads.append((quad, _as_expr(s.expr)))
+
+        init = np.asarray(self.init_states, dtype=np.float64)
+        if init.ndim == 1:
+            states = np.tile(init[:, None], (1, n))
+        else:
+            states = init.copy()
+        self.states = jnp.asarray(states, dtype=self.dtype)
+        self.activation_time = jnp.full((n,), -1.0, dtype=self.dtype)
+        self._params_j = (
+            None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
+        )
+        self._build_kernels()
+
+    # ------------------------------------------------------------------
+    def _build_kernels(self):
+        mass, stiff = self._mass, self._stiff
+        theta = float(self.theta)
+        C_m = float(self.C_m)
+        rtol = float(self._opts["ksp_rtol"])
+        atol = float(self._opts["ksp_atol"])
+        maxiter = int(self._opts["ksp_max_it"])
+        stim_quads = self._stim_quads
+        ode_fun = self.ode_fun
+        v_index = self.v_index
+        thr = float(self.activation_threshold)
+
+        def pde_solve(v_prev, t, dt):
+            Avals = C_m * mass.vals + (theta * dt) * stiff.vals
+            A = mass.with_values(Avals)
+            b = mass.with_values(C_m * mass.vals - ((1.0 - theta) * dt) * stiff.vals) @ v_prev
+            for quad, expr in stim_quads:
+                b = b + dt * quad.assemble_load(expr, t)
+            x, info = cg(
+                lambda u: A @ u,
+                b,
+                v_prev,
+                precond_diag=A.diagonal(),
+                rtol=rtol,
+                atol=atol,
+                maxiter=maxiter,
+            )
+            return x, info.iterations
+
+        params_j = self._params_j
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(states, act, t0, dt, n_steps):
+            def one_step(carry, _):
+                states, act, t = carry
+                # tentative ODE step over theta*dt  (monodomain_solver.py:68)
+                states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
+                v = states[v_index]
+                # PDE theta-step over dt  (monodomain_solver.py:84)
+                t_mid = t + theta * dt
+                v_new, iters = pde_solve(v, t_mid, dt)
+                states = states.at[v_index].set(v_new)
+                if not np.isclose(theta, 1.0):
+                    # corrective ODE step (Strang, monodomain_solver.py:99-113)
+                    states = ode_fun(
+                        states=states, t=t_mid, parameters=params_j, dt=(1.0 - theta) * dt
+                    )
+                    v_new = states[v_index]
+                t_next = t + dt
+                act = jnp.where((v_new > thr) & (act < 0), t, act)
+                return (states, act, t_next), iters
+
+            (states, act, t), iters = jax.lax.scan(
+                one_step, (states, act, t0), None, length=n_steps
+            )
+            return states, act, t, jnp.max(iters), jnp.sum(iters)
+
+        self._run_chunk = run_chunk
+
+    # ------------------------------------------------------------------
+    @property
+    def v(self) -> jnp.ndarray:
+        return self.states[self.v_index]
+
+    def solve(
+        self,
+        interval: tuple[float, float],
+        dt: float,
+        save_freq: int | None = None,
+        save_callback: Callable[[float, np.ndarray], None] | None = None,
+    ) -> None:
+        """Run the fused time loop on (T0, T].
+
+        ``save_freq`` (in steps) bounds chunk length; ``save_callback(t,
+        v_host)`` fires once per chunk with the voltage synced to host —
+        the only host round-trip of the loop."""
+        T0, T = interval
+        n_total = int(round((T - T0) / dt))
+        chunk = save_freq or n_total
+        t = jnp.asarray(T0, dtype=self.dtype)
+        dtj = jnp.asarray(dt, dtype=self.dtype)
+        done = 0
+        while done < n_total:
+            n = min(chunk, n_total - done)
+            with self.monitor.track_time("fused_chunk"):
+                self.states, self.activation_time, t, it_max, it_sum = self._run_chunk(
+                    self.states, self.activation_time, t, dtj, n
+                )
+                self.states.block_until_ready()
+            done += n
+            self.monitor.record_ksp(
+                type("Info", (), {
+                    "iterations": int(it_max),
+                    "residual_norm": 0.0,
+                    "converged": True,
+                })()
+            )
+            self.monitor.advance_step(float(t) - n * dt, float(t))
+            if save_callback is not None:
+                save_callback(float(t), np.asarray(self.v))
+
+    def activation_times(self) -> np.ndarray:
+        return np.asarray(self.activation_time)

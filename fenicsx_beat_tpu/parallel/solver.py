@@ -1,0 +1,258 @@
+"""Sharded fused monodomain solver: shard_map + ppermute halos + psum CG.
+
+Multi-chip counterpart of :class:`~fenicsx_beat_tpu.fused.
+FusedMonodomainSolver`, replacing the reference's MPI stack:
+
+| reference (MPI/PETSc)                      | here (XLA collectives)        |
+|--------------------------------------------|-------------------------------|
+| ghostUpdate ADD/REVERSE after RHS assembly | (none needed: RHS is SpMV +   |
+| (``base_model.py:203-206``)                |  separable stimulus vector)   |
+| scatter_forward after KSP solve            | ppermute halo exchange before |
+| (``base_model.py:241-242``)                |  each SpMV                    |
+| KSP inner-product allreduce per iteration  | ``lax.psum`` inside CG        |
+
+The whole chunk (scan over steps, CG while_loop, halo ppermutes) is ONE
+jitted shard_map program — XLA overlaps the neighbor exchange with local
+compute on ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import fem
+from ..base_model import _transform_I_s
+from ..config import default_dtype
+from ..conductivities import as_cell_tensors
+from ..mesh import Mesh
+from ..ops.cg import cg
+from ..stimulation import TimeWindow, dx as dx_measure
+from .partition import Partition1D, pad_global, partition_ell
+
+__all__ = ["ShardedMonodomainSolver"]
+
+
+@dataclass
+class ShardedMonodomainSolver:
+    """Monodomain splitting solver sharded over a 1-D device mesh.
+
+    Node arrays (ionic states, voltage, activation) are sharded along the
+    x-ordered node axis; each device owns a contiguous slab.  Stimuli must
+    be separable in space/time (``TimeWindow`` amplitude windows — the
+    production protocol, reference ``stimulation.py:270``).
+    """
+
+    mesh: Mesh
+    M: Any
+    ode_fun: Callable
+    init_states: np.ndarray
+    parameters: np.ndarray | None
+    device_mesh: DeviceMesh
+    v_index: int = 0
+    I_s: Any = None
+    theta: float = 1.0
+    C_m: float = 1.0
+    cg_rtol: float = 1e-8
+    cg_atol: float = 1e-10
+    cg_maxiter: int = 1000
+    activation_threshold: float = 0.0
+    dtype: Any = None
+
+    def __post_init__(self):
+        self.dtype = self.dtype or default_dtype()
+        (self.axis,) = self.device_mesh.axis_names
+        nd = self.device_mesh.devices.size
+
+        self.V = fem.functionspace(self.mesh, ("P", 1))
+        n = self.V.ndofs
+        M_cells = as_cell_tensors(self.M, self.mesh)
+        mass, stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
+
+        part_m, cols_m, vals_mass = partition_ell(mass, nd)
+        part_k, cols_k, vals_stiff = partition_ell(stiff, nd)
+        # identical sparsity pattern => identical partition geometry
+        assert part_m == part_k and bool(jnp.all(cols_m == cols_k))
+        self.part: Partition1D = part_m
+        self._cols = cols_m
+        self._vals_mass = vals_mass
+        self._vals_stiff = vals_stiff
+
+        # separable stimulus vectors: b(t) = sum_s window_s(t) * b_s
+        stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
+        b_units, windows = [], []
+        for s in stimuli:
+            if not isinstance(s.expr, TimeWindow):
+                raise NotImplementedError(
+                    "ShardedMonodomainSolver requires TimeWindow stimuli "
+                    "(separable space/time); use FusedMonodomainSolver otherwise"
+                )
+            ents = s.dz.entities()
+            if len(ents) == 0:
+                continue
+            if s.dz.integral_type() == "cell":
+                quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
+            else:
+                quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
+            b_unit = np.asarray(quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0))
+            b_units.append(pad_global(b_unit, self.part))
+            windows.append((float(s.expr.amplitude), float(s.expr.start), float(s.expr.duration)))
+        self._b_units = (
+            jnp.asarray(np.stack(b_units), dtype=self.dtype)
+            if b_units
+            else jnp.zeros((0, self.part.n_pad), dtype=self.dtype)
+        )
+        self._windows = windows
+
+        init = np.asarray(self.init_states, dtype=np.float64)
+        if init.ndim == 1:
+            states = np.tile(init[:, None], (1, n))
+        else:
+            states = init.copy()
+        states = pad_global(states, self.part)
+        act = np.full(self.part.n_pad, -1.0)
+
+        shard_nodes = NamedSharding(self.device_mesh, P(None, self.axis))
+        shard_vec = NamedSharding(self.device_mesh, P(self.axis))
+        self.states = jax.device_put(jnp.asarray(states, dtype=self.dtype), shard_nodes)
+        self.activation_time = jax.device_put(jnp.asarray(act, dtype=self.dtype), shard_vec)
+        self._params_j = (
+            None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
+        )
+        self._build_kernels()
+
+    # ------------------------------------------------------------------
+    def _build_kernels(self):
+        part = self.part
+        nd, H, n_local = part.n_devices, part.halo, part.n_local
+        axis = self.axis
+        theta = float(self.theta)
+        C_m = float(self.C_m)
+        thr = float(self.activation_threshold)
+        v_index = self.v_index
+        ode_fun = self.ode_fun
+        params_j = self._params_j
+        windows = self._windows
+        rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
+        fwd = [(i, i + 1) for i in range(nd - 1)]
+        bwd = [(i + 1, i) for i in range(nd - 1)]
+
+        def halo_extend(x_loc):
+            """[n_local] -> [n_local + 2H] with neighbor halos (ppermute)."""
+            if H == 0 or nd == 1:
+                pad = jnp.zeros((H,), dtype=x_loc.dtype)
+                return jnp.concatenate([pad, x_loc, pad])
+            left = jax.lax.ppermute(x_loc[-H:], axis, fwd)
+            right = jax.lax.ppermute(x_loc[:H], axis, bwd)
+            return jnp.concatenate([left, x_loc, right])
+
+        def spmv(vals_loc, cols_loc, x_loc):
+            x_ext = halo_extend(x_loc)
+            return jnp.sum(vals_loc * x_ext[cols_loc], axis=1)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis)
+
+        def local_chunk(states_loc, act_loc, cols3, vm3, vk3, b_units, t0, dt, n_steps):
+            cols_loc = cols3[0]
+            vm = vm3[0]
+            vk = vk3[0]
+            A_vals = C_m * vm + (theta * dt) * vk
+            B_vals = C_m * vm - ((1.0 - theta) * dt) * vk
+            rows = jnp.arange(n_local, dtype=cols_loc.dtype)[:, None] + H
+            diag = jnp.sum(jnp.where(cols_loc == rows, A_vals, 0.0), axis=1)
+
+            def stim_vector(t):
+                b = jnp.zeros((n_local,), dtype=A_vals.dtype)
+                for i, (amp, start, dur) in enumerate(windows):
+                    on = jnp.where((t >= start) & (t <= start + dur), amp, 0.0)
+                    b = b + on * b_units[i]
+                return b
+
+            def one_step(carry, _):
+                states, act, t = carry
+                states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
+                v = states[v_index]
+                t_mid = t + theta * dt
+                b = spmv(B_vals, cols_loc, v) + dt * stim_vector(t_mid)
+                v_new, info = cg(
+                    lambda u: spmv(A_vals, cols_loc, u),
+                    b,
+                    v,
+                    precond_diag=diag,
+                    rtol=rtol,
+                    atol=atol,
+                    maxiter=maxiter,
+                    dot=pdot,
+                )
+                states = states.at[v_index].set(v_new)
+                if not np.isclose(theta, 1.0):
+                    states = ode_fun(
+                        states=states, t=t_mid, parameters=params_j, dt=(1.0 - theta) * dt
+                    )
+                    v_new = states[v_index]
+                act = jnp.where((v_new > thr) & (act < 0), t, act)
+                return (states, act, t + dt), info.iterations
+
+            (states_loc, act_loc, t), iters = jax.lax.scan(
+                one_step, (states_loc, act_loc, t0), None, length=n_steps
+            )
+            return states_loc, act_loc, t, jax.lax.pmax(jnp.max(iters), axis)
+
+        from jax.experimental.shard_map import shard_map
+
+        mesh = self.device_mesh
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(states, act, t0, dt, n_steps):
+            fn = shard_map(
+                partial(local_chunk, n_steps=n_steps),
+                mesh=mesh,
+                in_specs=(
+                    P(None, axis),  # states
+                    P(axis),  # activation
+                    P(axis, None, None),  # cols3
+                    P(axis, None, None),  # vals mass
+                    P(axis, None, None),  # vals stiff
+                    P(None, axis),  # stimulus unit vectors
+                    P(),  # t0
+                    P(),  # dt
+                ),
+                out_specs=(P(None, axis), P(axis), P(), P()),
+                check_rep=False,
+            )
+            return fn(states, act, self._cols, self._vals_mass, self._vals_stiff,
+                      self._b_units, t0, dt)
+
+        self._run_chunk = run_chunk
+
+    # ------------------------------------------------------------------
+    @property
+    def v(self) -> jnp.ndarray:
+        return self.states[self.v_index][: self.part.n_global]
+
+    def solve(self, interval, dt, save_freq: int | None = None, save_callback=None) -> None:
+        T0, T = interval
+        n_total = int(round((T - T0) / dt))
+        chunk = save_freq or n_total
+        t = jnp.asarray(T0, dtype=self.dtype)
+        dtj = jnp.asarray(dt, dtype=self.dtype)
+        done = 0
+        while done < n_total:
+            n = min(chunk, n_total - done)
+            self.states, self.activation_time, t, _ = self._run_chunk(
+                self.states, self.activation_time, t, dtj, n
+            )
+            done += n
+            if save_callback is not None:
+                save_callback(float(t), np.asarray(self.v))
+
+    def activation_times(self) -> np.ndarray:
+        return np.asarray(self.activation_time)[: self.part.n_global]

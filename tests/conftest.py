@@ -18,4 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The TPU plugin in this environment ignores JAX_PLATFORMS from the env;
+# the config update is authoritative. Tests must run on (virtual 8-device)
+# CPU with float64.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
