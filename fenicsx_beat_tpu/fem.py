@@ -383,13 +383,12 @@ class CellGeometry:
     inv_edges: np.ndarray  # [nc, tdim, gdim] rows = grad of ref coord xi_i
 
 
-_geom_cache: dict[int, CellGeometry] = {}
-
-
 def cell_geometry(mesh: Mesh) -> CellGeometry:
-    key = id(mesh)
-    if key in _geom_cache:
-        return _geom_cache[key]
+    # Cached on the mesh instance itself: a module-level dict keyed by id()
+    # can collide when a garbage-collected mesh's id is reused.
+    cached = getattr(mesh, "_cell_geometry", None)
+    if cached is not None:
+        return cached
     X = mesh.coords[mesh.cells]  # [nc, tdim+1, gdim]
     E = X[:, 1:, :] - X[:, :1, :]  # [nc, tdim, gdim]
     tdim, gdim = mesh.tdim, mesh.gdim
@@ -413,7 +412,7 @@ def cell_geometry(mesh: Mesh) -> CellGeometry:
     g0 = -Gi.sum(axis=1, keepdims=True)
     grads = np.concatenate([g0, Gi], axis=1)  # [nc, tdim+1, gdim]
     geom = CellGeometry(edges=E, volume=vol, grads=grads, inv_edges=Gi)
-    _geom_cache[key] = geom
+    mesh._cell_geometry = geom
     return geom
 
 
@@ -741,7 +740,14 @@ def evaluate_function(u: Function, points: np.ndarray, tol: float = 1e-8) -> np.
     return vals[0] if squeeze else vals
 
 
-_transfer_cache: dict[tuple[int, int], ELLMatrix] = {}
+def _transfer_cache_get(Vs: FunctionSpace, Vt: FunctionSpace):
+    # Cached on the source space; each entry holds a strong ref to the target
+    # space so its id() cannot be recycled while the entry is alive.
+    cache = getattr(Vs, "_transfer_cache", None)
+    if cache is None:
+        cache = Vs._transfer_cache = {}
+    entry = cache.get(id(Vt))
+    return cache, (entry[1] if entry is not None else None)
 
 
 def build_transfer_matrix(Vs: FunctionSpace, Vt: FunctionSpace) -> ELLMatrix:
@@ -754,9 +760,9 @@ def build_transfer_matrix(Vs: FunctionSpace, Vt: FunctionSpace) -> ELLMatrix:
     (last-cell-wins, matching dolfinx cell-wise interpolation).  For
     Quadrature sources a mass-lumped L2 projection is used.
     """
-    key = (id(Vs), id(Vt))
-    if key in _transfer_cache:
-        return _transfer_cache[key]
+    cache, hit = _transfer_cache_get(Vs, Vt)
+    if hit is not None:
+        return hit
     mesh = Vs.mesh
     nt, ns = Vt.ndofs, Vs.ndofs
 
@@ -779,7 +785,7 @@ def build_transfer_matrix(Vs: FunctionSpace, Vt: FunctionSpace) -> ELLMatrix:
         np.add.at(den, Vt.cell_dofs.ravel(), np.einsum("cq,qd->cd", W, Nt).ravel())
         den[den == 0] = 1.0
         T = num.with_values(num.vals / jnp.asarray(den)[:, None])
-        _transfer_cache[key] = T
+        cache[id(Vt)] = (Vt, T)
         return T
 
     # pointwise target dofs
@@ -803,5 +809,5 @@ def build_transfer_matrix(Vs: FunctionSpace, Vt: FunctionSpace) -> ELLMatrix:
     cols = src_dofs.ravel()
     vals = Ns.ravel()
     T = coo_to_ell(rows, cols, vals, (nt, ns))
-    _transfer_cache[key] = T
+    cache[id(Vt)] = (Vt, T)
     return T
