@@ -206,7 +206,10 @@ class ShardedMonodomainSolver:
             )
             return states_loc, act_loc, t, jax.lax.pmax(jnp.max(iters), axis)
 
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.8
+            from jax.experimental.shard_map import shard_map
 
         mesh = self.device_mesh
 
@@ -226,7 +229,7 @@ class ShardedMonodomainSolver:
                     P(),  # dt
                 ),
                 out_specs=(P(None, axis), P(axis), P(), P()),
-                check_rep=False,
+                check_vma=False,
             )
             return fn(states, act, self._cols, self._vals_mass, self._vals_stiff,
                       self._b_units, t0, dt)

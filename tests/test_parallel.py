@@ -1,0 +1,134 @@
+"""Multi-device sharding tests (8 virtual CPU devices via conftest).
+
+Counterpart of the reference's ``mpirun -n 2`` CI job
+(``.github/workflows/main-mpi.yml``): the sharded solver must reproduce the
+single-device fused solver bit-for-bit-close on the same problem, and the
+partitioned halo SpMV must agree with the global ELL SpMV.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh as DeviceMesh
+
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu.conductivities import (
+    default_conductivities,
+    define_conductivity_tensor,
+)
+from fenicsx_beat_tpu.fused import FusedMonodomainSolver
+from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+from fenicsx_beat_tpu.mesh import locate_entities, meshtags
+from fenicsx_beat_tpu.models import tentusscher_panfilov_2006 as tp06
+from fenicsx_beat_tpu.parallel.partition import partition_ell
+from fenicsx_beat_tpu.parallel.solver import ShardedMonodomainSolver
+from fenicsx_beat_tpu.stimulation import define_stimulus
+from fenicsx_beat_tpu.units import ureg
+
+
+def _device_mesh(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices, have {len(devs)}")
+    return DeviceMesh(np.array(devs[:n]), ("x",))
+
+
+def _niederer_setup(dx=1.0):
+    geo = get_3D_slab_geometry(None, dx=dx, Lx=20.0, Ly=7.0, Lz=3.0)
+    mesh = geo.mesh
+    conductivities = default_conductivities("Niederer")
+    chi = conductivities["chi"]
+    C_m = (1.0 * ureg("uF/cm**2")).to("uF/mm**2").magnitude
+    tol = 1e-10
+    cells = locate_entities(
+        mesh,
+        mesh.tdim,
+        lambda x: (x[0] <= 1.5 + tol) & (x[1] <= 1.5 + tol) & (x[2] <= 1.5 + tol),
+    )
+    tags = meshtags(mesh, mesh.tdim, cells, 1)
+    I_s = define_stimulus(
+        mesh=mesh,
+        chi=chi,
+        time=fem.Constant(0.0),
+        subdomain_data=tags,
+        marker=1,
+        mesh_unit="mm",
+        amplitude=50_000.0,
+        duration=2.0,
+    )
+    M = define_conductivity_tensor(f0=geo.f0, **conductivities)
+    common = dict(
+        mesh=mesh,
+        M=M,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        theta=1.0,
+        C_m=C_m,
+    )
+    return common
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_partitioned_spmv_matches_global(n_devices):
+    _device_mesh(n_devices)  # skip guard
+    geo = get_3D_slab_geometry(None, dx=1.0, Lx=10.0, Ly=5.0, Lz=3.0)
+    V = fem.functionspace(geo.mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    part, cols, vals = partition_ell(stiff, n_devices)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(V.ndofs)
+    y_ref = np.asarray(stiff @ jnp.asarray(x))
+
+    xp = np.zeros(part.n_pad)
+    xp[: V.ndofs] = x
+    xl = xp.reshape(n_devices, part.n_local)
+    H = part.halo
+    y = np.zeros_like(xp)
+    for d in range(n_devices):
+        left = xl[d - 1][-H:] if (d > 0 and H) else np.zeros(H)
+        right = xl[d + 1][:H] if (d < n_devices - 1 and H) else np.zeros(H)
+        x_ext = np.concatenate([left, xl[d], right])
+        y[d * part.n_local : (d + 1) * part.n_local] = np.sum(
+            np.asarray(vals[d]) * x_ext[np.asarray(cols[d])], axis=1
+        )
+    np.testing.assert_allclose(y[: V.ndofs], y_ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_solver_matches_fused(n_devices):
+    dmesh = _device_mesh(n_devices)
+    common = _niederer_setup(dx=1.0)
+    T, dt = 2.0, 0.05
+
+    fused = FusedMonodomainSolver(**common)
+    fused.solve((0.0, T), dt=dt)
+    v_fused = np.asarray(fused.v)
+
+    sharded = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    sharded.solve((0.0, T), dt=dt)
+    v_sharded = np.asarray(sharded.v)
+
+    # same algorithm, same dtype; differences only from CG reduction order
+    np.testing.assert_allclose(v_sharded, v_fused, rtol=1e-8, atol=1e-7)
+
+    a_f = fused.activation_times()
+    a_s = sharded.activation_times()
+    np.testing.assert_allclose(a_s, a_f, rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_solver_activation_progresses():
+    dmesh = _device_mesh(8)
+    common = _niederer_setup(dx=1.0)
+    solver = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    solver.solve((0.0, 5.0), dt=0.05)
+    act = solver.activation_times()
+    # stimulus region must have activated, far corner must not
+    assert (act >= 0).any()
+    assert (act < 0).any()
+    v = np.asarray(solver.v)
+    assert v.max() > 0.0  # depolarized somewhere
+    assert v.min() < -80.0  # resting elsewhere
