@@ -105,7 +105,9 @@ class VTUWriter:
         self.name = name
         self._frames: list[tuple[float, str]] = []
 
-    def write(self, t: float, values: np.ndarray) -> None:
+    def write(self, t: float, values) -> None:
+        """Write one frame. ``values`` is a dof array (named ``self.name``)
+        or a dict ``{field_name: dof_array}`` of point-data fields."""
         mesh = self.mesh
         n_pts, n_cells = mesh.num_vertices, mesh.num_cells
         coords3 = np.zeros((n_pts, 3), dtype=np.float32)
@@ -113,7 +115,14 @@ class VTUWriter:
         conn = mesh.cells.astype(np.int32)
         offsets = (np.arange(1, n_cells + 1) * conn.shape[1]).astype(np.int32)
         ctype = np.full(n_cells, _VTK_CELL_TYPES[mesh.cell_type], dtype=np.uint8)
-        vals = np.asarray(values, dtype=np.float32)
+        if not isinstance(values, dict):
+            values = {self.name: values}
+        fields = {k: np.asarray(v, dtype=np.float32) for k, v in values.items()}
+        scalars = next(iter(fields))
+        point_data = "\n".join(
+            f'    <DataArray type="Float32" Name="{k}" format="binary">{_b64(v)}</DataArray>'
+            for k, v in fields.items()
+        )
 
         fname = f"frame_{len(self._frames):06d}.vtu"
         xml = f"""<?xml version="1.0"?>
@@ -128,8 +137,8 @@ class VTUWriter:
     <DataArray type="Int32" Name="offsets" format="binary">{_b64(offsets)}</DataArray>
     <DataArray type="UInt8" Name="types" format="binary">{_b64(ctype)}</DataArray>
    </Cells>
-   <PointData Scalars="{self.name}">
-    <DataArray type="Float32" Name="{self.name}" format="binary">{_b64(vals)}</DataArray>
+   <PointData Scalars="{scalars}">
+{point_data}
    </PointData>
   </Piece>
  </UnstructuredGrid>
@@ -138,7 +147,7 @@ class VTUWriter:
         (self.base / fname).write_text(xml)
         self._frames.append((float(t), fname))
 
-    def close(self) -> None:
+    def close(self) -> Path:
         entries = "\n".join(
             f'  <DataSet timestep="{t}" part="0" file="{f}"/>' for t, f in self._frames
         )
@@ -149,4 +158,6 @@ class VTUWriter:
  </Collection>
 </VTKFile>
 """
-        (self.base / "series.pvd").write_text(pvd)
+        out = self.base / "series.pvd"
+        out.write_text(pvd)
+        return out

@@ -1,0 +1,97 @@
+"""ECG tests — mirror of reference ``tests/test_ecg.py``: symmetry and
+distance-decay of the recovered extracellular potential, 12-lead algebra
+vs hand-computed Wilson terminal, QT detection on the synthetic ECG."""
+
+import numpy as np
+
+import fenicsx_beat_tpu as beat
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+
+
+def test_ecg():
+    N = 5
+    M = 1.0
+    C_m = 1.0
+    sigma_b = 1.0
+
+    mesh = meshmod.create_unit_square(None, N, N)
+    V = fem.functionspace(mesh, ("P", 1))
+    v = fem.Function(V)
+
+    ecg = beat.ECGRecovery(v=v, M=M, C_m=C_m, sigma_b=sigma_b)
+    p1_ecg = ecg.eval((1.5, 0.5))
+    p2_ecg = ecg.eval((10.0, 0.5))
+    p3_ecg = ecg.eval((-0.5, 0.5))
+    ecg.solve()
+
+    # zero voltage -> zero potential everywhere
+    assert np.isclose(fem.assemble_scalar(p1_ecg), 0.0)
+
+    v.interpolate(lambda x: (x[0] - 0.5) ** 2)
+    ecg.solve()
+    value_p1 = fem.assemble_scalar(p1_ecg)
+    value_p2 = fem.assemble_scalar(p2_ecg)
+    value_p3 = fem.assemble_scalar(p3_ecg)
+
+    # solution symmetric about x=0.5
+    assert np.isclose(value_p1, value_p3)
+    # potential decays with distance from the source
+    assert abs(value_p2) < abs(value_p1)
+
+
+def test_12_leads_ecg():
+    N = 10
+    x = np.ones(N)
+    la, ra, ll = 1.2, 4.5, 3.6
+    v1, v2, v3, v4, v5, v6 = 1.0, 2.0, 3.0, 4.0, 5.0, 6.0
+    Vw = np.mean([la, ra, ll])
+
+    ecg = beat.ecg.Leads12(
+        LA=la * x,
+        RA=ra * x,
+        LL=ll * x,
+        V1=v1 * x,
+        V2=v2 * x,
+        V3=v3 * x,
+        V4=v4 * x,
+        V5=v5 * x,
+        V6=v6 * x,
+    )
+
+    for i, vi in enumerate([v1, v2, v3, v4, v5, v6], start=1):
+        assert np.allclose(getattr(ecg, f"V{i}_"), vi - Vw)
+
+    # Einthoven identity: I + III = II
+    assert np.allclose(ecg.I + ecg.III, ecg.II)
+    # Goldberger leads sum to zero
+    assert np.allclose(ecg.aVR + ecg.aVL + ecg.aVF, 0.0)
+
+
+def test_qt_interval():
+    qrs_peak_time = 200  # ms
+    t_peak_offset_ms = 200
+    t_width_ms = 60
+    t, y = beat.ecg.example(
+        sampling_rate_hz=1000,
+        duration_s=1,
+        noise_amplitude=0.0,
+        wander_amplitude=0.0,
+        heart_rate_bpm=60,
+        q_offset_ms=40,
+        s_offset_ms=40,
+        t_peak_offset_ms=t_peak_offset_ms,
+        r_width_ms=20,
+        q_width_ms=20,
+        s_width_ms=30,
+        t_width_ms=t_width_ms,
+        qrs_peak_time=qrs_peak_time,
+    )
+
+    qt = beat.ecg.qt_interval(t=t, ecg_signal=y)
+
+    assert np.isclose(qt.start_index, qrs_peak_time, atol=2)
+    assert np.isclose(
+        qt.end_index, qrs_peak_time + t_peak_offset_ms + 2 * t_width_ms / 3, atol=5
+    )
+    assert np.isclose(qt.qt_interval, qt.end_index - qt.start_index)
