@@ -12,8 +12,13 @@ reference ``demos/niederer_benchmark.py:88-92``):
 """
 
 from . import fitzhughnagumo  # noqa: F401
+from . import tentusscher_panfilov_2006  # noqa: F401
+from . import torord_dyncl  # noqa: F401
+from . import torord_dyncl_land  # noqa: F401
 
-try:  # larger models, added over time
-    from . import tentusscher_panfilov_2006 as tentusscher_panfilov_2006  # noqa: F401
-except ImportError:
-    pass
+__all__ = [
+    "fitzhughnagumo",
+    "tentusscher_panfilov_2006",
+    "torord_dyncl",
+    "torord_dyncl_land",
+]
