@@ -1,0 +1,57 @@
+"""Niederer 2011 benchmark: activation times on the 20x7x3 mm TP06 slab.
+
+Mirror of reference ``demos/niederer_benchmark.py``: S1 stimulus in a
+1.5 mm corner cube, Niederer conductivities, activation times at the 8
+slab corners P1-P8 and the center P9; compared against the activation-time
+table committed in the reference (``demos/niederer_benchmark.py:301-311``).
+Runs on the fused on-device solver (one ``lax.scan`` per check interval).
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+from fenicsx_beat_tpu.benchmarks.niederer import (
+    PUBLISHED_ACTIVATION_TIMES,
+    run_niederer_benchmark,
+)
+from fenicsx_beat_tpu.telemetry import PerformanceMonitor
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dx", type=float, default=0.5, help="mesh resolution (mm)")
+    parser.add_argument("--dt", type=float, default=0.05, help="time step (ms)")
+    parser.add_argument("-T", type=float, default=100.0, help="max simulated time (ms)")
+    parser.add_argument("--theta", type=float, default=1.0)
+    parser.add_argument("-o", "--outdir", type=Path, default=Path("results-niederer"))
+    args = parser.parse_args(argv)
+
+    monitor = PerformanceMonitor(log_frequency=0)
+    result = run_niederer_benchmark(
+        dx=args.dx, dt=args.dt, T=args.T, theta=args.theta, outdir=args.outdir, monitor=monitor
+    )
+    print(result.summary())
+
+    key = (args.dx, args.dt)
+    if key in PUBLISHED_ACTIVATION_TIMES:
+        print("\npoint   ours    published")
+        for name, ref in zip(result.activation_times, PUBLISHED_ACTIVATION_TIMES[key]):
+            print(f"{name:5s} {result.activation_times[name]:7.2f} {ref:9.2f}")
+
+    (args.outdir / "performance.json").parent.mkdir(parents=True, exist_ok=True)
+    monitor.save_summary(args.outdir / "performance.json")
+    summary = {
+        "dx": args.dx,
+        "dt": args.dt,
+        "ms_per_second": result.ms_per_second,
+        "wall_time_s": result.wall_time_s,
+        "n_nodes": result.n_nodes,
+        "activation_times": result.activation_times,
+    }
+    (args.outdir / "summary.json").write_text(json.dumps(summary, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()
