@@ -127,7 +127,9 @@ class Mesh:
         combos = list(itertools.combinations(range(nv), dim + 1))
         sub = np.concatenate([self.cells[:, list(c)] for c in combos], axis=0)
         sub = np.sort(sub, axis=1)
-        ents = np.unique(sub, axis=0).astype(np.int32)
+        from .native import unique_rows
+
+        ents = unique_rows(sub.astype(np.int32))
         self._topology.entities[dim] = ents
         return ents
 

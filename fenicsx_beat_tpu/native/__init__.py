@@ -1,0 +1,230 @@
+"""Native host-side kernels (C++ via ctypes), with NumPy fallbacks.
+
+Replaces the native setup machinery the reference obtains from DOLFINx
+C++ / PETSc (entity enumeration, matrix assembly ordering — reference
+``src/beat/geometry.py:112-139``, ``src/beat/base_model.py:114-124``).
+The library is compiled on first use with ``g++ -O3`` into the user cache
+directory, keyed by a hash of the source; if no compiler is available the
+pure-NumPy implementations are used transparently.
+
+Public API (all host-side, numpy in/out):
+
+* ``unique_rows(rows)`` — lexicographically unique int32 rows.
+* ``coo_to_ell_arrays(rows, cols, vals, shape, width=None)`` — padded ELL.
+* ``rcm_ordering(indptr, indices)`` — reverse Cuthill-McKee permutation.
+* ``available()`` — True when the compiled library is in use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["available", "unique_rows", "coo_to_ell_arrays", "rcm_ordering"]
+
+_SRC = Path(__file__).with_name("beatkit.cpp")
+_LIB = None
+_TRIED = False
+
+
+def _cache_dir() -> Path:
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    d = Path(base) / "fenicsx_beat_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build() -> ctypes.CDLL | None:
+    if not _SRC.is_file():
+        return None
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"libbeatkit-{tag}.so"
+    if not out.is_file():
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td) / out.name
+            cmd = [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-shared",
+                "-fPIC",
+                str(_SRC),
+                "-o",
+                str(tmp),
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except (OSError, subprocess.SubprocessError) as ex:
+                logger.info("beatkit native build unavailable (%s); using NumPy paths", ex)
+                return None
+            os.replace(tmp, out)
+    try:
+        lib = ctypes.CDLL(str(out))
+    except OSError as ex:  # pragma: no cover
+        logger.info("beatkit load failed (%s); using NumPy paths", ex)
+        return None
+
+    i64, i32p, i64p, f64p = (
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+    )
+    lib.unique_rows_i32.restype = i64
+    lib.unique_rows_i32.argtypes = [i32p, i64, i64, i32p]
+    lib.coo_to_ell_f64.restype = i64
+    lib.coo_to_ell_f64.argtypes = [i64p, i64p, f64p, i64, i64, i64, ctypes.c_int32, i32p, f64p]
+    lib.rcm_ordering.restype = None
+    lib.rcm_ordering.argtypes = [i64p, i32p, i64, i32p]
+    return lib
+
+
+def _get_lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        if os.environ.get("BEAT_TPU_NO_NATIVE"):
+            _LIB = None
+        else:
+            _LIB = _build()
+    return _LIB
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _as_ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def unique_rows(rows: np.ndarray) -> np.ndarray:
+    """Unique rows (lexicographically sorted) of an int array [n, k]."""
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    lib = _get_lib()
+    if lib is None:
+        return np.unique(rows, axis=0)
+    n, k = rows.shape
+    out = np.empty_like(rows)
+    m = lib.unique_rows_i32(_as_ptr(rows, ctypes.c_int32), n, k, _as_ptr(out, ctypes.c_int32))
+    return out[:m].copy()
+
+
+def coo_to_ell_arrays(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: tuple[int, int],
+    width: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Padded-ELL (cols[n,w] int32, vals[n,w] f64, width) from COO with
+    duplicate summation.  Padding columns point at the row itself with a
+    zero value (gather-safe)."""
+    nrows = shape[0]
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    lib = _get_lib()
+    if lib is None:
+        return _coo_to_ell_numpy(rows, cols, vals, nrows, width)
+    if width is None:
+        # conservative first guess: max raw row count (>= deduped width)
+        width = int(np.bincount(rows, minlength=nrows).max()) if rows.size else 1
+    cols_out = np.empty((nrows, width), dtype=np.int32)
+    vals_out = np.empty((nrows, width), dtype=np.float64)
+    w = lib.coo_to_ell_f64(
+        _as_ptr(rows, ctypes.c_int64),
+        _as_ptr(cols, ctypes.c_int64),
+        _as_ptr(vals, ctypes.c_double),
+        rows.size,
+        nrows,
+        width,
+        -1,
+        _as_ptr(cols_out, ctypes.c_int32),
+        _as_ptr(vals_out, ctypes.c_double),
+    )
+    if w < 0:  # width estimate too small (cannot happen with bincount guess)
+        return _coo_to_ell_numpy(rows, cols, vals, nrows, None)
+    w = max(int(w), 1)
+    cols_out = cols_out[:, :w]
+    vals_out = vals_out[:, :w]
+    # pad entries point at the row itself (value 0) for gather locality
+    row_ids = np.broadcast_to(np.arange(nrows, dtype=np.int32)[:, None], cols_out.shape)
+    pad = cols_out < 0
+    cols_out = np.where(pad, row_ids, cols_out)
+    return cols_out, vals_out, w
+
+
+def _coo_to_ell_numpy(rows, cols, vals, nrows, width):
+    order = np.lexsort((cols, rows))
+    r, c, v = rows[order], cols[order], vals[order]
+    # collapse duplicates
+    if r.size:
+        new = np.ones(r.size, dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        seg = np.cumsum(new) - 1
+        v = np.bincount(seg, weights=v)
+        r, c = r[new], c[new]
+    counts = np.bincount(r, minlength=nrows).astype(np.int64)
+    w = max(int(counts.max()) if counts.size else 1, 1)
+    if width is not None:
+        w = max(w, int(width))
+    cols_out = np.broadcast_to(np.arange(nrows, dtype=np.int32)[:, None], (nrows, w)).copy()
+    vals_out = np.zeros((nrows, w), dtype=np.float64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(r.size) - offs[r]
+    cols_out[r, pos] = c.astype(np.int32)
+    vals_out[r, pos] = v
+    return cols_out, vals_out, w
+
+
+def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (perm[new] = old) over a CSR
+    adjacency graph; reduces matrix bandwidth for ELL gather locality."""
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    n = indptr.size - 1
+    lib = _get_lib()
+    if lib is None:
+        return _rcm_numpy(indptr, indices, n)
+    out = np.empty(n, dtype=np.int32)
+    lib.rcm_ordering(
+        _as_ptr(indptr, ctypes.c_int64), _as_ptr(indices, ctypes.c_int32), n,
+        _as_ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def _rcm_numpy(indptr, indices, n):
+    from collections import deque
+
+    degree = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = []
+    remaining = np.argsort(degree, kind="stable")
+    ptr = 0
+    while len(order) < n:
+        while ptr < n and visited[remaining[ptr]]:
+            ptr += 1
+        seed = remaining[ptr]
+        visited[seed] = True
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            nbrs = indices[indptr[u] : indptr[u + 1]]
+            nbrs = [v for v in nbrs if not visited[v]]
+            for v in sorted(nbrs, key=lambda x: degree[x]):
+                visited[v] = True
+                q.append(v)
+    return np.asarray(order[::-1], dtype=np.int32)

@@ -1,0 +1,185 @@
+// beatkit: native host-side kernels for mesh/assembly setup.
+//
+// The reference delegates these functions to external native libraries
+// (DOLFINx C++ mesh topology, PETSc matrix assembly — see reference
+// src/beat/geometry.py:112-139 and src/beat/base_model.py:114-124).  This
+// framework's device path is JAX/XLA; the host-side setup (entity
+// enumeration, COO->ELL conversion, bandwidth-reducing node ordering) is
+// implemented here in C++ and exposed through a plain C ABI consumed via
+// ctypes (fenicsx_beat_tpu/native/__init__.py), with NumPy fallbacks.
+//
+// Build: g++ -O3 -shared -fPIC beatkit.cpp -o libbeatkit.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// unique_rows_i32: lexicographic-unique rows of an int32 [n, k] array
+// (entity enumeration: unique facets/edges from per-cell candidates).
+// Writes unique rows to `out` (caller-allocated, n*k), returns their count.
+int64_t unique_rows_i32(const int32_t* rows, int64_t n, int64_t k, int32_t* out) {
+    std::vector<int64_t> idx(n);
+    std::iota(idx.begin(), idx.end(), 0);
+    auto less = [rows, k](int64_t a, int64_t b) {
+        const int32_t* ra = rows + a * k;
+        const int32_t* rb = rows + b * k;
+        for (int64_t j = 0; j < k; ++j) {
+            if (ra[j] != rb[j]) return ra[j] < rb[j];
+        }
+        return false;
+    };
+    std::sort(idx.begin(), idx.end(), less);
+    auto equal = [rows, k](int64_t a, int64_t b) {
+        return std::memcmp(rows + a * k, rows + b * k, k * sizeof(int32_t)) == 0;
+    };
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (i == 0 || !equal(idx[i], idx[i - 1])) {
+            std::memcpy(out + m * k, rows + idx[i] * k, k * sizeof(int32_t));
+            ++m;
+        }
+    }
+    return m;
+}
+
+// ---------------------------------------------------------------------------
+// coo_to_ell: convert COO triplets (duplicates summed) into a padded ELL
+// matrix with a fixed row width.
+//
+// Pass 1 (ell_width): max nonzeros per row after dedup.  Pass 2 (fill):
+// write column indices (padded with `pad_col`) and values.  Both passes
+// share the sort, so the caller invokes coo_to_ell once with out buffers
+// sized from a prior ell_width call.
+int64_t ell_width(const int64_t* rows_sorted_counts, int64_t nrows) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < nrows; ++i) w = std::max(w, rows_sorted_counts[i]);
+    return w;
+}
+
+// Sorts (row, col) pairs, sums duplicates, fills padded ELL arrays.
+// cols_out: [nrows * width] int32 (pre-filled by callee with pad_col)
+// vals_out: [nrows * width] float64
+// Returns the actual max row width (<= width); -1 if width was too small.
+int64_t coo_to_ell_f64(const int64_t* rows, const int64_t* cols, const double* vals,
+                       int64_t nnz, int64_t nrows, int64_t width, int32_t pad_col,
+                       int32_t* cols_out, double* vals_out) {
+    // pack (row, col) into one 64-bit key and sort (key, val) pairs directly
+    // for cache locality; 3-pass LSD radix (21 bits each) beats std::sort on
+    // the ~10M-entry assemblies of fine meshes.
+    struct Entry {
+        uint64_t key;
+        double val;
+    };
+    std::vector<Entry> e(nnz);
+    // keys fit in 64 bits when nrows * ncols < 2^64; FEM dofs are << 2^31 so
+    // row << 32 | col is exact.
+    for (int64_t i = 0; i < nnz; ++i) {
+        e[i].key = ((uint64_t)rows[i] << 32) | (uint32_t)cols[i];
+        e[i].val = vals[i];
+    }
+    {
+        std::vector<Entry> tmp(nnz);
+        Entry* src = e.data();
+        Entry* dst = tmp.data();
+        const int BITS = 16;
+        const int64_t BUCKETS = 1 << BITS;
+        std::vector<int64_t> count(BUCKETS);
+        for (int pass = 0; pass < 4; ++pass) {
+            int shift = pass * BITS;
+            std::fill(count.begin(), count.end(), 0);
+            for (int64_t i = 0; i < nnz; ++i) count[(src[i].key >> shift) & (BUCKETS - 1)]++;
+            int64_t sum = 0;
+            for (int64_t b = 0; b < BUCKETS; ++b) {
+                int64_t c = count[b];
+                count[b] = sum;
+                sum += c;
+            }
+            for (int64_t i = 0; i < nnz; ++i)
+                dst[count[(src[i].key >> shift) & (BUCKETS - 1)]++] = src[i];
+            std::swap(src, dst);
+        }
+        // 4 passes => result back in e.data()
+    }
+    for (int64_t r = 0; r < nrows; ++r) {
+        for (int64_t j = 0; j < width; ++j) {
+            cols_out[r * width + j] = pad_col;
+            vals_out[r * width + j] = 0.0;
+        }
+    }
+    int64_t max_w = 0;
+    int64_t i = 0;
+    while (i < nnz) {
+        int64_t r = (int64_t)(e[i].key >> 32);
+        int64_t w = 0;
+        while (i < nnz && (int64_t)(e[i].key >> 32) == r) {
+            uint64_t key = e[i].key;
+            double v = 0.0;
+            while (i < nnz && e[i].key == key) {
+                v += e[i].val;
+                ++i;
+            }
+            if (w >= width) return -1;
+            cols_out[r * width + w] = (int32_t)(uint32_t)key;
+            vals_out[r * width + w] = v;
+            ++w;
+        }
+        max_w = std::max(max_w, w);
+    }
+    return max_w;
+}
+
+// ---------------------------------------------------------------------------
+// rcm_ordering: reverse Cuthill-McKee over a CSR adjacency graph
+// (bandwidth-reducing node permutation; improves ELL gather locality for
+// the TPU SpMV).  perm_out[new_index] = old_index.
+void rcm_ordering(const int64_t* indptr, const int32_t* indices, int64_t n,
+                  int32_t* perm_out) {
+    std::vector<int64_t> degree(n);
+    for (int64_t i = 0; i < n; ++i) degree[i] = indptr[i + 1] - indptr[i];
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int32_t> order;
+    order.reserve(n);
+    std::vector<int32_t> queue;
+    std::vector<int64_t> cand;
+
+    for (;;) {
+        // next unvisited node of minimum degree (new component seed)
+        int64_t seed = -1, best = INT64_MAX;
+        for (int64_t i = 0; i < n; ++i) {
+            if (!visited[i] && degree[i] < best) {
+                best = degree[i];
+                seed = i;
+            }
+        }
+        if (seed < 0) break;
+        queue.clear();
+        queue.push_back((int32_t)seed);
+        visited[seed] = 1;
+        size_t head = 0;
+        while (head < queue.size()) {
+            int32_t u = queue[head++];
+            order.push_back(u);
+            cand.clear();
+            for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
+                int32_t v = indices[e];
+                if (!visited[v]) {
+                    visited[v] = 1;
+                    cand.push_back(v);
+                }
+            }
+            std::sort(cand.begin(), cand.end(), [&degree](int64_t a, int64_t b) {
+                return degree[a] < degree[b];
+            });
+            for (int64_t v : cand) queue.push_back((int32_t)v);
+        }
+    }
+    // reverse
+    for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
+}
+
+}  // extern "C"

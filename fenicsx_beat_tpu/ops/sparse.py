@@ -81,6 +81,17 @@ def coo_to_ell(
     value-wise on device without re-gathering).
     """
     n_rows = shape[0]
+    if pattern is None:
+        # native C++ path (fenicsx_beat_tpu/native/beatkit.cpp) when built
+        from ..native import available as _native_ok, coo_to_ell_arrays
+
+        if _native_ok():
+            ell_cols, ell_vals, _ = coo_to_ell_arrays(rows, cols, vals, shape)
+            if dtype is not None:
+                ell_vals = ell_vals.astype(dtype)
+            return ELLMatrix(
+                cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape
+            )
     key = rows.astype(np.int64) * shape[1] + cols.astype(np.int64)
     order = np.argsort(key, kind="stable")
     key_sorted = key[order]

@@ -1,0 +1,98 @@
+"""Native beatkit (C++) vs NumPy fallback equivalence tests."""
+
+import numpy as np
+import pytest
+
+from fenicsx_beat_tpu import native
+
+
+def test_native_builds():
+    # the CI image ships g++; the native path must be active there
+    assert native.available() or "BEAT_TPU_NO_NATIVE" in __import__("os").environ
+
+
+def test_unique_rows_matches_numpy():
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 50, size=(2000, 3)).astype(np.int32)
+    rows = np.sort(rows, axis=1)
+    got = native.unique_rows(rows)
+    want = np.unique(rows, axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_coo_to_ell_matches_dense():
+    rng = np.random.default_rng(1)
+    n = 40
+    nnz = 500
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    ell_cols, ell_vals, w = native.coo_to_ell_arrays(rows, cols, vals, (n, n))
+
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    recon = np.zeros((n, n))
+    for r in range(n):
+        for k in range(w):
+            recon[r, ell_cols[r, k]] += ell_vals[r, k]
+    np.testing.assert_allclose(recon, dense, atol=1e-12)
+    # pads point at the row itself (gather-safe)
+    assert (ell_cols >= 0).all() and (ell_cols < n).all()
+
+
+def test_rcm_reduces_bandwidth():
+    # ring + random long-range edges: RCM must reduce bandwidth vs random order
+    rng = np.random.default_rng(2)
+    n = 200
+    edges = set()
+    for i in range(n):
+        edges.add((i, (i + 1) % n))
+    for _ in range(50):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indices = []
+    for i, nb in enumerate(adj):
+        indptr[i + 1] = indptr[i] + len(nb)
+        indices.extend(sorted(nb))
+    indices = np.asarray(indices, dtype=np.int32)
+
+    perm = native.rcm_ordering(indptr, indices)
+    assert sorted(perm.tolist()) == list(range(n))
+
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    def bandwidth(relabel):
+        return max(abs(int(relabel[a]) - int(relabel[b])) for a, b in edges)
+
+    bw_rcm = bandwidth(inv)
+    bw_id = bandwidth(np.arange(n))
+    assert bw_rcm <= bw_id
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_assembly_same_result_native_and_numpy(force_numpy, monkeypatch):
+    """Stiffness matrices assembled via both paths agree."""
+    if force_numpy:
+        monkeypatch.setattr(native, "_LIB", None)
+        monkeypatch.setattr(native, "_TRIED", True)
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    x = np.linspace(0, 1, V.ndofs)
+    y = np.asarray(stiff @ np.asarray(x))
+    # row sums of stiffness are 0 (constant in nullspace)
+    ones = np.ones(V.ndofs)
+    np.testing.assert_allclose(np.asarray(stiff @ ones), 0.0, atol=1e-10)
+    # mass row sums integrate to the domain area
+    assert np.isclose(np.asarray(mass @ ones).sum(), 1.0)
+    assert np.isfinite(y).all()
