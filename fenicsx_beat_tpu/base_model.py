@@ -183,6 +183,14 @@ class BaseModel(abc.ABC):
 
     def _setup_solver(self) -> None:
         mass, stiff, C_m = self._operators()
+        # prefer the gather-free stencil form on structured meshes
+        from .ops.sparse import ELLMatrix, ell_to_stencil
+
+        if isinstance(mass, ELLMatrix):
+            mass_st = ell_to_stencil(mass)
+            stiff_st = ell_to_stencil(stiff) if mass_st is not None else None
+            if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
+                mass, stiff = mass_st, stiff_st
         self._mass = mass
         self._stiff = stiff
         self._C_m = float(C_m) if np.isscalar(C_m) or isinstance(C_m, (int, float)) else C_m

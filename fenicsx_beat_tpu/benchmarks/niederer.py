@@ -167,42 +167,50 @@ def run_niederer_benchmark(
 
     points = benchmark_points()
     pcoords = np.array(list(points.values()))
-    # activation at a probe = nodal activation interpolated at the point
-    act_fn = fem.Function(solver.V, name="activation")
-
-    # warm-up compile (excluded from timing); results discarded
+    # device-side probe readout: a 9-point static gather instead of a full
+    # activation-array transfer per chunk (the reference evaluates probes
+    # on host each loop iteration, demos/niederer_benchmark.py:256-262)
+    import jax
     import jax.numpy as jnp
 
+    pdofs, pweights = fem.point_evaluation_tables(solver.V, pcoords)
+    pdofs_j = jnp.asarray(pdofs)
+    pweights_j = jnp.asarray(pweights, dtype=solver.states.dtype)
+
+    @jax.jit
+    def probe_eval(act):
+        return jnp.sum(act[pdofs_j] * pweights_j, axis=1)
+
     chunk_steps = max(1, int(round(check_interval_ms / dt)))
+    dtj = jnp.asarray(dt, dtype=solver.states.dtype)
+
+    # warm-up compile (excluded from timing); results discarded
     warm = solver._run_chunk(
-        solver.states,
-        solver.activation_time,
-        jnp.asarray(0.0, dtype=solver.states.dtype),
-        jnp.asarray(dt, dtype=solver.states.dtype),
-        chunk_steps,
+        solver.states, solver.activation_time, jnp.asarray(0.0, dtype=solver.states.dtype),
+        dtj, chunk_steps,
     )
-    warm[0].block_until_ready()
+    probe_eval(warm[1]).block_until_ready()
 
     t = 0.0
     n_steps = 0
+    pending = None  # one-chunk-lookahead: sync probe i-1 after launching chunk i
     tic = _time.perf_counter()
     while t < T - 1e-9:
         n = min(chunk_steps, int(round((T - t) / dt)))
-        solver.solve((t, t + n * dt), dt, save_freq=n)
+        tj = jnp.asarray(t, dtype=solver.states.dtype)
+        solver.states, solver.activation_time, _, _, _ = solver._run_chunk(
+            solver.states, solver.activation_time, tj, dtj, n
+        )
+        probe_dev = probe_eval(solver.activation_time)
         t += n * dt
         n_steps += n
-        act = solver.activation_times()
-        if (act >= 0).all():
+        if pending is not None and (np.asarray(pending) >= 0).all():
             break
-        # cheaper check: probes only
-        act_fn.x.array[:] = act
-        probe_act = fem.evaluate_function(act_fn, pcoords)
-        if (probe_act >= 0).all():
-            break
+        pending = probe_dev
+    # final sync
+    probe_act = np.asarray(probe_eval(solver.activation_time))
     wall = _time.perf_counter() - tic
 
-    act_fn.x.array[:] = solver.activation_times()
-    probe_act = fem.evaluate_function(act_fn, pcoords)
     activation = {name: float(a) for name, a in zip(points.keys(), probe_act)}
 
     result = NiedererResult(

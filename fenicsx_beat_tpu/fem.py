@@ -56,6 +56,7 @@ __all__ = [
     "DirichletBC",
     "dirichletbc",
     "evaluate_function",
+    "point_evaluation_tables",
     "build_transfer_matrix",
 ]
 
@@ -738,6 +739,24 @@ def evaluate_function(u: Function, points: np.ndarray, tol: float = 1e-8) -> np.
     dofs = V.cell_dofs[cells]
     vals = (u.x.array[dofs] * N).sum(axis=1)
     return vals[0] if squeeze else vals
+
+
+def point_evaluation_tables(
+    V: FunctionSpace, points: np.ndarray, tol: float = 1e-8
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dofs [np, ndpc], weights [np, ndpc]) such that
+    ``u(points) = (u_dofs[dofs] * weights).sum(axis=1)`` — a tiny static
+    gather usable on device (e.g. probe readout inside a jitted loop)."""
+    mesh = V.mesh
+    pts = np.asarray(points, dtype=np.float64)
+    cells = _locate_cells(mesh, pts, tol=tol)
+    if (cells < 0).any():
+        raise ValueError(f"Points outside mesh: {pts[cells < 0]}")
+    geom = cell_geometry(mesh)
+    x0 = mesh.coords[mesh.cells[cells, 0]]
+    xi = np.einsum("pg,pig->pi", pts[:, : mesh.gdim] - x0, geom.inv_edges[cells])
+    N = V.element.tabulate(mesh.tdim, xi)
+    return V.cell_dofs[cells], N
 
 
 def _transfer_cache_get(Vs: FunctionSpace, Vt: FunctionSpace):

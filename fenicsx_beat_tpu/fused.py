@@ -85,6 +85,14 @@ class FusedMonodomainSolver:
         n = self.V.ndofs
         M_cells = as_cell_tensors(self.M, self.mesh)
         self._mass, self._stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
+        # stencil (fixed-offset) form: gather-free SpMV on structured meshes
+        from .ops.sparse import ell_to_stencil
+
+        mass_st = ell_to_stencil(self._mass)
+        if mass_st is not None:
+            stiff_st = ell_to_stencil(self._stiff)
+            if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
+                self._mass, self._stiff = mass_st, stiff_st
 
         stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
         self._stim_quads = []

@@ -122,6 +122,89 @@ def coo_to_ell(
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StencilMatrix:
+    """Fixed-offset (stencil) sparse matrix: row r couples to columns
+    r + offsets[k] with weights vals[r, k].
+
+    On lexicographically-ordered structured meshes the P1 operator has a
+    single global offset set (a 15-point stencil for the Kuhn tet slab), so
+    the SpMV becomes K shifted fused multiply-adds — pure VPU traffic with
+    NO gather.  On TPU this is ~10-50x faster than the gather-based ELL
+    SpMV (gathers serialize on the VPU; see pallas guide "TPU
+    Architecture").  Value-level combination (``a*M.vals + b*K.vals``)
+    works exactly as for ELL since mass/stiffness share the offset set.
+    """
+
+    offsets: tuple[int, ...]  # static (aux data)
+    vals: jnp.ndarray  # [n_rows, K]
+    shape: tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.vals,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (vals,) = children
+        return cls(offsets=aux[0], vals=vals, shape=aux[1])
+
+    @property
+    def width(self) -> int:
+        return len(self.offsets)
+
+    def with_values(self, vals: jnp.ndarray) -> "StencilMatrix":
+        return StencilMatrix(offsets=self.offsets, vals=vals, shape=self.shape)
+
+    def diagonal(self) -> jnp.ndarray:
+        k0 = self.offsets.index(0)
+        return self.vals[:, k0]
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Rows lacking a neighbor at offset d carry weight 0, so shifted
+        # operands can be zero-padded unconditionally: K fused multiply-adds,
+        # no gather, no scatter.
+        zeros = None
+        y = jnp.zeros_like(x)
+        for k, d in enumerate(self.offsets):
+            w = self.vals[:, k]
+            if d == 0:
+                y = y + w * x
+                continue
+            if zeros is None:
+                zeros = jnp.zeros((max(abs(o) for o in self.offsets),), dtype=x.dtype)
+            if d > 0:
+                shifted = jnp.concatenate([x[d:], zeros[:d]])
+            else:
+                shifted = jnp.concatenate([zeros[: -d], x[:d]])
+            y = y + w * shifted
+        return y
+
+
+def ell_to_stencil(A: ELLMatrix, max_offsets: int = 64) -> StencilMatrix | None:
+    """Convert an ELL matrix to stencil form when a small global offset set
+    exists (host-side, setup time).  Returns None otherwise."""
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals)
+    n, w = cols.shape
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    offs = cols.astype(np.int64) - rows  # [n, w]
+    # padding entries (col == row, val == 0) contribute offset 0 — harmless
+    uniq = np.unique(offs)
+    if uniq.size > max_offsets:
+        return None
+    index_of = {int(d): k for k, d in enumerate(uniq)}
+    K = uniq.size
+    st_vals = np.zeros((n, K), dtype=vals.dtype)
+    kk = np.vectorize(index_of.__getitem__, otypes=[np.int64])(offs)
+    np.add.at(st_vals, (np.broadcast_to(rows, offs.shape), kk), vals)
+    return StencilMatrix(
+        offsets=tuple(int(d) for d in uniq),
+        vals=jnp.asarray(st_vals),
+        shape=A.shape,
+    )
+
+
 def ell_pattern_union(*coo_sets, shape):
     """Compute (rows, cols) union pattern for multiple COO triplet sets."""
     keys = []

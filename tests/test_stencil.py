@@ -1,0 +1,66 @@
+"""Stencil (fixed-offset) SpMV: equivalence with ELL and solver integration."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+from fenicsx_beat_tpu.ops.sparse import StencilMatrix, ell_to_stencil
+
+
+@pytest.mark.parametrize(
+    "make_mesh",
+    [
+        lambda: meshmod.create_interval(None, 40),
+        lambda: meshmod.create_unit_square(None, 9, 5),
+        lambda: get_3D_slab_geometry(None, dx=1.0, Lx=8.0, Ly=4.0, Lz=2.0).mesh,
+    ],
+    ids=["interval", "square", "slab3d"],
+)
+def test_stencil_matches_ell(make_mesh):
+    mesh = make_mesh()
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    for A in (mass, stiff):
+        st = ell_to_stencil(A)
+        assert st is not None
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(V.ndofs))
+        np.testing.assert_allclose(np.asarray(A @ x), np.asarray(st @ x), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(A.diagonal()), np.asarray(st.diagonal()), atol=1e-12
+        )
+    # mass and stiffness share the offset set (combined value-wise on device)
+    assert ell_to_stencil(mass).offsets == ell_to_stencil(stiff).offsets
+
+
+def test_stencil_with_values_combination():
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    m_st, k_st = ell_to_stencil(mass), ell_to_stencil(stiff)
+    A_ell = mass.with_values(2.0 * mass.vals + 0.3 * stiff.vals)
+    A_st = m_st.with_values(2.0 * m_st.vals + 0.3 * k_st.vals)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(V.ndofs))
+    np.testing.assert_allclose(np.asarray(A_ell @ x), np.asarray(A_st @ x), atol=1e-12)
+
+
+def test_fused_solver_uses_stencil():
+    from fenicsx_beat_tpu.fused import FusedMonodomainSolver
+    from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    solver = FusedMonodomainSolver(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=fhn.forward_euler_jax
+        if hasattr(fhn, "forward_euler_jax")
+        else fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+    )
+    assert isinstance(solver._mass, StencilMatrix)
+    solver.solve((0.0, 1.0), dt=0.05)
+    assert np.isfinite(np.asarray(solver.v)).all()
