@@ -109,7 +109,7 @@ def run_niederer_benchmark(
     scheme: str = "generalized_rush_larsen",
     outdir: Path | None = None,
     monitor: BaseMonitor | None = None,
-    check_interval_ms: float = 5.0,
+    check_interval_ms: float = 20.0,
     dtype=None,
 ) -> NiedererResult:
     """Run the benchmark on the fused solver; early-stops once all nine
@@ -151,6 +151,8 @@ def run_niederer_benchmark(
     init_states = tp06.init_state_values()
     parameters = tp06.init_parameter_values(stim_amplitude=0.0)
 
+    points = benchmark_points()
+    pcoords = np.array(list(points.values()))
     solver = FusedMonodomainSolver(
         mesh=mesh,
         M=M,
@@ -163,52 +165,42 @@ def run_niederer_benchmark(
         C_m=C_m,
         monitor=monitor,
         dtype=dtype,
+        probe_points=pcoords,
     )
 
-    points = benchmark_points()
-    pcoords = np.array(list(points.values()))
-    # device-side probe readout: a 9-point static gather instead of a full
-    # activation-array transfer per chunk (the reference evaluates probes
-    # on host each loop iteration, demos/niederer_benchmark.py:256-262)
-    import jax
+    # One invocation per chunk, probe readout fused into the chunk, and a
+    # one-chunk lookahead so the host sync of chunk i-1 overlaps chunk i.
+    # (The reference evaluates probes on host each loop iteration,
+    # demos/niederer_benchmark.py:256-262.)
     import jax.numpy as jnp
-
-    pdofs, pweights = fem.point_evaluation_tables(solver.V, pcoords)
-    pdofs_j = jnp.asarray(pdofs)
-    pweights_j = jnp.asarray(pweights, dtype=solver.states.dtype)
-
-    @jax.jit
-    def probe_eval(act):
-        return jnp.sum(act[pdofs_j] * pweights_j, axis=1)
 
     chunk_steps = max(1, int(round(check_interval_ms / dt)))
     dtj = jnp.asarray(dt, dtype=solver.states.dtype)
 
     # warm-up compile (excluded from timing); results discarded
-    warm = solver._run_chunk(
+    warm = solver._run_chunk_probed(
         solver.states, solver.activation_time, jnp.asarray(0.0, dtype=solver.states.dtype),
         dtj, chunk_steps,
     )
-    probe_eval(warm[1]).block_until_ready()
+    warm[-1].block_until_ready()
 
     t = 0.0
     n_steps = 0
-    pending = None  # one-chunk-lookahead: sync probe i-1 after launching chunk i
+    pending = None  # lookahead probe values of the previous chunk
+    probe_dev = None
     tic = _time.perf_counter()
     while t < T - 1e-9:
         n = min(chunk_steps, int(round((T - t) / dt)))
         tj = jnp.asarray(t, dtype=solver.states.dtype)
-        solver.states, solver.activation_time, _, _, _ = solver._run_chunk(
+        solver.states, solver.activation_time, _, _, _, probe_dev = solver._run_chunk_probed(
             solver.states, solver.activation_time, tj, dtj, n
         )
-        probe_dev = probe_eval(solver.activation_time)
         t += n * dt
         n_steps += n
         if pending is not None and (np.asarray(pending) >= 0).all():
             break
         pending = probe_dev
-    # final sync
-    probe_act = np.asarray(probe_eval(solver.activation_time))
+    probe_act = np.asarray(probe_dev)
     wall = _time.perf_counter() - tic
 
     activation = {name: float(a) for name, a in zip(points.keys(), probe_act)}

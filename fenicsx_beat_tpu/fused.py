@@ -68,6 +68,7 @@ class FusedMonodomainSolver:
     monitor: BaseMonitor = None  # type: ignore[assignment]
     activation_threshold: float = 0.0
     dtype: Any = None
+    probe_points: Any = None  # [np, gdim] physical probe coordinates
 
     def __post_init__(self):
         self.monitor = self.monitor or NullMonitor()
@@ -116,6 +117,11 @@ class FusedMonodomainSolver:
         self._params_j = (
             None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
         )
+        if self.probe_points is not None:
+            pdofs, pw = fem.point_evaluation_tables(self.V, np.asarray(self.probe_points))
+            self._probe_tables = (jnp.asarray(pdofs), jnp.asarray(pw, dtype=self.dtype))
+        else:
+            self._probe_tables = None
         self._build_kernels()
 
     # ------------------------------------------------------------------
@@ -177,6 +183,18 @@ class FusedMonodomainSolver:
             return states, act, t, jnp.max(iters), jnp.sum(iters)
 
         self._run_chunk = run_chunk
+        probe_tables = self._probe_tables
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk_probed(states, act, t0, dt, n_steps):
+            """One invocation returning probe activation values too — keeps
+            host round-trips (the tunnel latency) to one per chunk."""
+            states, act, t, it_max, it_sum = run_chunk(states, act, t0, dt, n_steps)
+            pdofs, pw = probe_tables
+            probes = jnp.sum(act[pdofs] * pw, axis=1)
+            return states, act, t, it_max, it_sum, probes
+
+        self._run_chunk_probed = run_chunk_probed if probe_tables is not None else None
 
     # ------------------------------------------------------------------
     @property

@@ -251,7 +251,9 @@ def _currents_and_gates(states, t, p):
 
     # L-type Ca (expm1-guarded singular driving force at V = 15 mV)
     x = 2 * (V - 15) * (1.0 / RTF)
-    ex1 = jnp.expm1(x)
+    # exp(x)-1 instead of expm1 (no Pallas TPU lowering); the small-|x|
+    # branch below uses the series, so cancellation near 0 is irrelevant
+    ex1 = jnp.exp(x) - 1.0
     # x / (e^x - 1) -> 1 as x -> 0
     xg = where(jnp.abs(x) < 1e-7, 1.0 - 0.5 * x, x / where(jnp.abs(ex1) < 1e-30, 1.0, ex1))
     i_CaL = (

@@ -286,7 +286,9 @@ def _ghk(z, ci_gamma, co_gamma, vfrt, F):
     guarded at x = 0 (limit z*F*(ci*g_i - co*g_o))."""
     x = z * vfrt
     small = jnp.abs(x) < 1e-5
-    ratio = jnp.where(small, 1.0 - 0.5 * x + x * x / 12.0, x / jnp.expm1(jnp.where(small, 1.0, x)))
+    # exp(x)-1 instead of expm1 (no Pallas TPU lowering); small-|x| uses the series
+    denom = jnp.exp(jnp.where(small, 1.0, x)) - 1.0
+    ratio = jnp.where(small, 1.0 - 0.5 * x + x * x / 12.0, x / denom)
     return z * F * ratio * (ci_gamma * jnp.exp(x) - co_gamma)
 
 

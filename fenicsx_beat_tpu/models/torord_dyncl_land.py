@@ -202,7 +202,7 @@ def active_tension(states, parameters):
     dCd = C - s["Cd"]
     eta = jnp.where(dCd < 0.0, p["etas"], p["etal"])
     Fd = eta * dCd
-    F1 = jnp.expm1(p["p_b"] * C)
+    F1 = jnp.exp(p["p_b"] * C) - 1.0  # expm1 has no Pallas TPU lowering
     Tp = p["p_a"] * (F1 + Fd)
     return Ta, Tp, Ta + Tp
 

@@ -193,10 +193,9 @@ def ell_to_stencil(A: ELLMatrix, max_offsets: int = 64) -> StencilMatrix | None:
     uniq = np.unique(offs)
     if uniq.size > max_offsets:
         return None
-    index_of = {int(d): k for k, d in enumerate(uniq)}
     K = uniq.size
     st_vals = np.zeros((n, K), dtype=vals.dtype)
-    kk = np.vectorize(index_of.__getitem__, otypes=[np.int64])(offs)
+    kk = np.searchsorted(uniq, offs)  # uniq is sorted; exact hits guaranteed
     np.add.at(st_vals, (np.broadcast_to(rows, offs.shape), kk), vals)
     return StencilMatrix(
         offsets=tuple(int(d) for d in uniq),
