@@ -25,7 +25,7 @@ import numpy as np
 
 from ..ops.sparse import ELLMatrix
 
-__all__ = ["Partition1D", "partition_nodes", "partition_ell"]
+__all__ = ["Partition1D", "partition_nodes", "partition_ell", "partition_stencil"]
 
 
 @dataclass(frozen=True)
@@ -96,3 +96,38 @@ def partition_ell(A: ELLMatrix, n_devices: int) -> tuple[Partition1D, jnp.ndarra
     cols3 = cols_local.reshape(n_devices, n_local, W).astype(np.int32)
     vals3 = vals.reshape(n_devices, n_local, W)
     return part, jnp.asarray(cols3), jnp.asarray(vals3)
+
+
+def partition_stencil(
+    A: "StencilMatrix", n_devices: int, diag_pad: float = 0.0
+) -> tuple[Partition1D, jnp.ndarray]:
+    """Split a global stencil matrix into per-device local value blocks.
+
+    Returns (partition, vals [ndev, n_local, K]); the halo equals the
+    largest |offset| so every shifted read lands inside the extended local
+    vector ``[left-halo | owned | right-halo]``.  ``diag_pad`` is written
+    at offset 0 for the padded rows (1.0 for the mass keeps the combined
+    theta-system diagonal positive, so padded dofs stay inert under
+    Jacobi-CG).
+    """
+    from ..ops.sparse import StencilMatrix  # noqa: F401 (typing)
+
+    n = A.shape[0]
+    vals = np.asarray(A.vals)
+    K = vals.shape[1]
+    n_local, n_pad = partition_nodes(n, n_devices)
+    halo = max(abs(int(d)) for d in A.offsets)
+    if halo > n_local:
+        raise ValueError(
+            f"stencil halo {halo} exceeds local block {n_local}: too many "
+            "devices for this mesh"
+        )
+    pad = n_pad - n
+    if pad:
+        pad_vals = np.zeros((pad, K), dtype=vals.dtype)
+        if diag_pad:
+            k0 = A.offsets.index(0)
+            pad_vals[:, k0] = diag_pad
+        vals = np.concatenate([vals, pad_vals], axis=0)
+    part = Partition1D(n_global=n, n_devices=n_devices, n_local=n_local, halo=halo)
+    return part, jnp.asarray(vals.reshape(n_devices, n_local, K))

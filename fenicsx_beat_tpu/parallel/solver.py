@@ -76,12 +76,27 @@ class ShardedMonodomainSolver:
         M_cells = as_cell_tensors(self.M, self.mesh)
         mass, stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
 
-        part_m, cols_m, vals_mass = partition_ell(mass, nd)
-        part_k, cols_k, vals_stiff = partition_ell(stiff, nd)
-        # identical sparsity pattern => identical partition geometry
-        assert part_m == part_k and bool(jnp.all(cols_m == cols_k))
+        # stencil (fixed-offset) partition: gather-free shifted-FMA SpMV on
+        # the extended local vector; falls back to partitioned ELL
+        from ..ops.sparse import ell_to_stencil
+        from .partition import partition_stencil
+
+        mass_st = ell_to_stencil(mass)
+        stiff_st = ell_to_stencil(stiff) if mass_st is not None else None
+        if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
+            part_m, vals_mass = partition_stencil(mass_st, nd, diag_pad=1.0)
+            part_k, vals_stiff = partition_stencil(stiff_st, nd, diag_pad=0.0)
+            assert part_m == part_k
+            self._offsets = mass_st.offsets
+            self._cols = None
+        else:
+            part_m, cols_m, vals_mass = partition_ell(mass, nd)
+            part_k, cols_k, vals_stiff = partition_ell(stiff, nd)
+            # identical sparsity pattern => identical partition geometry
+            assert part_m == part_k and bool(jnp.all(cols_m == cols_k))
+            self._offsets = None
+            self._cols = cols_m
         self.part: Partition1D = part_m
-        self._cols = cols_m
         self._vals_mass = vals_mass
         self._vals_stiff = vals_stiff
 
@@ -153,9 +168,36 @@ class ShardedMonodomainSolver:
             right = jax.lax.ppermute(x_loc[:H], axis, bwd)
             return jnp.concatenate([left, x_loc, right])
 
-        def spmv(vals_loc, cols_loc, x_loc):
-            x_ext = halo_extend(x_loc)
-            return jnp.sum(vals_loc * x_ext[cols_loc], axis=1)
+        offsets = self._offsets
+
+        if offsets is not None:
+            k0 = offsets.index(0)
+
+            def spmv(vals_loc, cols_loc, x_loc):
+                # cols_loc unused: shifted fused multiply-adds over the
+                # extended local vector (same trick as StencilMatrix)
+                x_ext = halo_extend(x_loc)
+                y = vals_loc[:, k0] * x_ext[H : H + n_local]
+                for k, d in enumerate(offsets):
+                    if d == 0:
+                        continue
+                    y = y + vals_loc[:, k] * jax.lax.dynamic_slice(
+                        x_ext, (H + d,), (n_local,)
+                    )
+                return y
+
+            def diag_of(A_vals, cols_loc):
+                return A_vals[:, k0]
+
+        else:
+
+            def spmv(vals_loc, cols_loc, x_loc):
+                x_ext = halo_extend(x_loc)
+                return jnp.sum(vals_loc * x_ext[cols_loc], axis=1)
+
+            def diag_of(A_vals, cols_loc):
+                rows = jnp.arange(n_local, dtype=cols_loc.dtype)[:, None] + H
+                return jnp.sum(jnp.where(cols_loc == rows, A_vals, 0.0), axis=1)
 
         def pdot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), axis)
@@ -166,8 +208,7 @@ class ShardedMonodomainSolver:
             vk = vk3[0]
             A_vals = C_m * vm + (theta * dt) * vk
             B_vals = C_m * vm - ((1.0 - theta) * dt) * vk
-            rows = jnp.arange(n_local, dtype=cols_loc.dtype)[:, None] + H
-            diag = jnp.sum(jnp.where(cols_loc == rows, A_vals, 0.0), axis=1)
+            diag = diag_of(A_vals, cols_loc)
 
             def stim_vector(t):
                 b = jnp.zeros((n_local,), dtype=A_vals.dtype)
@@ -231,7 +272,12 @@ class ShardedMonodomainSolver:
                 out_specs=(P(None, axis), P(axis), P(), P()),
                 check_vma=False,
             )
-            return fn(states, act, self._cols, self._vals_mass, self._vals_stiff,
+            cols_arg = (
+                self._cols
+                if self._cols is not None
+                else jnp.zeros((nd, 1, 1), dtype=jnp.int32)
+            )
+            return fn(states, act, cols_arg, self._vals_mass, self._vals_stiff,
                       self._b_units, t0, dt)
 
         self._run_chunk = run_chunk
