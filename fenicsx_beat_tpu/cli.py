@@ -88,10 +88,39 @@ def _cmd_run(args) -> int:
 def _cmd_ecg(args) -> int:
     import numpy as np
 
+    from . import fem
     from . import io as io_mod
+    from .ecg import ECGRecovery
+    from .mesh import CellType, Mesh
 
     data = io_mod.load_checkpoint(args.checkpoint)
     print(f"Loaded checkpoint with {len(data.times)} snapshots, {data.values.shape[1]} dofs")
+    mesh = Mesh(
+        coords=np.asarray(data.coords, dtype=np.float64),
+        cells=np.asarray(data.cells, dtype=np.int32),
+        cell_type=CellType[str(data.cell_type)],
+    )
+    if args.electrode:
+        electrodes = [tuple(p) for p in args.electrode]
+    else:
+        # default: one electrode one domain-length beyond the max corner
+        lo, hi = mesh.coords.min(axis=0), mesh.coords.max(axis=0)
+        electrodes = [tuple(hi + (hi - lo))]
+    V = fem.functionspace(mesh, ("P", 1))
+    v = fem.Function(V)
+    ecg = ECGRecovery(v=v)
+    forms = [ecg.eval(p) for p in electrodes]
+    traces = np.zeros((len(data.times), len(electrodes)))
+    for i in range(len(data.times)):
+        v.x.array[:] = data.values[i]
+        ecg.solve()
+        for j, form in enumerate(forms):
+            traces[i, j] = float(fem.assemble_scalar(form))
+    out = str(args.checkpoint).replace(".npz", "") + "_ecg.npz"
+    np.savez(out, times=data.times, traces=traces, electrodes=np.asarray(electrodes))
+    for j, p in enumerate(electrodes):
+        print(f"electrode {p}: phi_e range [{traces[:, j].min():.4e}, {traces[:, j].max():.4e}]")
+    print(f"Saved traces to {out}")
     return 0
 
 
