@@ -69,6 +69,7 @@ class FusedMonodomainSolver:
     activation_threshold: float = 0.0
     dtype: Any = None
     probe_points: Any = None  # [np, gdim] physical probe coordinates
+    use_pallas_ode: bool | None = None  # None = auto (TPU backend only)
 
     def __post_init__(self):
         self.monitor = self.monitor or NullMonitor()
@@ -133,21 +134,81 @@ class FusedMonodomainSolver:
         atol = float(self._opts["ksp_atol"])
         maxiter = int(self._opts["ksp_max_it"])
         stim_quads = self._stim_quads
-        ode_fun = self.ode_fun
         v_index = self.v_index
         thr = float(self.activation_threshold)
 
-        def pde_solve(v_prev, t, dt):
-            Avals = C_m * mass.vals + (theta * dt) * stiff.vals
-            A = mass.with_values(Avals)
-            b = mass.with_values(C_m * mass.vals - ((1.0 - theta) * dt) * stiff.vals) @ v_prev
+        # single-kernel VMEM-resident ionic step: ~2.3x less HBM traffic
+        # than the multi-fusion XLA lowering at production node counts
+        use_pallas = self.use_pallas_ode
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from .ops.pallas_ode import build_pallas_ode_step
+
+            pallas_step = build_pallas_ode_step(
+                self.ode_fun,
+                num_states=self.states.shape[0],
+                n_nodes=self.states.shape[1],
+                parameters=self.parameters,
+                dtype=self.dtype,
+            )
+
+            def ode_fun(states, t, parameters, dt):
+                return pallas_step(states, t, dt)
+
+        else:
+            ode_fun = self.ode_fun
+
+        # operator application: pallas single-pass stencil SpMV on TPU
+        # (operand resident in VMEM), XLA stencil/ELL otherwise
+        from .ops.sparse import StencilMatrix
+
+        use_pallas_spmv = (
+            use_pallas and isinstance(mass, StencilMatrix) and mass.shape[0] >= 4096
+        )
+        if use_pallas_spmv:
+            from .ops.pallas_spmv import build_pallas_stencil_spmv
+
+            n_dofs = mass.shape[0]
+            _spmv = build_pallas_stencil_spmv(mass.offsets, n_dofs, self.dtype)
+            mT = _spmv.pack_values(np.asarray(mass.vals))
+            kT = _spmv.pack_values(np.asarray(stiff.vals))
+            k0 = mass.offsets.index(0)
+
+            def build_operators(dt):
+                A_T = C_m * mT + (theta * dt) * kT
+                B_T = C_m * mT - ((1.0 - theta) * dt) * kT
+                diag = A_T[k0].reshape(-1)[:n_dofs]
+                return (A_T, B_T, diag)
+
+            def apply_A(ops, u):
+                return _spmv(ops[0], u)
+
+            def apply_B(ops, u):
+                return _spmv(ops[1], u)
+
+        else:
+
+            def build_operators(dt):
+                A = mass.with_values(C_m * mass.vals + (theta * dt) * stiff.vals)
+                B = mass.with_values(C_m * mass.vals - ((1.0 - theta) * dt) * stiff.vals)
+                return (A, B, A.diagonal())
+
+            def apply_A(ops, u):
+                return ops[0] @ u
+
+            def apply_B(ops, u):
+                return ops[1] @ u
+
+        def pde_solve(ops, v_prev, t, dt):
+            b = apply_B(ops, v_prev)
             for quad, expr in stim_quads:
                 b = b + dt * quad.assemble_load(expr, t)
             x, info = cg(
-                lambda u: A @ u,
+                lambda u: apply_A(ops, u),
                 b,
                 v_prev,
-                precond_diag=A.diagonal(),
+                precond_diag=ops[2],
                 rtol=rtol,
                 atol=atol,
                 maxiter=maxiter,
@@ -158,6 +219,10 @@ class FusedMonodomainSolver:
 
         @partial(jax.jit, static_argnames=("n_steps",))
         def run_chunk(states, act, t0, dt, n_steps):
+            # theta-system operators are dt-invariant within the chunk:
+            # build once, outside the scan
+            ops = build_operators(dt)
+
             def one_step(carry, _):
                 states, act, t = carry
                 # tentative ODE step over theta*dt  (monodomain_solver.py:68)
@@ -165,7 +230,7 @@ class FusedMonodomainSolver:
                 v = states[v_index]
                 # PDE theta-step over dt  (monodomain_solver.py:84)
                 t_mid = t + theta * dt
-                v_new, iters = pde_solve(v, t_mid, dt)
+                v_new, iters = pde_solve(ops, v, t_mid, dt)
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
