@@ -58,7 +58,10 @@ def split_endo(geo):
     return meshmod.meshtags(geo.mesh, 2, np.asarray(idx), np.asarray(val))
 
 
-def main(argv=None):
+def main(argv=None, geometry=None, endo_lv_marker=ENDO_LV, endo_rv_marker=ENDO_RV):
+    """Run the biv pipeline.  ``geometry`` may inject an external mesh
+    (e.g. a UKB atlas export, see ``demos/ukb_atlas.py``) whose ``ffun``
+    already carries ENDO_LV/ENDO_RV/EPI tags."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-T", type=float, default=20.0, help="end time (ms)")
     parser.add_argument("--dt", type=float, default=0.05)
@@ -69,9 +72,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     args.outdir.mkdir(parents=True, exist_ok=True)
 
-    geo = get_lv_ellipsoid_geometry(psize_ref=args.psize)
+    if geometry is None:
+        geo = get_lv_ellipsoid_geometry(psize_ref=args.psize)
+        ffun = split_endo(geo)
+    else:
+        geo = geometry
+        ffun = geo.ffun
     mesh = geo.mesh
-    ffun = split_endo(geo)
     print(f"geometry: {mesh.num_vertices} nodes, {mesh.num_cells} tets")
 
     V = fem.functionspace(mesh, ("P", 1))
@@ -79,8 +86,8 @@ def main(argv=None):
     layers = beat.utils.expand_layer_biv(
         V=V,
         ft=ffun,
-        endo_lv_marker=ENDO_LV,
-        endo_rv_marker=ENDO_RV,
+        endo_lv_marker=endo_lv_marker,
+        endo_rv_marker=endo_rv_marker,
         epi_marker=geo.markers["EPI"][0],
         endo_size=0.3,
         epi_size=0.3,
@@ -111,7 +118,7 @@ def main(argv=None):
     # random multi-point endocardial activation (Purkinje-like), reference
     # demos use generate_random_activation over endocardial vertices
     rng = np.random.default_rng(42)
-    endo_facets = np.concatenate([ffun.find(ENDO_LV), ffun.find(ENDO_RV)])
+    endo_facets = np.concatenate([ffun.find(endo_lv_marker), ffun.find(endo_rv_marker)])
     endo_verts = np.unique(mesh.entities(2)[endo_facets].ravel())
     picks = rng.choice(endo_verts, size=min(args.n_activation_points, endo_verts.size), replace=False)
     points = mesh.coords[picks]

@@ -1,0 +1,72 @@
+"""UK Biobank atlas biventricular simulation (external mesh, gated).
+
+Mirror of reference ``demos/ukb_atlas.py``, which downloads the UKB atlas
+BiV mesh through cardiac-geometries.  This environment has no network
+egress, so the demo accepts a pre-exported mesh (``--geodir`` pointing at
+an ``.npz`` with ``coords`` [n,3], ``cells`` [nc,4], optional ``f0``
+[n,3], ``facet_indices``/``facet_values`` with ENDO_LV=10, ENDO_RV=11,
+EPI=7 tags) and otherwise falls back to the idealized split-endo ellipsoid
+so the full pipeline still runs end-to-end: transmural layers, per-layer
+ToR-ORd models, random endocardial activation and checkpointed voltage.
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def load_external_geometry(geodir: Path):
+    """Load a UKB-style mesh exported to npz (see module docstring)."""
+    from fenicsx_beat_tpu.geometry import Geometry
+    from fenicsx_beat_tpu.mesh import CellType, Mesh, meshtags
+
+    path = geodir if geodir.suffix == ".npz" else geodir / "mesh.npz"
+    with np.load(path) as f:
+        mesh = Mesh(
+            coords=np.asarray(f["coords"], dtype=np.float64),
+            cells=np.asarray(f["cells"], dtype=np.int32),
+            cell_type=CellType.tetrahedron,
+        )
+        f0 = np.asarray(f["f0"]) if "f0" in f else np.array([1.0, 0.0, 0.0])
+        ffun = None
+        markers = None
+        if "facet_indices" in f:
+            ffun = meshtags(mesh, 2, f["facet_indices"], f["facet_values"])
+            markers = {"ENDO_LV": (10, 2), "ENDO_RV": (11, 2), "EPI": (7, 2)}
+    return Geometry(mesh=mesh, ffun=ffun, markers=markers, f0=f0)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--geodir", type=Path, default=None,
+                        help="pre-exported UKB mesh (npz); falls back to the "
+                        "idealized ellipsoid when absent")
+    parser.add_argument("-T", type=float, default=20.0)
+    parser.add_argument("--dt", type=float, default=0.05)
+    parser.add_argument("-o", "--outdir", type=Path, default=Path("results-ukb"))
+    args, extra = parser.parse_known_args(argv)
+
+    if args.geodir is not None and (
+        args.geodir.is_file() or (args.geodir / "mesh.npz").is_file()
+    ):
+        geo = load_external_geometry(args.geodir)
+        print(f"Loaded external geometry: {geo.mesh.num_vertices} nodes")
+        import demos.biv_endocardial as biv
+
+        return biv.main(
+            ["-T", str(args.T), "--dt", str(args.dt), "-o", str(args.outdir), *extra],
+            geometry=geo,
+        )
+    print(
+        "No UKB atlas mesh available (no network egress); running the "
+        "idealized biventricular pipeline instead — provide --geodir to use "
+        "a real atlas mesh."
+    )
+    import demos.biv_endocardial as biv
+
+    return biv.main(["-T", str(args.T), "--dt", str(args.dt), "-o", str(args.outdir), *extra])
+
+
+if __name__ == "__main__":
+    main()
