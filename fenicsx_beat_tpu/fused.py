@@ -62,7 +62,10 @@ class FusedMonodomainSolver:
     parameters: np.ndarray | None
     v_index: int = 0
     I_s: Any = None
-    theta: float = 1.0
+    theta: float = 1.0  # splitting scheme (Godunov 1.0 / Strang 0.5)
+    pde_theta: float = 0.5  # PDE time discretization (reference default
+    # parameters use Crank-Nicolson regardless of the splitting theta,
+    # base_model.py:158-168)
     C_m: float = 1.0
     params: dict | None = None
     monitor: BaseMonitor = None  # type: ignore[assignment]
@@ -129,6 +132,7 @@ class FusedMonodomainSolver:
     def _build_kernels(self):
         mass, stiff = self._mass, self._stiff
         theta = float(self.theta)
+        pde_theta = float(self.pde_theta)
         C_m = float(self.C_m)
         rtol = float(self._opts["ksp_rtol"])
         atol = float(self._opts["ksp_atol"])
@@ -176,8 +180,8 @@ class FusedMonodomainSolver:
             k0 = mass.offsets.index(0)
 
             def build_operators(dt):
-                A_T = C_m * mT + (theta * dt) * kT
-                B_T = C_m * mT - ((1.0 - theta) * dt) * kT
+                A_T = C_m * mT + (pde_theta * dt) * kT
+                B_T = C_m * mT - ((1.0 - pde_theta) * dt) * kT
                 diag = A_T[k0].reshape(-1)[:n_dofs]
                 return (A_T, B_T, diag)
 
@@ -190,8 +194,8 @@ class FusedMonodomainSolver:
         else:
 
             def build_operators(dt):
-                A = mass.with_values(C_m * mass.vals + (theta * dt) * stiff.vals)
-                B = mass.with_values(C_m * mass.vals - ((1.0 - theta) * dt) * stiff.vals)
+                A = mass.with_values(C_m * mass.vals + (pde_theta * dt) * stiff.vals)
+                B = mass.with_values(C_m * mass.vals - ((1.0 - pde_theta) * dt) * stiff.vals)
                 return (A, B, A.diagonal())
 
             def apply_A(ops, u):
@@ -228,14 +232,17 @@ class FusedMonodomainSolver:
                 # tentative ODE step over theta*dt  (monodomain_solver.py:68)
                 states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
                 v = states[v_index]
-                # PDE theta-step over dt  (monodomain_solver.py:84)
-                t_mid = t + theta * dt
-                v_new, iters = pde_solve(ops, v, t_mid, dt)
+                # PDE theta-step over dt; stimulus evaluated at the PDE
+                # theta point (reference base_model.py:219)
+                v_new, iters = pde_solve(ops, v, t + pde_theta * dt, dt)
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
                     states = ode_fun(
-                        states=states, t=t_mid, parameters=params_j, dt=(1.0 - theta) * dt
+                        states=states,
+                        t=t + theta * dt,
+                        parameters=params_j,
+                        dt=(1.0 - theta) * dt,
                     )
                     v_new = states[v_index]
                 t_next = t + dt

@@ -58,7 +58,8 @@ class ShardedMonodomainSolver:
     device_mesh: DeviceMesh
     v_index: int = 0
     I_s: Any = None
-    theta: float = 1.0
+    theta: float = 1.0  # splitting scheme
+    pde_theta: float = 0.5  # PDE time discretization (reference CN default)
     C_m: float = 1.0
     cg_rtol: float = 1e-8
     cg_atol: float = 1e-10
@@ -149,6 +150,7 @@ class ShardedMonodomainSolver:
         nd, H, n_local = part.n_devices, part.halo, part.n_local
         axis = self.axis
         theta = float(self.theta)
+        pde_theta = float(self.pde_theta)
         C_m = float(self.C_m)
         thr = float(self.activation_threshold)
         v_index = self.v_index
@@ -206,8 +208,8 @@ class ShardedMonodomainSolver:
             cols_loc = cols3[0]
             vm = vm3[0]
             vk = vk3[0]
-            A_vals = C_m * vm + (theta * dt) * vk
-            B_vals = C_m * vm - ((1.0 - theta) * dt) * vk
+            A_vals = C_m * vm + (pde_theta * dt) * vk
+            B_vals = C_m * vm - ((1.0 - pde_theta) * dt) * vk
             diag = diag_of(A_vals, cols_loc)
 
             def stim_vector(t):
@@ -221,8 +223,7 @@ class ShardedMonodomainSolver:
                 states, act, t = carry
                 states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
                 v = states[v_index]
-                t_mid = t + theta * dt
-                b = spmv(B_vals, cols_loc, v) + dt * stim_vector(t_mid)
+                b = spmv(B_vals, cols_loc, v) + dt * stim_vector(t + pde_theta * dt)
                 v_new, info = cg(
                     lambda u: spmv(A_vals, cols_loc, u),
                     b,
@@ -236,7 +237,10 @@ class ShardedMonodomainSolver:
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
                     states = ode_fun(
-                        states=states, t=t_mid, parameters=params_j, dt=(1.0 - theta) * dt
+                        states=states,
+                        t=t + theta * dt,
+                        parameters=params_j,
+                        dt=(1.0 - theta) * dt,
                     )
                     v_new = states[v_index]
                 act = jnp.where((v_new > thr) & (act < 0), t, act)

@@ -1,0 +1,94 @@
+"""Fused (lax.scan) solver vs the object-oriented splitting solver.
+
+The OO path replicates the reference's host choreography step-by-step;
+the fused path must produce the same trajectory (same algorithm, same
+operators) for both Godunov and Strang splitting.
+"""
+
+import numpy as np
+import pytest
+
+import fenicsx_beat_tpu as beat
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+from fenicsx_beat_tpu.fused import FusedMonodomainSolver
+from fenicsx_beat_tpu.models import tentusscher_panfilov_2006 as tp06
+
+
+def _setup(N=16):
+    mesh = meshmod.create_unit_square(None, N, N)
+    cells = meshmod.locate_entities(
+        mesh, mesh.tdim, lambda x: np.logical_and(x[0] <= 0.3, x[1] <= 0.3)
+    )
+    tags = meshmod.meshtags(mesh, mesh.tdim, cells, 1)
+    dx = beat.stimulation.dx(mesh, subdomain_data=tags)
+    expr = beat.stimulation.TimeWindow(amplitude=80.0, start=0.0, duration=2.0)
+    I_s = beat.Stimulus(expr=expr, dZ=dx, marker=1)
+    return mesh, I_s, dx
+
+
+@pytest.mark.parametrize("theta", [1.0, 0.5])
+def test_fused_matches_oo_splitting(theta):
+    mesh, I_s, dx = _setup()
+    T, dt = 5.0, 0.05
+    M = 0.001
+
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    init = tp06.init_state_values()
+    v_index = tp06.state_index("V")
+
+    # object-oriented path (reference choreography)
+    time = fem.Constant(0.0)
+    pde = beat.MonodomainModel(time=time, mesh=mesh, M=M, I_s=I_s, dx=dx)
+    V_ode = fem.functionspace(mesh, ("P", 1))
+    ode = beat.odesolver.DolfinODESolver(
+        v_ode=fem.Function(V_ode),
+        v_pde=pde.state,
+        fun=tp06.generalized_rush_larsen,
+        init_states=init,
+        parameters=params,
+        num_states=len(init),
+        v_index=v_index,
+    )
+    oo = beat.MonodomainSplittingSolver(pde=pde, ode=ode, theta=theta)
+    oo.solve((0.0, T), dt=dt)
+    v_oo = np.array(pde.state.x.array)
+
+    # fused on-device path
+    fused = FusedMonodomainSolver(
+        mesh=mesh,
+        M=M,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=init,
+        parameters=params,
+        v_index=v_index,
+        I_s=I_s,
+        theta=theta,
+        # match the OO path's direct-solver-equivalent CG tolerances
+        params={"ksp_rtol": 1e-13, "ksp_atol": 1e-14},
+    )
+    fused.solve((0.0, T), dt=dt)
+    v_fused = np.asarray(fused.v)
+
+    assert v_oo.max() > 0.0  # the stimulus actually depolarized the corner
+    np.testing.assert_allclose(v_fused, v_oo, rtol=1e-6, atol=2e-5)
+
+
+def test_fused_pallas_interpret_matches_plain():
+    """The pallas ODE kernel path (interpret mode on CPU) reproduces the
+    plain-jnp fused trajectory exactly."""
+    mesh, I_s, dx = _setup(N=8)
+    common = dict(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+    )
+    plain = FusedMonodomainSolver(use_pallas_ode=False, **common)
+    plain.solve((0.0, 1.0), dt=0.05)
+    pallas = FusedMonodomainSolver(use_pallas_ode=True, **common)
+    pallas.solve((0.0, 1.0), dt=0.05)
+    np.testing.assert_allclose(np.asarray(pallas.v), np.asarray(plain.v), atol=1e-12)
