@@ -10,8 +10,6 @@ Public surface mirrors the reference package
 (``src/beat/__init__.py:16-49``).
 """
 
-from importlib import import_module as _imp
-
 from . import (
     base_model,
     conductivities,

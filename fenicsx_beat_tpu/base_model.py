@@ -20,7 +20,7 @@ from __future__ import annotations
 import abc
 import logging
 from enum import Enum, auto
-from typing import Any, Literal, NamedTuple, Sequence
+from typing import Any, Literal, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,15 +21,14 @@ spaces — the set exercised by the reference's tests and demos
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass, field
-from typing import Any, Callable, Sequence
+from dataclasses import dataclass
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import default_dtype
-from .mesh import Mesh, MeshTags
+from .mesh import Mesh
 from .ops.quadrature import simplex_rule
 from .ops.sparse import ELLMatrix, coo_to_ell
 

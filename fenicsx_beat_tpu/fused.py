@@ -30,7 +30,7 @@ from .config import default_dtype
 from .conductivities import as_cell_tensors
 from .mesh import Mesh
 from .ops.cg import cg
-from .stimulation import Measure, Stimulus, dx as dx_measure
+from .stimulation import dx as dx_measure
 from .telemetry import BaseMonitor, NullMonitor
 
 __all__ = ["FusedMonodomainSolver"]

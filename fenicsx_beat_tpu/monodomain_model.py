@@ -14,8 +14,6 @@ linear system ``(C_m*Mass + theta*dt*K) v = C_m*Mass v_ - (1-theta)*dt*K v_
 
 from __future__ import annotations
 
-import numpy as np
-
 from . import fem
 from .base_model import BaseModel
 from .conductivities import as_cell_tensors

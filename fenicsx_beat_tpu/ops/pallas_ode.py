@@ -19,7 +19,6 @@ any pallas failure.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -22,7 +22,39 @@ from typing import Dict, Union
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["BaseMonitor", "NullMonitor", "PerformanceMonitor"]
+__all__ = [
+    "BaseMonitor",
+    "NullMonitor",
+    "PerformanceMonitor",
+    "start_trace",
+    "stop_trace",
+    "trace",
+]
+
+
+def start_trace(logdir: Union[str, Path]) -> None:
+    """Start a ``jax.profiler`` device trace (kernel-level timeline, viewable
+    in Perfetto/TensorBoard) — the deep-profiling layer under the wall-clock
+    section timings of :class:`PerformanceMonitor`."""
+    import jax
+
+    jax.profiler.start_trace(str(logdir))
+
+
+def stop_trace() -> None:
+    import jax
+
+    jax.profiler.stop_trace()
+
+
+@contextmanager
+def trace(logdir: Union[str, Path]):
+    """Context manager around ``start_trace``/``stop_trace``."""
+    start_trace(logdir)
+    try:
+        yield
+    finally:
+        stop_trace()
 
 
 class BaseMonitor(abc.ABC):

@@ -10,8 +10,6 @@ jitted Jacobi-CG with masked Dirichlet constraints instead of PETSc/hypre.
 from __future__ import annotations
 
 import logging
-from typing import Any
-
 import jax.numpy as jnp
 import numpy as np
 
