@@ -204,14 +204,14 @@ class FusedMonodomainSolver:
             def apply_B(ops, u):
                 return ops[1] @ u
 
-        def pde_solve(ops, v_prev, t, dt):
+        def pde_solve(ops, v_prev, x0, t, dt):
             b = apply_B(ops, v_prev)
             for quad, expr in stim_quads:
                 b = b + dt * quad.assemble_load(expr, t)
             x, info = cg(
                 lambda u: apply_A(ops, u),
                 b,
-                v_prev,
+                x0,
                 precond_diag=ops[2],
                 rtol=rtol,
                 atol=atol,
@@ -228,13 +228,16 @@ class FusedMonodomainSolver:
             ops = build_operators(dt)
 
             def one_step(carry, _):
-                states, act, t = carry
+                states, act, t, dv = carry
                 # tentative ODE step over theta*dt  (monodomain_solver.py:68)
                 states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
                 v = states[v_index]
                 # PDE theta-step over dt; stimulus evaluated at the PDE
-                # theta point (reference base_model.py:219)
-                v_new, iters = pde_solve(ops, v, t + pde_theta * dt, dt)
+                # theta point (reference base_model.py:219); CG warm-started
+                # with the previous step's solve increment (the trajectory
+                # is smooth in time, so v + dv is a better x0 than v)
+                v_new, iters = pde_solve(ops, v, v + dv, t + pde_theta * dt, dt)
+                dv = v_new - v
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
@@ -247,10 +250,11 @@ class FusedMonodomainSolver:
                     v_new = states[v_index]
                 t_next = t + dt
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
-                return (states, act, t_next), iters
+                return (states, act, t_next, dv), iters
 
-            (states, act, t), iters = jax.lax.scan(
-                one_step, (states, act, t0), None, length=n_steps
+            dv0 = jnp.zeros_like(states[v_index])
+            (states, act, t, _), iters = jax.lax.scan(
+                one_step, (states, act, t0, dv0), None, length=n_steps
             )
             return states, act, t, jnp.max(iters), jnp.sum(iters)
 
