@@ -220,20 +220,23 @@ class ShardedMonodomainSolver:
                 return b
 
             def one_step(carry, _):
-                states, act, t = carry
+                states, act, t, dv = carry
                 states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
                 v = states[v_index]
                 b = spmv(B_vals, cols_loc, v) + dt * stim_vector(t + pde_theta * dt)
+                # warm start with the previous solve increment (matches the
+                # fused solver)
                 v_new, info = cg(
                     lambda u: spmv(A_vals, cols_loc, u),
                     b,
-                    v,
+                    v + dv,
                     precond_diag=diag,
                     rtol=rtol,
                     atol=atol,
                     maxiter=maxiter,
                     dot=pdot,
                 )
+                dv = v_new - v
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
                     states = ode_fun(
@@ -244,10 +247,11 @@ class ShardedMonodomainSolver:
                     )
                     v_new = states[v_index]
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
-                return (states, act, t + dt), info.iterations
+                return (states, act, t + dt, dv), info.iterations
 
-            (states_loc, act_loc, t), iters = jax.lax.scan(
-                one_step, (states_loc, act_loc, t0), None, length=n_steps
+            dv0 = jnp.zeros_like(states_loc[v_index])
+            (states_loc, act_loc, t, _), iters = jax.lax.scan(
+                one_step, (states_loc, act_loc, t0, dv0), None, length=n_steps
             )
             return states_loc, act_loc, t, jax.lax.pmax(jnp.max(iters), axis)
 
