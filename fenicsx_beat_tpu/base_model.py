@@ -200,10 +200,8 @@ class BaseModel(abc.ABC):
 
         def step_kernel(v_prev, t, dt):
             C_m = jnp.asarray(float(self._C_m), dtype=v_prev.dtype)
-            Avals = C_m * mass.vals + (theta * dt) * stiff.vals
-            A = mass.with_values(Avals)
-            Bvals = C_m * mass.vals - ((1.0 - theta) * dt) * stiff.vals
-            b = mass.with_values(Bvals) @ v_prev
+            A = mass.combine(C_m, stiff, theta * dt)
+            b = mass.combine(C_m, stiff, -(1.0 - theta) * dt) @ v_prev
             for quad, expr in stim_quads:
                 b = b + dt * quad.assemble_load(expr, t)
             diag = A.diagonal()

@@ -194,8 +194,8 @@ class FusedMonodomainSolver:
         else:
 
             def build_operators(dt):
-                A = mass.with_values(C_m * mass.vals + (pde_theta * dt) * stiff.vals)
-                B = mass.with_values(C_m * mass.vals - ((1.0 - pde_theta) * dt) * stiff.vals)
+                A = mass.combine(C_m, stiff, pde_theta * dt)
+                B = mass.combine(C_m, stiff, -(1.0 - pde_theta) * dt)
                 return (A, B, A.diagonal())
 
             def apply_A(ops, u):

@@ -127,9 +127,10 @@ def coo_to_ell_arrays(
     shape: tuple[int, int],
     width: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """Padded-ELL (cols[n,w] int32, vals[n,w] f64, width) from COO with
-    duplicate summation.  Padding columns point at the row itself with a
-    zero value (gather-safe)."""
+    """Padded-ELL (cols[n,w] int32, vals[n,w] f64, width, row_counts) from
+    COO with duplicate summation.  Padding columns point at the row itself
+    with a zero value (gather-safe); ``row_counts`` gives the real (non-pad)
+    entries per row."""
     nrows = shape[0]
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int64)
@@ -161,8 +162,9 @@ def coo_to_ell_arrays(
     # pad entries point at the row itself (value 0) for gather locality
     row_ids = np.broadcast_to(np.arange(nrows, dtype=np.int32)[:, None], cols_out.shape)
     pad = cols_out < 0
+    counts = (w - pad.sum(axis=1)).astype(np.int64)
     cols_out = np.where(pad, row_ids, cols_out)
-    return cols_out, vals_out, w
+    return cols_out, vals_out, w, counts
 
 
 def _coo_to_ell_numpy(rows, cols, vals, nrows, width):
@@ -185,7 +187,7 @@ def _coo_to_ell_numpy(rows, cols, vals, nrows, width):
     pos = np.arange(r.size) - offs[r]
     cols_out[r, pos] = c.astype(np.int32)
     vals_out[r, pos] = v
-    return cols_out, vals_out, w
+    return cols_out, vals_out, w, counts
 
 
 def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:

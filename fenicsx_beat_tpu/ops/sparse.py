@@ -24,23 +24,38 @@ class ELLMatrix:
 
     Padding entries point at column ``i`` itself with value 0 so the gather
     stays in-bounds without masking.
+
+    Hybrid tail: a few high-degree rows (e.g. the welded apex of the LV
+    ellipsoid, degree ~2*n_theta) would otherwise force the padded width
+    onto every row.  Entries beyond the capped width spill into a COO tail
+    (``tail_rows/cols/vals``) applied with a scatter-add — the main ELL
+    stays narrow.
     """
 
     cols: jnp.ndarray  # [n_rows, width] int32
     vals: jnp.ndarray  # [n_rows, width] float
     shape: tuple[int, int]
+    tail_rows: jnp.ndarray | None = None  # [nt] int32
+    tail_cols: jnp.ndarray | None = None  # [nt] int32
+    tail_vals: jnp.ndarray | None = None  # [nt] float
 
     def tree_flatten(self):
-        return (self.cols, self.vals), (self.shape,)
+        return (self.cols, self.vals, self.tail_rows, self.tail_cols, self.tail_vals), (
+            self.shape,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals = children
-        return cls(cols=cols, vals=vals, shape=aux[0])
+        cols, vals, tr, tc, tv = children
+        return cls(cols=cols, vals=vals, shape=aux[0], tail_rows=tr, tail_cols=tc, tail_vals=tv)
 
     @property
     def width(self) -> int:
         return self.cols.shape[1]
+
+    @property
+    def has_tail(self) -> bool:
+        return self.tail_rows is not None and self.tail_rows.shape[0] > 0
 
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
         return ell_spmv(self, x)
@@ -49,21 +64,49 @@ class ELLMatrix:
         n = self.shape[0]
         rows = jnp.arange(n, dtype=self.cols.dtype)[:, None]
         mask = self.cols == rows
-        return jnp.sum(jnp.where(mask, self.vals, 0.0), axis=1)
+        d = jnp.sum(jnp.where(mask, self.vals, 0.0), axis=1)
+        if self.has_tail:
+            on_diag = self.tail_rows == self.tail_cols
+            d = d.at[self.tail_rows].add(jnp.where(on_diag, self.tail_vals, 0.0))
+        return d
 
     def scale_values(self, alpha) -> "ELLMatrix":
-        return ELLMatrix(cols=self.cols, vals=self.vals * alpha, shape=self.shape)
+        return self.combine(alpha, None, 0.0)
 
-    def with_values(self, vals: jnp.ndarray) -> "ELLMatrix":
-        return ELLMatrix(cols=self.cols, vals=vals, shape=self.shape)
+    def with_values(self, vals: jnp.ndarray, tail_vals: jnp.ndarray | None = None) -> "ELLMatrix":
+        return ELLMatrix(
+            cols=self.cols,
+            vals=vals,
+            shape=self.shape,
+            tail_rows=self.tail_rows,
+            tail_cols=self.tail_cols,
+            tail_vals=self.tail_vals if tail_vals is None else tail_vals,
+        )
+
+    def combine(self, ca, other: "ELLMatrix | None", cb) -> "ELLMatrix":
+        """``ca*self + cb*other`` for matrices sharing the sparsity pattern
+        (mass/stiffness pairs); value-level arithmetic, no re-gather."""
+        vals = ca * self.vals + (cb * other.vals if other is not None else 0.0)
+        tail = None
+        if self.has_tail:
+            tail = ca * self.tail_vals + (
+                cb * other.tail_vals if other is not None else 0.0
+            )
+        return self.with_values(vals, tail)
 
 
 def ell_spmv(A: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x via gather + row reduce. x: [n_cols] or [n_cols, k]."""
     if x.ndim == 1:
-        return jnp.sum(A.vals * x[A.cols], axis=1)
+        y = jnp.sum(A.vals * x[A.cols], axis=1)
+        if A.has_tail:
+            y = y.at[A.tail_rows].add(A.tail_vals * x[A.tail_cols])
+        return y
     # batched columns
-    return jnp.einsum("rw,rwk->rk", A.vals, x[A.cols])
+    y = jnp.einsum("rw,rwk->rk", A.vals, x[A.cols])
+    if A.has_tail:
+        y = y.at[A.tail_rows].add(A.tail_vals[:, None] * x[A.tail_cols])
+    return y
 
 
 def coo_to_ell(
@@ -86,12 +129,8 @@ def coo_to_ell(
         from ..native import available as _native_ok, coo_to_ell_arrays
 
         if _native_ok():
-            ell_cols, ell_vals, _ = coo_to_ell_arrays(rows, cols, vals, shape)
-            if dtype is not None:
-                ell_vals = ell_vals.astype(dtype)
-            return ELLMatrix(
-                cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape
-            )
+            ell_cols, ell_vals, _, counts = coo_to_ell_arrays(rows, cols, vals, shape)
+            return _build_ell(ell_cols, ell_vals, counts, shape, dtype)
     key = rows.astype(np.int64) * shape[1] + cols.astype(np.int64)
     order = np.argsort(key, kind="stable")
     key_sorted = key[order]
@@ -115,10 +154,47 @@ def coo_to_ell(
     pos = np.arange(uniq.shape[0]) - row_start[urows]
     ell_cols[urows, pos] = ucols
     ell_vals[urows, pos] = summed
+    if pattern is not None:
+        if dtype is not None:
+            ell_vals = ell_vals.astype(dtype)
+        return ELLMatrix(
+            cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape
+        )
+    return _build_ell(ell_cols, ell_vals, counts, shape, dtype)
+
+
+def _build_ell(ell_cols, ell_vals, counts, shape, dtype) -> ELLMatrix:
+    """Construct an ELLMatrix, spilling outlier high-degree rows into a COO
+    tail when they would inflate the padded width (e.g. the welded apex of
+    the LV ellipsoid has degree ~2*n_theta while typical rows have ~15).
+    The split depends only on the sparsity pattern (row counts), so
+    mass/stiffness pairs split identically and stay ``combine``-compatible."""
+    n_rows = shape[0]
+    W = ell_cols.shape[1]
+    cap = max(int(np.percentile(counts, 99)) if counts.size else 1, 4)
     if dtype is not None:
         ell_vals = ell_vals.astype(dtype)
+    if W <= max(int(cap * 1.5), cap + 4):
+        return ELLMatrix(cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape)
+    heavy = np.nonzero(counts > cap)[0]
+    tr, tc, tv = [], [], []
+    for r in heavy:
+        c = int(counts[r])
+        tr.append(np.full(c - cap, r, dtype=np.int32))
+        tc.append(ell_cols[r, cap:c].astype(np.int32))
+        tv.append(ell_vals[r, cap:c])
+    tail_rows = np.concatenate(tr)
+    tail_cols = np.concatenate(tc)
+    tail_vals = np.concatenate(tv)
+    main_cols = ell_cols[:, :cap].copy()
+    main_vals = ell_vals[:, :cap].copy()
     return ELLMatrix(
-        cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape
+        cols=jnp.asarray(main_cols),
+        vals=jnp.asarray(main_vals),
+        shape=shape,
+        tail_rows=jnp.asarray(tail_rows),
+        tail_cols=jnp.asarray(tail_cols),
+        tail_vals=jnp.asarray(tail_vals),
     )
 
 
@@ -156,6 +232,11 @@ class StencilMatrix:
     def with_values(self, vals: jnp.ndarray) -> "StencilMatrix":
         return StencilMatrix(offsets=self.offsets, vals=vals, shape=self.shape)
 
+    def combine(self, ca, other: "StencilMatrix | None", cb) -> "StencilMatrix":
+        """``ca*self + cb*other`` for matrices sharing the offset set."""
+        vals = ca * self.vals + (cb * other.vals if other is not None else 0.0)
+        return self.with_values(vals)
+
     def diagonal(self) -> jnp.ndarray:
         k0 = self.offsets.index(0)
         return self.vals[:, k0]
@@ -184,6 +265,8 @@ class StencilMatrix:
 def ell_to_stencil(A: ELLMatrix, max_offsets: int = 64) -> StencilMatrix | None:
     """Convert an ELL matrix to stencil form when a small global offset set
     exists (host-side, setup time).  Returns None otherwise."""
+    if A.has_tail:
+        return None
     cols = np.asarray(A.cols)
     vals = np.asarray(A.vals)
     n, w = cols.shape

@@ -63,6 +63,11 @@ def partition_ell(A: ELLMatrix, n_devices: int) -> tuple[Partition1D, jnp.ndarra
     (i.e. the 1-D partition assumption is violated — reorder nodes first).
     """
     n = A.shape[0]
+    if getattr(A, "has_tail", False):
+        raise NotImplementedError(
+            "1-D partitioning of hybrid ELL+tail matrices is not supported; "
+            "use a mesh without extreme-degree rows for sharded runs"
+        )
     cols = np.asarray(A.cols)
     vals = np.asarray(A.vals)
     W = cols.shape[1]

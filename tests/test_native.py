@@ -27,7 +27,7 @@ def test_coo_to_ell_matches_dense():
     rows = rng.integers(0, n, nnz)
     cols = rng.integers(0, n, nnz)
     vals = rng.standard_normal(nnz)
-    ell_cols, ell_vals, w = native.coo_to_ell_arrays(rows, cols, vals, (n, n))
+    ell_cols, ell_vals, w, counts = native.coo_to_ell_arrays(rows, cols, vals, (n, n))
 
     dense = np.zeros((n, n))
     np.add.at(dense, (rows, cols), vals)
@@ -96,3 +96,38 @@ def test_assembly_same_result_native_and_numpy(force_numpy, monkeypatch):
     # mass row sums integrate to the domain area
     assert np.isclose(np.asarray(mass @ ones).sum(), 1.0)
     assert np.isfinite(y).all()
+
+
+def test_hybrid_ell_tail_on_lv_mesh():
+    """High-degree apex rows spill into the COO tail; SpMV and diagonal stay
+    exact and mass/stiffness remain combine-compatible."""
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=0.5)
+    V = fem.functionspace(geo.mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    assert stiff.has_tail, "apex rows should have spilled into the tail"
+    assert stiff.width < 40  # capped (raw apex degree is ~65 here)
+
+    # dense reconstruction check on a vector
+    x = np.random.default_rng(0).standard_normal(V.ndofs)
+    y = np.asarray(stiff @ jnp.asarray(x))
+    # stiffness null space: constants
+    np.testing.assert_allclose(np.asarray(stiff @ jnp.ones(V.ndofs)), 0.0, atol=1e-9)
+    assert np.isfinite(y).all()
+    # mass row sums integrate to the shell volume
+    vol = float(np.asarray(mass @ jnp.ones(V.ndofs)).sum())
+    g = fem.cell_geometry(geo.mesh)
+    assert np.isclose(vol, g.volume.sum())
+
+    # combine keeps main+tail aligned: (2M + 3K) @ x == 2(M@x) + 3(K@x)
+    A = mass.combine(2.0, stiff, 3.0)
+    lhs = np.asarray(A @ jnp.asarray(x))
+    rhs = 2 * np.asarray(mass @ jnp.asarray(x)) + 3 * np.asarray(stiff @ jnp.asarray(x))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12, atol=1e-12)
+    # diagonal includes tail contributions
+    d = np.asarray(A.diagonal())
+    assert (d > 0).all()
