@@ -316,3 +316,37 @@ class FusedMonodomainSolver:
 
     def activation_times(self) -> np.ndarray:
         return np.asarray(self.activation_time)
+
+    # ------------------------------------------------------------------
+    # full-state checkpoint / resume (reference does this via external
+    # ADIOS2 checkpoints, demos/pace_train.py:179-189)
+    def save_state(self, path, t: float = 0.0):
+        """Write the complete solver state (all ionic states, activation
+        times, simulation time) to one npz for exact resume."""
+        from pathlib import Path
+
+        out = Path(path).with_suffix(".npz")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            out,
+            states=np.asarray(self.states),
+            activation_time=np.asarray(self.activation_time),
+            t=float(t),
+            v_index=self.v_index,
+        )
+        return out
+
+    def load_state(self, path) -> float:
+        """Restore a :meth:`save_state` checkpoint; returns its time."""
+        from pathlib import Path
+
+        with np.load(Path(path).with_suffix(".npz")) as f:
+            states = f["states"]
+            act = f["activation_time"]
+            if states.shape != self.states.shape:
+                raise ValueError(
+                    f"checkpoint shape {states.shape} != solver {self.states.shape}"
+                )
+            self.states = jnp.asarray(states, dtype=self.dtype)
+            self.activation_time = jnp.asarray(act, dtype=self.dtype)
+            return float(f["t"])

@@ -92,3 +92,29 @@ def test_fused_pallas_interpret_matches_plain():
     pallas = FusedMonodomainSolver(use_pallas_ode=True, **common)
     pallas.solve((0.0, 1.0), dt=0.05)
     np.testing.assert_allclose(np.asarray(pallas.v), np.asarray(plain.v), atol=1e-12)
+
+def test_fused_checkpoint_resume(tmp_path):
+    """Full-state save/load reproduces an uninterrupted run exactly."""
+    mesh, I_s, dx = _setup(N=10)
+    common = dict(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+    )
+    ref = FusedMonodomainSolver(**common)
+    ref.solve((0.0, 4.0), dt=0.05)
+    v_ref = np.asarray(ref.v)
+
+    a = FusedMonodomainSolver(**common)
+    a.solve((0.0, 2.0), dt=0.05)
+    ckpt = a.save_state(tmp_path / "mid", t=2.0)
+
+    b = FusedMonodomainSolver(**common)
+    t0 = b.load_state(ckpt)
+    assert t0 == 2.0
+    b.solve((t0, 4.0), dt=0.05)
+    np.testing.assert_allclose(np.asarray(b.v), v_ref, atol=1e-12)
