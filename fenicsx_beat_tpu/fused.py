@@ -111,13 +111,50 @@ class FusedMonodomainSolver:
                 quad = fem.facet_quadrature(self.V, ents, degree=p["quadrature_degree"], dtype=self.dtype)
             self._stim_quads.append((quad, _as_expr(s.expr)))
 
+        # Padded fast path: with the Pallas kernels active on a stencil
+        # operator, the whole node axis is padded to a kernel-friendly
+        # multiple of 1024 so NO per-step pad/reshape/slice wrappers are
+        # needed (measured ~0.3 ms/step of pure data movement at 442k
+        # nodes otherwise).  Padding rows are inert: operator rows are
+        # zero (mass diag 1 keeps Jacobi-CG finite), states replicate
+        # node 0 so the ionic math stays finite.
+        from .ops.sparse import StencilMatrix
+
+        use_pallas = self.use_pallas_ode
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = use_pallas
+        if use_pallas and isinstance(self._mass, StencilMatrix):
+            self._n_pad = -(-n // 1024) * 1024
+        else:
+            self._n_pad = n
+        self._n = n
+        pad = self._n_pad - n
+        if pad:
+            k0 = self._mass.offsets.index(0)
+            mvals = np.zeros((self._n_pad, self._mass.width), dtype=np.asarray(self._mass.vals).dtype)
+            mvals[:n] = np.asarray(self._mass.vals)
+            mvals[n:, k0] = 1.0
+            kvals = np.zeros_like(mvals)
+            kvals[:n] = np.asarray(self._stiff.vals)
+            self._mass = StencilMatrix(
+                offsets=self._mass.offsets, vals=jnp.asarray(mvals), shape=(self._n_pad, self._n_pad)
+            )
+            self._stiff = StencilMatrix(
+                offsets=self._stiff.offsets, vals=jnp.asarray(kvals), shape=(self._n_pad, self._n_pad)
+            )
+
         init = np.asarray(self.init_states, dtype=np.float64)
         if init.ndim == 1:
-            states = np.tile(init[:, None], (1, n))
+            states = np.tile(init[:, None], (1, self._n_pad))
         else:
             states = init.copy()
+            if pad:
+                states = np.concatenate(
+                    [states, np.tile(states[:, :1], (1, pad))], axis=1
+                )
         self.states = jnp.asarray(states, dtype=self.dtype)
-        self.activation_time = jnp.full((n,), -1.0, dtype=self.dtype)
+        self.activation_time = jnp.full((self._n_pad,), -1.0, dtype=self.dtype)
         self._params_j = (
             None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
         )
@@ -143,16 +180,14 @@ class FusedMonodomainSolver:
 
         # single-kernel VMEM-resident ionic step: ~2.3x less HBM traffic
         # than the multi-fusion XLA lowering at production node counts
-        use_pallas = self.use_pallas_ode
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        use_pallas = self._use_pallas
         if use_pallas:
             from .ops.pallas_ode import build_pallas_ode_step
 
             pallas_step = build_pallas_ode_step(
                 self.ode_fun,
                 num_states=self.states.shape[0],
-                n_nodes=self.states.shape[1],
+                n_nodes=self._n_pad,  # already kernel-aligned: no wrappers
                 parameters=self.parameters,
                 dtype=self.dtype,
             )
@@ -173,7 +208,7 @@ class FusedMonodomainSolver:
         if use_pallas_spmv:
             from .ops.pallas_spmv import build_pallas_stencil_spmv
 
-            n_dofs = mass.shape[0]
+            n_dofs = mass.shape[0]  # padded size; pad rows are inert
             _spmv = build_pallas_stencil_spmv(mass.offsets, n_dofs, self.dtype)
             mT = _spmv.pack_values(np.asarray(mass.vals))
             kT = _spmv.pack_values(np.asarray(stiff.vals))
@@ -204,10 +239,32 @@ class FusedMonodomainSolver:
             def apply_B(ops, u):
                 return ops[1] @ u
 
+        n_pad_load = self._n_pad - self._n
+        if n_pad_load:
+            # padding rows are inert (residual 0 by construction) but must
+            # not inflate ||b|| and loosen the relative CG tolerance
+            _mask = jnp.concatenate(
+                [
+                    jnp.ones((self._n,), dtype=self.dtype),
+                    jnp.zeros((n_pad_load,), dtype=self.dtype),
+                ]
+            )
+
+            def cg_dot(a, b):
+                return jnp.vdot(a * _mask, b)
+
+        else:
+            cg_dot = None
+
         def pde_solve(ops, v_prev, x0, t, dt):
             b = apply_B(ops, v_prev)
             for quad, expr in stim_quads:
-                b = b + dt * quad.assemble_load(expr, t)
+                load = quad.assemble_load(expr, t)
+                if n_pad_load:
+                    load = jnp.concatenate(
+                        [load, jnp.zeros((n_pad_load,), dtype=load.dtype)]
+                    )
+                b = b + dt * load
             x, info = cg(
                 lambda u: apply_A(ops, u),
                 b,
@@ -216,6 +273,7 @@ class FusedMonodomainSolver:
                 rtol=rtol,
                 atol=atol,
                 maxiter=maxiter,
+                dot=cg_dot,
             )
             return x, info.iterations
 
@@ -275,7 +333,7 @@ class FusedMonodomainSolver:
     # ------------------------------------------------------------------
     @property
     def v(self) -> jnp.ndarray:
-        return self.states[self.v_index]
+        return self.states[self.v_index, : self._n]
 
     def solve(
         self,
@@ -315,7 +373,7 @@ class FusedMonodomainSolver:
                 save_callback(float(t), np.asarray(self.v))
 
     def activation_times(self) -> np.ndarray:
-        return np.asarray(self.activation_time)
+        return np.asarray(self.activation_time[: self._n])
 
     # ------------------------------------------------------------------
     # full-state checkpoint / resume (reference does this via external
