@@ -43,7 +43,6 @@ __all__ = [
     "CellGeometry",
     "cell_geometry",
     "assemble_mass_stiffness",
-    "lumped_mass",
     "CellQuadData",
     "cell_quadrature",
     "facet_quadrature",
@@ -468,16 +467,6 @@ def assemble_mass_stiffness(
     mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
     stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
     return mass, stiff
-
-
-def lumped_mass(V: FunctionSpace, dtype=None) -> jnp.ndarray:
-    """Row-sum lumped mass vector (for projections / ECG normalization)."""
-    geom = cell_geometry(V.mesh)
-    d = V.mesh.tdim
-    contrib = np.repeat(geom.volume / (d + 1), d + 1)
-    out = np.zeros(V.ndofs)
-    np.add.at(out, V.cell_dofs.ravel(), contrib)
-    return jnp.asarray(out, dtype=dtype or np.float64)
 
 
 # ---------------------------------------------------------------------------

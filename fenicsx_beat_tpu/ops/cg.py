@@ -14,7 +14,6 @@ the per-iteration MPI allreduce inside PETSc KSP).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -74,16 +73,3 @@ def cg(
     rnorm = jnp.sqrt(dot(r, r))
     return x, CGInfo(iterations=k, residual_norm=rnorm, converged=rnorm <= tol)
 
-
-@partial(jax.jit, static_argnames=("rtol", "atol", "maxiter"))
-def cg_ell(A, b, x0=None, diag=None, rtol=1e-10, atol=1e-12, maxiter=1000):
-    """Convenience jitted CG on an ELLMatrix."""
-    return cg(
-        lambda v: A @ v,
-        b,
-        x0,
-        precond_diag=diag,
-        rtol=rtol,
-        atol=atol,
-        maxiter=maxiter,
-    )

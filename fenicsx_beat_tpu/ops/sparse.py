@@ -286,11 +286,3 @@ def ell_to_stencil(A: ELLMatrix, max_offsets: int = 64) -> StencilMatrix | None:
         shape=A.shape,
     )
 
-
-def ell_pattern_union(*coo_sets, shape):
-    """Compute (rows, cols) union pattern for multiple COO triplet sets."""
-    keys = []
-    for rows, cols in coo_sets:
-        keys.append(rows.astype(np.int64) * shape[1] + cols.astype(np.int64))
-    uniq = np.unique(np.concatenate(keys))
-    return (uniq // shape[1]).astype(np.int64), (uniq % shape[1]).astype(np.int32)
