@@ -24,8 +24,38 @@ def main(argv=None):
     parser.add_argument("--dt", type=float, default=0.05, help="time step (ms)")
     parser.add_argument("-T", type=float, default=100.0, help="max simulated time (ms)")
     parser.add_argument("--theta", type=float, default=1.0)
+    parser.add_argument(
+        "--all",
+        action="store_true",
+        help="run the full 9-row (dx, dt) sweep of the published table "
+        "(reference demos/niederer_benchmark.py:301-311) and print it",
+    )
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-niederer"))
     args = parser.parse_args(argv)
+
+    if args.all:
+        rows = []
+        for dx in (0.5, 0.2, 0.1):
+            for dt in (0.05, 0.01, 0.005):
+                r = run_niederer_benchmark(dx=dx, dt=dt, T=args.T, theta=args.theta)
+                err = r.error_vs_published()
+                rows.append((dx, dt, r))
+                print(r.summary())
+        print("\n| dx | dt | " + " | ".join(r.activation_times.keys()) + " | max err | ms/s |")
+        print("|" + "---|" * 13)
+        table_lines = []
+        for dx, dt, r in rows:
+            err = r.error_vs_published()
+            line = (
+                f"| {dx} | {dt} | "
+                + " | ".join(f"{v:.2f}" for v in r.activation_times.values())
+                + f" | {err:.2%} | {r.ms_per_second:.1f} |"
+            )
+            print(line)
+            table_lines.append(line)
+        args.outdir.mkdir(parents=True, exist_ok=True)
+        (args.outdir / "table.md").write_text("\n".join(table_lines))
+        return rows
 
     monitor = PerformanceMonitor(log_frequency=0)
     result = run_niederer_benchmark(

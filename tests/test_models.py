@@ -118,3 +118,25 @@ def test_torord_resting_stability():
     """Without stimulus the state drifts only slowly from the published IC."""
     y, vtr = _pace(torord_dyncl, T_ms=200.0, dt=0.02, i_Stim_Start=1e18)
     assert abs(vtr[-1] - (-89.74808)) < 1.0
+
+
+def test_f32_f64_consistency():
+    """One GRL step in f32 stays within mixed-precision tolerance of f64
+    (the TPU production path runs f32; reference runs PETSc f64)."""
+    import jax
+
+    for model in ALL_MODELS:
+        y64 = jnp.asarray(model.init_state_values()[:, None], dtype=jnp.float64)
+        p64 = jnp.asarray(model.init_parameter_values(), dtype=jnp.float64)
+        y = y64
+        for k in range(20):
+            y = model.generalized_rush_larsen(y, 0.05 * k, p64, 0.05)
+        y32 = jnp.asarray(y64, dtype=jnp.float32)
+        p32 = jnp.asarray(p64, dtype=jnp.float32)
+        z = y32
+        for k in range(20):
+            z = model.generalized_rush_larsen(z, jnp.float32(0.05 * k), p32, jnp.float32(0.05))
+        v_idx = model.state_index("V" if "V" in model._STATE_NAMES else "v")
+        dv = abs(float(y[v_idx, 0]) - float(z[v_idx, 0]))
+        assert np.isfinite(np.asarray(z)).all(), model.__name__
+        assert dv < 0.05, f"{model.__name__}: f32 voltage drift {dv} mV after 20 steps"

@@ -64,3 +64,33 @@ def test_fused_solver_uses_stencil():
     assert isinstance(solver._mass, StencilMatrix)
     solver.solve((0.0, 1.0), dt=0.05)
     assert np.isfinite(np.asarray(solver.v)).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_spmv_random_offsets(seed):
+    """Interpret-mode pallas stencil SpMV vs the XLA StencilMatrix over
+    random offset sets (exercises the sublane/lane roll + carry-select
+    decomposition for arbitrary shifts)."""
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu.ops.pallas_spmv import build_pallas_stencil_spmv
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(300, 3000))
+    K = int(rng.integers(3, 12))
+    offs = np.unique(
+        np.concatenate([[0], rng.integers(-(n // 3), n // 3, K)])
+    )
+    vals = rng.standard_normal((n, offs.size))
+    # zero out entries whose column would fall outside [0, n)
+    rows = np.arange(n)[:, None]
+    cols = rows + offs[None, :]
+    vals[(cols < 0) | (cols >= n)] = 0.0
+
+    st = StencilMatrix(offsets=tuple(int(d) for d in offs), vals=jnp.asarray(vals), shape=(n, n))
+    spmv = build_pallas_stencil_spmv(st.offsets, n, jnp.float64, interpret=True)
+    vals3 = spmv.pack_values(vals)
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(spmv(vals3, x)), np.asarray(st @ x), rtol=1e-12, atol=1e-12
+    )
