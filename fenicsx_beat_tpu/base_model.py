@@ -166,7 +166,15 @@ class BaseModel(abc.ABC):
         return rtol, atol, maxiter
 
     def _stimulus_quadratures(self):
-        """Precompute quadrature tables + exprs for each stimulus."""
+        """Precompute quadrature tables + exprs for each stimulus.
+
+        TimeWindow amplitudes are factored out as traced arguments so
+        ``Stimulus.assign`` (reference ``stimulation.py:23-24``) takes
+        effect on the next step without recompilation: each entry is
+        ``(quad, expr_fn, stim_or_None)`` — when the stimulus is present
+        its live amplitude multiplies the traced indicator."""
+        from .stimulation import TimeWindow
+
         qdeg = int(self.parameters.get("quadrature_degree", 4))
         out = []
         for s in self._I_s:
@@ -178,8 +186,19 @@ class BaseModel(abc.ABC):
                 quad = fem.cell_quadrature(self.V, ents, degree=qdeg, dtype=self._dtype)
             else:
                 quad = fem.facet_quadrature(self.V, ents, degree=qdeg, dtype=self._dtype)
-            out.append((quad, _as_expr(s.expr)))
+            if isinstance(s.expr, TimeWindow):
+                out.append((quad, s.expr.indicator, s))
+            else:
+                out.append((quad, _as_expr(s.expr), None))
         return out
+
+    def _stimulus_amplitudes(self) -> jnp.ndarray:
+        """Live amplitude vector (1.0 slots for non-TimeWindow exprs)."""
+        amps = [
+            float(stim.expr.amplitude) if stim is not None else 1.0
+            for _, _, stim in self._stim_quads_cached
+        ]
+        return jnp.asarray(amps or [0.0], dtype=self._dtype)
 
     def _setup_solver(self) -> None:
         mass, stiff, C_m = self._operators()
@@ -195,15 +214,16 @@ class BaseModel(abc.ABC):
         self._stiff = stiff
         self._C_m = float(C_m) if np.isscalar(C_m) or isinstance(C_m, (int, float)) else C_m
         stim_quads = self._stimulus_quadratures()
+        self._stim_quads_cached = stim_quads
         rtol, atol, maxiter = self._solver_tolerances()
         theta = float(self.parameters["theta"])
 
-        def step_kernel(v_prev, t, dt):
+        def step_kernel(v_prev, t, dt, amps):
             C_m = jnp.asarray(float(self._C_m), dtype=v_prev.dtype)
             A = mass.combine(C_m, stiff, theta * dt)
             b = mass.combine(C_m, stiff, -(1.0 - theta) * dt) @ v_prev
-            for quad, expr in stim_quads:
-                b = b + dt * quad.assemble_load(expr, t)
+            for i, (quad, expr, _) in enumerate(stim_quads):
+                b = b + (dt * amps[i]) * quad.assemble_load(expr, t)
             diag = A.diagonal()
             x, info = cg(
                 lambda v: A @ v,
@@ -250,7 +270,10 @@ class BaseModel(abc.ABC):
             with self.monitor.track_time("pde_linear_solve"):
                 v_prev = jnp.asarray(self.v_.x.array, dtype=self._dtype)
                 x, info = self._step_kernel(
-                    v_prev, jnp.asarray(t, dtype=self._dtype), jnp.asarray(dt, dtype=self._dtype)
+                    v_prev,
+                    jnp.asarray(t, dtype=self._dtype),
+                    jnp.asarray(dt, dtype=self._dtype),
+                    self._stimulus_amplitudes(),
                 )
                 x.block_until_ready()
 

@@ -107,6 +107,7 @@ def run_niederer_benchmark(
     T: float = 100.0,
     theta: float = 1.0,
     scheme: str = "generalized_rush_larsen",
+    model=None,
     outdir: Path | None = None,
     monitor: BaseMonitor | None = None,
     check_interval_ms: float = 20.0,
@@ -147,9 +148,19 @@ def run_niederer_benchmark(
 
     M = define_conductivity_tensor(f0=geo.f0, **conductivities)
 
-    fun = getattr(tp06, scheme)
-    init_states = tp06.init_state_values()
-    parameters = tp06.init_parameter_values(stim_amplitude=0.0)
+    model = model or tp06
+    fun = getattr(model, scheme)
+    init_states = model.init_state_values()
+    # zero the model's own pacing stimulus (name differs per model family)
+    for key in ("stim_amplitude", "i_Stim_Amplitude"):
+        try:
+            parameters = model.init_parameter_values(**{key: 0.0})
+            break
+        except KeyError:
+            continue
+    else:
+        parameters = model.init_parameter_values()
+    v_name = "V" if "V" in model._STATE_NAMES else "v"
 
     points = benchmark_points()
     pcoords = np.array(list(points.values()))
@@ -159,7 +170,7 @@ def run_niederer_benchmark(
         ode_fun=fun,
         init_states=init_states,
         parameters=parameters,
-        v_index=tp06.state_index("V"),
+        v_index=model.state_index(v_name),
         I_s=I_s,
         theta=theta,
         C_m=C_m,
@@ -178,9 +189,10 @@ def run_niederer_benchmark(
     dtj = jnp.asarray(dt, dtype=solver.states.dtype)
 
     # warm-up compile (excluded from timing); results discarded
+    amps = solver.stimulus_amplitudes()
     warm = solver._run_chunk_probed(
         solver.states, solver.activation_time, jnp.asarray(0.0, dtype=solver.states.dtype),
-        dtj, chunk_steps,
+        dtj, amps, chunk_steps,
     )
     warm[-1].block_until_ready()
 
@@ -193,7 +205,7 @@ def run_niederer_benchmark(
         n = min(chunk_steps, int(round((T - t) / dt)))
         tj = jnp.asarray(t, dtype=solver.states.dtype)
         solver.states, solver.activation_time, _, _, _, probe_dev = solver._run_chunk_probed(
-            solver.states, solver.activation_time, tj, dtj, n
+            solver.states, solver.activation_time, tj, dtj, amps, n
         )
         t += n * dt
         n_steps += n

@@ -76,11 +76,15 @@ def display_version_info() -> None:
 
 
 def _cmd_run(args) -> int:
+    import importlib
     from pathlib import Path
 
     from .benchmarks.niederer import run_niederer_benchmark
 
-    res = run_niederer_benchmark(dx=args.dx, dt=args.dt, T=args.T, outdir=Path(args.outdir))
+    model = importlib.import_module(f"fenicsx_beat_tpu.models.{args.model}")
+    res = run_niederer_benchmark(
+        dx=args.dx, dt=args.dt, T=args.T, model=model, outdir=Path(args.outdir)
+    )
     print(res.summary())
     return 0
 

@@ -99,6 +99,8 @@ class FusedMonodomainSolver:
             if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
                 self._mass, self._stiff = mass_st, stiff_st
 
+        from .stimulation import TimeWindow
+
         stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
         self._stim_quads = []
         for s in stimuli:
@@ -109,7 +111,12 @@ class FusedMonodomainSolver:
                 quad = fem.cell_quadrature(self.V, ents, degree=p["quadrature_degree"], dtype=self.dtype)
             else:
                 quad = fem.facet_quadrature(self.V, ents, degree=p["quadrature_degree"], dtype=self.dtype)
-            self._stim_quads.append((quad, _as_expr(s.expr)))
+            # TimeWindow amplitudes become traced per-chunk arguments so
+            # Stimulus.assign takes effect at the next chunk
+            if isinstance(s.expr, TimeWindow):
+                self._stim_quads.append((quad, s.expr.indicator, s))
+            else:
+                self._stim_quads.append((quad, _as_expr(s.expr), None))
 
         # Padded fast path: with the Pallas kernels active on a stencil
         # operator, the whole node axis is padded to a kernel-friendly
@@ -256,15 +263,15 @@ class FusedMonodomainSolver:
         else:
             cg_dot = None
 
-        def pde_solve(ops, v_prev, x0, t, dt):
+        def pde_solve(ops, v_prev, x0, t, dt, amps):
             b = apply_B(ops, v_prev)
-            for quad, expr in stim_quads:
+            for i, (quad, expr, _) in enumerate(stim_quads):
                 load = quad.assemble_load(expr, t)
                 if n_pad_load:
                     load = jnp.concatenate(
                         [load, jnp.zeros((n_pad_load,), dtype=load.dtype)]
                     )
-                b = b + dt * load
+                b = b + (dt * amps[i]) * load
             x, info = cg(
                 lambda u: apply_A(ops, u),
                 b,
@@ -280,7 +287,7 @@ class FusedMonodomainSolver:
         params_j = self._params_j
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(states, act, t0, dt, n_steps):
+        def run_chunk(states, act, t0, dt, amps, n_steps):
             # theta-system operators are dt-invariant within the chunk:
             # build once, outside the scan
             ops = build_operators(dt)
@@ -294,7 +301,7 @@ class FusedMonodomainSolver:
                 # theta point (reference base_model.py:219); CG warm-started
                 # with the previous step's solve increment (the trajectory
                 # is smooth in time, so v + dv is a better x0 than v)
-                v_new, iters = pde_solve(ops, v, v + dv, t + pde_theta * dt, dt)
+                v_new, iters = pde_solve(ops, v, v + dv, t + pde_theta * dt, dt, amps)
                 dv = v_new - v
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
@@ -320,10 +327,10 @@ class FusedMonodomainSolver:
         probe_tables = self._probe_tables
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk_probed(states, act, t0, dt, n_steps):
+        def run_chunk_probed(states, act, t0, dt, amps, n_steps):
             """One invocation returning probe activation values too — keeps
             host round-trips (the tunnel latency) to one per chunk."""
-            states, act, t, it_max, it_sum = run_chunk(states, act, t0, dt, n_steps)
+            states, act, t, it_max, it_sum = run_chunk(states, act, t0, dt, amps, n_steps)
             pdofs, pw = probe_tables
             probes = jnp.sum(act[pdofs] * pw, axis=1)
             return states, act, t, it_max, it_sum, probes
@@ -331,6 +338,15 @@ class FusedMonodomainSolver:
         self._run_chunk_probed = run_chunk_probed if probe_tables is not None else None
 
     # ------------------------------------------------------------------
+    def stimulus_amplitudes(self) -> jnp.ndarray:
+        """Live amplitude vector (read each chunk; 1.0 for non-TimeWindow
+        exprs whose value is baked into the traced callable)."""
+        amps = [
+            float(stim.expr.amplitude) if stim is not None else 1.0
+            for _, _, stim in self._stim_quads
+        ]
+        return jnp.asarray(amps or [0.0], dtype=self.dtype)
+
     @property
     def v(self) -> jnp.ndarray:
         return self.states[self.v_index, : self._n]
@@ -357,7 +373,7 @@ class FusedMonodomainSolver:
             n = min(chunk, n_total - done)
             with self.monitor.track_time("fused_chunk"):
                 self.states, self.activation_time, t, it_max, it_sum = self._run_chunk(
-                    self.states, self.activation_time, t, dtj, n
+                    self.states, self.activation_time, t, dtj, self.stimulus_amplitudes(), n
                 )
                 self.states.block_until_ready()
             done += n

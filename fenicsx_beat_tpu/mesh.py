@@ -270,8 +270,11 @@ def compute_midpoints(mesh: Mesh, dim: int, indices: np.ndarray) -> np.ndarray:
 
 
 def create_interval(comm=None, n: int = 1, points=(0.0, 1.0), dtype=np.float64) -> Mesh:
-    if not isinstance(n, (int, np.integer)):  # allow positional (comm, n) or (n,)
-        comm, n = None, comm  # pragma: no cover
+    # allow comm-less positional calls: (n,) or (n, points)
+    if isinstance(comm, (int, np.integer)) and not isinstance(n, (int, np.integer)):
+        comm, n, points = None, comm, n
+    elif isinstance(comm, (int, np.integer)):
+        comm, n = None, comm
     a, b = float(points[0]), float(points[1])
     x = np.linspace(a, b, n + 1, dtype=dtype)[:, None]
     cells = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1).astype(np.int32)

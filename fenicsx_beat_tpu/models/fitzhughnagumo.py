@@ -61,6 +61,9 @@ def parameter_index(name: str) -> int:
 
 
 def init_state_values(**overrides) -> np.ndarray:
+    unknown = set(overrides) - set(_STATE_NAMES)
+    if unknown:
+        raise KeyError(f"Unknown state name(s): {sorted(unknown)}")
     vals = dict(_DEFAULT_STATES)
     vals.update(overrides)
     return np.array([vals[n] for n in _STATE_NAMES], dtype=np.float64)

@@ -266,12 +266,18 @@ def parameter_index(name: str) -> int:
 
 
 def init_state_values(**overrides) -> np.ndarray:
+    unknown = set(overrides) - set(_STATE_NAMES)
+    if unknown:
+        raise KeyError(f"Unknown state name(s): {sorted(unknown)}")
     vals = dict(_DEFAULT_STATES)
     vals.update(overrides)
     return np.array([vals[n] for n in _STATE_NAMES], dtype=np.float64)
 
 
 def init_parameter_values(**overrides) -> np.ndarray:
+    unknown = set(overrides) - set(_PARAM_NAMES)
+    if unknown:
+        raise KeyError(f"Unknown parameter name(s): {sorted(unknown)}")
     vals = dict(_PARAM_DEFAULTS)
     vals.update(overrides)
     return np.array([vals[n] for n in _PARAM_NAMES], dtype=np.float64)

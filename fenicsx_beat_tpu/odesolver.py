@@ -125,11 +125,15 @@ class BaseDolfinODESolver(abc.ABC):
 
     def ode_to_pde(self) -> None:
         """Project v_ode (P2/DG/quadrature...) into the PDE space."""
-        _local_project(self.v_ode, self.v_pde)
+        from .utils import local_project
+
+        local_project(self.v_ode, self.v_pde.function_space, self.v_pde)
 
     def pde_to_ode(self) -> None:
         """Project v_pde into the ODE space."""
-        _local_project(self.v_pde, self.v_ode)
+        from .utils import local_project
+
+        local_project(self.v_pde, self.v_ode.function_space, self.v_ode)
 
     @abc.abstractmethod
     def step(self, t0: float, dt: float) -> None: ...
@@ -143,15 +147,6 @@ class BaseDolfinODESolver(abc.ABC):
 
     @abc.abstractmethod
     def states_to_dolfin(self, names: list[str] | None = None) -> list[fem.Function]: ...
-
-
-def _local_project(src: fem.Function, dst: fem.Function) -> None:
-    """Same-size copy shortcut, else interpolation via precomputed transfer
-    matrix (mirrors reference ``utils.py:26-58``)."""
-    if src.x.array.size == dst.x.array.size:
-        dst.x.array[:] = src.x.array[:]
-        return
-    dst.interpolate(src)
 
 
 @dataclass
@@ -353,6 +348,5 @@ class DolfinMultiODESolver(BaseDolfinODESolver):
             )
             raise RuntimeError(msg)
         for marker in self._marker_values:
-            where = self.markers.x.array == marker
-            self._full_values[:, where] = self._values[marker]
+            self._full_values[:, self._inds[marker]] = self._values[marker]
         return self._full_values

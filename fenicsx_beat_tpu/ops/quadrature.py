@@ -32,10 +32,7 @@ def gauss_jacobi(n: int, alpha: float, beta: float) -> tuple[np.ndarray, np.ndar
     denom = (2 * k + ab) * (2 * k + ab + 2)
     with np.errstate(divide="ignore", invalid="ignore"):
         diag = np.where(denom != 0.0, (beta**2 - alpha**2) / denom, 0.0)
-    if ab == 0.0 or ab == -1.0:
-        diag[0] = (beta - alpha) / (ab + 2)
-    else:
-        diag[0] = (beta - alpha) / (ab + 2)
+    diag[0] = (beta - alpha) / (ab + 2)
     # off-diagonal (recurrence sqrt(b_k)), k = 1..n-1
     kk = k[1:]
     num = 4 * kk * (kk + alpha) * (kk + beta) * (kk + ab)

@@ -114,23 +114,21 @@ def coo_to_ell(
     cols: np.ndarray,
     vals: np.ndarray,
     shape: tuple[int, int],
-    pattern: tuple[np.ndarray, np.ndarray] | None = None,
     dtype=None,
 ) -> ELLMatrix:
     """Assemble duplicate-summed COO triplets into a padded ELL matrix.
 
-    If ``pattern`` (ell_cols, row_nnz) is given, reuse that sparsity pattern
-    (so e.g. mass and stiffness share one pattern and can be combined
-    value-wise on device without re-gathering).
+    Matrices assembled from the same (rows, cols) pattern (mass/stiffness
+    pairs) produce identical layouts, so they can be combined value-wise on
+    device (:meth:`ELLMatrix.combine`).
     """
     n_rows = shape[0]
-    if pattern is None:
-        # native C++ path (fenicsx_beat_tpu/native/beatkit.cpp) when built
-        from ..native import available as _native_ok, coo_to_ell_arrays
+    # native C++ path (fenicsx_beat_tpu/native/beatkit.cpp) when built
+    from ..native import available as _native_ok, coo_to_ell_arrays
 
-        if _native_ok():
-            ell_cols, ell_vals, _, counts = coo_to_ell_arrays(rows, cols, vals, shape)
-            return _build_ell(ell_cols, ell_vals, counts, shape, dtype)
+    if _native_ok():
+        ell_cols, ell_vals, _, counts = coo_to_ell_arrays(rows, cols, vals, shape)
+        return _build_ell(ell_cols, ell_vals, counts, shape, dtype)
     key = rows.astype(np.int64) * shape[1] + cols.astype(np.int64)
     order = np.argsort(key, kind="stable")
     key_sorted = key[order]
@@ -143,9 +141,6 @@ def coo_to_ell(
 
     counts = np.bincount(urows, minlength=n_rows)
     width = int(counts.max()) if counts.size else 1
-    if pattern is not None:
-        ell_cols_np, _ = pattern
-        width = ell_cols_np.shape[1]
     ell_cols = np.tile(np.arange(n_rows, dtype=np.int32)[:, None], (1, width))
     ell_vals = np.zeros((n_rows, width), dtype=vals_sorted.dtype)
     # position within row
@@ -154,12 +149,6 @@ def coo_to_ell(
     pos = np.arange(uniq.shape[0]) - row_start[urows]
     ell_cols[urows, pos] = ucols
     ell_vals[urows, pos] = summed
-    if pattern is not None:
-        if dtype is not None:
-            ell_vals = ell_vals.astype(dtype)
-        return ELLMatrix(
-            cols=jnp.asarray(ell_cols), vals=jnp.asarray(ell_vals), shape=shape
-        )
     return _build_ell(ell_cols, ell_vals, counts, shape, dtype)
 
 

@@ -119,20 +119,27 @@ class ShardedMonodomainSolver:
                 quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
             b_unit = np.asarray(quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0))
             b_units.append(pad_global(b_unit, self.part))
-            windows.append((float(s.expr.amplitude), float(s.expr.start), float(s.expr.duration)))
+            windows.append((float(s.expr.start), float(s.expr.duration)))
         self._b_units = (
             jnp.asarray(np.stack(b_units), dtype=self.dtype)
             if b_units
             else jnp.zeros((0, self.part.n_pad), dtype=self.dtype)
         )
         self._windows = windows
+        self._stimuli = [s for s in stimuli if len(s.dz.entities())]
 
         init = np.asarray(self.init_states, dtype=np.float64)
         if init.ndim == 1:
             states = np.tile(init[:, None], (1, n))
         else:
             states = init.copy()
-        states = pad_global(states, self.part)
+        pad = self.part.n_pad - n
+        if pad:
+            # replicate node 0 into the padding so log/division-based ionic
+            # models stay finite on the fictitious dofs (zero-filled
+            # concentrations would produce NaNs that poison the unmasked
+            # CG reductions)
+            states = np.concatenate([states, np.tile(states[:, :1], (1, pad))], axis=1)
         act = np.full(self.part.n_pad, -1.0)
 
         shard_nodes = NamedSharding(self.device_mesh, P(None, self.axis))
@@ -201,10 +208,19 @@ class ShardedMonodomainSolver:
                 rows = jnp.arange(n_local, dtype=cols_loc.dtype)[:, None] + H
                 return jnp.sum(jnp.where(cols_loc == rows, A_vals, 0.0), axis=1)
 
-        def pdot(a, b):
-            return jax.lax.psum(jnp.vdot(a, b), axis)
+        # per-device mask excluding the globally padded dofs from CG inner
+        # products (same reasoning as the fused solver's masked cg_dot)
+        n_real = part.n_global
+        dev_starts = np.arange(nd) * n_local
+        real_per_dev = np.clip(n_real - dev_starts, 0, n_local)
 
-        def local_chunk(states_loc, act_loc, cols3, vm3, vk3, b_units, t0, dt, n_steps):
+        def pdot(a, b):
+            idx = jax.lax.axis_index(axis)
+            k = jnp.asarray(real_per_dev)[idx]
+            mask = (jnp.arange(n_local) < k).astype(a.dtype)
+            return jax.lax.psum(jnp.vdot(a * mask, b), axis)
+
+        def local_chunk(states_loc, act_loc, cols3, vm3, vk3, b_units, t0, dt, amps, n_steps):
             cols_loc = cols3[0]
             vm = vm3[0]
             vk = vk3[0]
@@ -213,9 +229,11 @@ class ShardedMonodomainSolver:
             diag = diag_of(A_vals, cols_loc)
 
             def stim_vector(t):
+                # amplitudes are traced so Stimulus.assign takes effect at
+                # the next chunk (matches the fused solver)
                 b = jnp.zeros((n_local,), dtype=A_vals.dtype)
-                for i, (amp, start, dur) in enumerate(windows):
-                    on = jnp.where((t >= start) & (t <= start + dur), amp, 0.0)
+                for i, (start, dur) in enumerate(windows):
+                    on = jnp.where((t >= start) & (t <= start + dur), amps[i], 0.0)
                     b = b + on * b_units[i]
                 return b
 
@@ -263,7 +281,7 @@ class ShardedMonodomainSolver:
         mesh = self.device_mesh
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(states, act, t0, dt, n_steps):
+        def run_chunk(states, act, t0, dt, amps, n_steps):
             fn = shard_map(
                 partial(local_chunk, n_steps=n_steps),
                 mesh=mesh,
@@ -276,6 +294,7 @@ class ShardedMonodomainSolver:
                     P(None, axis),  # stimulus unit vectors
                     P(),  # t0
                     P(),  # dt
+                    P(),  # stimulus amplitudes (traced: assign support)
                 ),
                 out_specs=(P(None, axis), P(axis), P(), P()),
                 check_vma=False,
@@ -286,9 +305,13 @@ class ShardedMonodomainSolver:
                 else jnp.zeros((nd, 1, 1), dtype=jnp.int32)
             )
             return fn(states, act, cols_arg, self._vals_mass, self._vals_stiff,
-                      self._b_units, t0, dt)
+                      self._b_units, t0, dt, amps)
 
         self._run_chunk = run_chunk
+
+    def stimulus_amplitudes(self) -> jnp.ndarray:
+        amps = [float(s.expr.amplitude) for s in self._stimuli]
+        return jnp.asarray(amps or [0.0], dtype=self.dtype)
 
     # ------------------------------------------------------------------
     @property
@@ -305,7 +328,7 @@ class ShardedMonodomainSolver:
         while done < n_total:
             n = min(chunk, n_total - done)
             self.states, self.activation_time, t, _ = self._run_chunk(
-                self.states, self.activation_time, t, dtj, n
+                self.states, self.activation_time, t, dtj, self.stimulus_amplitudes(), n
             )
             done += n
             if save_callback is not None:

@@ -207,7 +207,7 @@ def _plot_tracked(outdir, hash_input, track_values, times, save_freq, BCL, nbeat
         return
     M, N = track_values.shape
     fig, ax = plt.subplots(N, 2, sharex="col", sharey="row", squeeze=False)
-    last = int(np.ceil(BCL // save_every_ms))
+    last = int(np.ceil(BCL / save_every_ms))
     for i in range(N):
         ax[i, 0].plot(np.linspace(0, BCL * nbeats, M), track_values[:, i])
         ax[i, 1].plot(times[::save_freq][-last:], track_values[-last:, i])

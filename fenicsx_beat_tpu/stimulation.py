@@ -95,8 +95,14 @@ class TimeWindow:
     duration: float = 2.0
 
     def __call__(self, x, t):
+        return self.amplitude * self.indicator(x, t)
+
+    def indicator(self, x, t):
+        """0/1 window with the amplitude factored out — the solvers trace
+        this and multiply by a *traced* amplitude so ``Stimulus.assign``
+        takes effect without recompilation."""
         on = jnp.logical_and(t >= self.start, t <= self.start + self.duration)
-        return jnp.where(on, self.amplitude, 0.0) * jnp.ones_like(x[0])
+        return jnp.where(on, 1.0, 0.0) * jnp.ones_like(x[0])
 
 
 class Stimulus(NamedTuple):

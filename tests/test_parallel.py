@@ -132,3 +132,48 @@ def test_sharded_solver_activation_progresses():
     v = np.asarray(solver.v)
     assert v.max() > 0.0  # depolarized somewhere
     assert v.min() < -80.0  # resting elsewhere
+
+
+def test_sharded_solver_with_padding():
+    """Node count NOT divisible by the device count: padded dofs must stay
+    inert (no NaNs from zero-filled ionic states, no tolerance inflation) —
+    regression for the zero-fill pad bug."""
+    dmesh = _device_mesh(8)
+    common = _niederer_setup(dx=1.0)
+    # shrink to a mesh whose node count is not a multiple of 8
+    from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+
+    geo = get_3D_slab_geometry(None, dx=1.0, Lx=20.0, Ly=6.0, Lz=3.0)
+    common = dict(common, mesh=geo.mesh)
+    # rebuild stimulus/conductivity for this mesh
+    conds = default_conductivities("Niederer")
+    tol = 1e-10
+    cells = locate_entities(
+        geo.mesh,
+        3,
+        lambda x: (x[0] <= 1.5 + tol) & (x[1] <= 1.5 + tol) & (x[2] <= 1.5 + tol),
+    )
+    tags = meshtags(geo.mesh, 3, cells, 1)
+    common["I_s"] = define_stimulus(
+        mesh=geo.mesh,
+        chi=conds["chi"],
+        time=fem.Constant(0.0),
+        subdomain_data=tags,
+        marker=1,
+        mesh_unit="mm",
+        amplitude=50_000.0,
+        duration=2.0,
+    )
+    common["M"] = define_conductivity_tensor(f0=geo.f0, **conds)
+
+    n = fem.functionspace(geo.mesh, ("P", 1)).ndofs
+    assert n % 8 != 0, "test requires a padded partition"
+
+    fused = FusedMonodomainSolver(**common)
+    fused.solve((0.0, 2.0), dt=0.05)
+    sharded = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    sharded.solve((0.0, 2.0), dt=0.05)
+    v_f, v_s = np.asarray(fused.v), np.asarray(sharded.v)
+    assert np.isfinite(v_s).all()
+    assert v_s.max() > 0.0  # the stimulus depolarized (CG actually ran)
+    np.testing.assert_allclose(v_s, v_f, rtol=1e-7, atol=1e-6)

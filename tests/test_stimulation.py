@@ -291,3 +291,71 @@ def test_facet_stimulus_integration():
     quad = fem.facet_quadrature(V, dZ(7).entities(), degree=2)
     val = float(quad.integrate(lambda x: 3.0 * np.ones(1) * (1 + 0 * x[0])))
     assert np.isclose(val, 3.0)
+
+
+def test_stimulus_assign_takes_effect():
+    """Stimulus.assign must change the injected current on subsequent steps
+    (reference ``stimulation.py:23-24``; S1-S2 protocols rely on it)."""
+    import fenicsx_beat_tpu as beat
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: np.ones(x.shape[1], dtype=bool))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    dxm = beat.stimulation.dx(mesh, subdomain_data=tags)
+    stim = beat.Stimulus(
+        expr=beat.stimulation.TimeWindow(amplitude=10.0, start=0.0, duration=100.0),
+        dZ=dxm,
+        marker=1,
+    )
+    model = beat.MonodomainModel(time=fem.Constant(0.0), mesh=mesh, M=0.0, I_s=stim, dx=dxm)
+
+    # with M=0 each step adds exactly dt*amplitude to v
+    model.step((0.0, 1.0))
+    total1 = fem.assemble_scalar(fem.function_integral(model.state, lambda x, u: u))
+    assert np.isclose(total1, 10.0, rtol=1e-6)
+
+    model.assign_previous()
+    stim.assign(3.0)
+    model.step((1.0, 2.0))
+    total2 = fem.assemble_scalar(fem.function_integral(model.state, lambda x, u: u))
+    assert np.isclose(total2 - total1, 3.0, rtol=1e-6), "assign was a no-op"
+
+    # fused solver: assign takes effect at the next chunk
+    from fenicsx_beat_tpu.fused import FusedMonodomainSolver
+    from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+
+    solver = FusedMonodomainSolver(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+        I_s=stim,
+    )
+    import copy
+
+    stim.assign(10.0)
+    kept = FusedMonodomainSolver(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+        I_s=beat.Stimulus(
+            expr=beat.stimulation.TimeWindow(amplitude=10.0, start=0.0, duration=100.0),
+            dZ=dxm,
+            marker=1,
+        ),
+    )
+    solver.solve((0.0, 1.0), dt=0.05)
+    kept.solve((0.0, 1.0), dt=0.05)
+    stim.assign(0.0)  # switch the shared stimulus off for `solver` only
+    solver.solve((1.0, 3.0), dt=0.05)
+    kept.solve((1.0, 3.0), dt=0.05)
+    v_off = float(np.asarray(solver.v).max())
+    v_on = float(np.asarray(kept.v).max())
+    assert v_on - v_off > 1.0, "fused solver ignored Stimulus.assign"
