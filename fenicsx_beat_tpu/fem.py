@@ -439,9 +439,13 @@ def assemble_mass_stiffness(
     ``base_model.py:188-194,225-230``).
 
     ``M_cells``: scalar, [gdim,gdim], or per-cell [nc,gdim,gdim] tensor.
+    Supported spaces: any continuous/discontinuous Lagrange degree with a
+    tabulated basis (P1 uses the closed-form fast path; higher degrees use
+    exact quadrature — the reference's ``degree`` parameter accepts the
+    same, ``base_model.py:158-168``).
     """
-    if V.element.family != "P" or V.element.degree != 1:
-        raise NotImplementedError("PDE assembly is P1 (reference default, base_model.py:160-162)")
+    if V.element.family == "Quadrature":
+        raise NotImplementedError("PDE assembly on Quadrature spaces")
     dtype = dtype or np.float64
     mesh = V.mesh
     geom = cell_geometry(mesh)
@@ -454,12 +458,30 @@ def assemble_mass_stiffness(
     elif Mc.ndim == 2:
         Mc = np.broadcast_to(Mc, (nc, g, g))
 
-    # mass: vol/((d+1)(d+2)) * (1 + delta_ij)
-    base = (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
-    Me = geom.volume[:, None, None] * base[None]
-    # stiffness: vol * G_i . M . G_j
-    MG = np.einsum("cgh,cjh->cjg", Mc, geom.grads)
-    Ke = geom.volume[:, None, None] * np.einsum("cig,cjg->cij", geom.grads, MG)
+    deg = V.element.degree
+    if V.element.family == "P" and deg == 1:
+        # closed-form fast path
+        # mass: vol/((d+1)(d+2)) * (1 + delta_ij)
+        base = (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
+        Me = geom.volume[:, None, None] * base[None]
+        # stiffness: vol * G_i . M . G_j
+        MG = np.einsum("cgh,cjh->cjg", Mc, geom.grads)
+        Ke = geom.volume[:, None, None] * np.einsum("cig,cjg->cij", geom.grads, MG)
+    else:
+        # exact quadrature on affine simplices: mass integrand degree 2p,
+        # stiffness 2(p-1) with a cellwise-constant tensor
+        pts, wts = simplex_rule(d, max(2 * deg, 2))
+        N = V.element.tabulate(d, pts)  # [nq, nd]
+        dN = V.element.tabulate_grad(d, pts)  # [nq, nd, d]
+        import math
+
+        W = (geom.volume * math.factorial(d))[:, None] * wts[None, :]  # [nc, nq]
+        # physical gradients: affine map => dxi/dx (geom.inv_edges) is
+        # constant per cell; grad_x phi = dN_ref @ dxi/dx
+        dN_phys = np.einsum("qit,ctg->cqig", dN, geom.inv_edges)  # [nc,nq,nd,g]
+        Me = np.einsum("cq,qi,qj->cij", W, N, N)
+        MdN = np.einsum("cgh,cqjh->cqjg", Mc, dN_phys)
+        Ke = np.einsum("cq,cqig,cqjg->cij", W, dN_phys, MdN)
 
     rows, cols, mvals = _element_matrices_to_coo(V, Me)
     _, _, kvals = _element_matrices_to_coo(V, Ke)

@@ -114,3 +114,29 @@ def test_monodomain_temporal_convergence():
 
     rates = [np.log(e1 / e2) / np.log(2) for e1, e2 in zip(errors[:-1], errors[1:])]
     assert all(rate >= 2.0 for rate in rates), (rates, errors)
+
+
+@pytest.mark.parametrize("degree,min_rate", [(2, 2.7)])
+def test_monodomain_p2_spatial_convergence(degree, min_rate):
+    """P2 PDE state space (the reference's ``degree`` parameter,
+    base_model.py:158-168): L2 convergence at order p+1."""
+    dt = 1e-3
+    T = 0.05
+    errors = []
+    for N in (4, 8, 16):
+        mesh = meshmod.create_unit_square(None, N, N)
+        time = fem.Constant(0.0)
+        model = beat.MonodomainModel(
+            time=time,
+            mesh=mesh,
+            M=1.0,
+            I_s=lambda x, t: jnp.cos(2 * jnp.pi * x[0])
+            * jnp.cos(2 * jnp.pi * x[1])
+            * (jnp.cos(t) + 8 * jnp.pi**2 * jnp.sin(t)),
+            params={"degree": 2},
+        )
+        res = model.solve((0.0, T), dt=dt)
+        exact = lambda x, t: jnp.cos(2 * jnp.pi * x[0]) * jnp.cos(2 * jnp.pi * x[1]) * jnp.sin(t)
+        errors.append(_l2_error(res.state, exact, T))
+    rates = [np.log2(e1 / e2) for e1, e2 in zip(errors[:-1], errors[1:])]
+    assert sum(rates) / len(rates) > min_rate, (rates, errors)
