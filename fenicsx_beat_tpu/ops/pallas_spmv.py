@@ -61,7 +61,7 @@ def build_pallas_stencil_spmv(
     G = _round_up(dr_max + 8, 8)
     rows_total = G + R_pad + G + 24  # +24: window slack (rem + carry + roll)
 
-    def kernel(x_ref, v_ref, o_ref):
+    def body(x_ref, v_ref):
         i = pl.program_id(0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (Br, LANE), 1)
         acc = jnp.zeros((Br, LANE), dtype=x_ref.dtype)
@@ -83,7 +83,29 @@ def build_pallas_stencil_spmv(
                 B = pltpu.roll(pltpu.roll(W, WR - 1, axis=0), LANE - dm, axis=1)
                 shifted = jnp.where(lane_ids < LANE - dm, A[:Br, :], B[:Br, :])
             acc = acc + v_ref[k] * shifted
+        return acc
+
+    def kernel(x_ref, v_ref, o_ref):
+        o_ref[:] = body(x_ref, v_ref)
+
+    def kernel_dot(x_ref, v_ref, o_ref, dot_ref):
+        """SpMV plus the inner product <operand, A operand> (the CG pAp
+        reduction) accumulated across the sequential grid in SMEM — saves a
+        separate full pass over two vectors per CG iteration."""
+        i = pl.program_id(0)
+        acc = body(x_ref, v_ref)
         o_ref[:] = acc
+        gstart = pl.multiple_of(G + i * Br, 8)
+        xb = x_ref[pl.ds(gstart, Br), :]
+        partial = jnp.sum(xb * acc)
+
+        @pl.when(i == 0)
+        def _():
+            dot_ref[0] = partial
+
+        @pl.when(i > 0)
+        def _():
+            dot_ref[0] = dot_ref[0] + partial
 
     call = pl.pallas_call(
         kernel,
@@ -98,11 +120,40 @@ def build_pallas_stencil_spmv(
         interpret=interpret,
     )
 
-    def spmv(vals3, x):
+    call_dot = pl.pallas_call(
+        kernel_dot,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_total, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Br, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, LANE), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    def _extend(x):
         x_ext = jnp.zeros((rows_total * LANE,), dtype=dtype)
         x_ext = jax.lax.dynamic_update_slice(x_ext, x.astype(dtype), (G * LANE,))
-        y = call(x_ext.reshape(rows_total, LANE), vals3)
+        return x_ext.reshape(rows_total, LANE)
+
+    def spmv(vals3, x):
+        y = call(_extend(x), vals3)
         return y.reshape(R_pad * LANE)[:n]
+
+    def spmv_dot(vals3, x):
+        """(A @ x, <x, A x>) in one pass (x padded entries are zero, so the
+        dot needs no mask)."""
+        y, d = call_dot(_extend(x), vals3)
+        return y.reshape(R_pad * LANE)[:n], d[0]
+
+    spmv.spmv_dot = spmv_dot
 
     def pack_values(vals):
         """[n, K] stencil values -> [K, R_pad, 128] device array."""
