@@ -118,3 +118,26 @@ def test_fused_checkpoint_resume(tmp_path):
     assert t0 == 2.0
     b.solve((t0, 4.0), dt=0.05)
     np.testing.assert_allclose(np.asarray(b.v), v_ref, atol=1e-12)
+
+
+def test_fused_pallas_cg_matches_generic(tmp_path):
+    """The three-kernel pallas PCG (interpret mode on CPU) reproduces the
+    generic lax.while_loop CG trajectory."""
+    mesh, I_s, dx = _setup(N=12)
+    common = dict(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+    )
+    plain = FusedMonodomainSolver(use_pallas_ode=False, **common)
+    plain.solve((0.0, 1.5), dt=0.05)
+    fused_cg = FusedMonodomainSolver(use_pallas_ode=True, pallas_spmv_min_nodes=1, **common)
+    assert fused_cg._n_pad > fused_cg._n  # padded path engaged
+    fused_cg.solve((0.0, 1.5), dt=0.05)
+    np.testing.assert_allclose(
+        np.asarray(fused_cg.v), np.asarray(plain.v), rtol=1e-10, atol=1e-9
+    )
