@@ -1,31 +1,55 @@
-"""Operator-splitting solver (Godunov theta=1 / Strang theta=0.5).
+"""Operator-splitting coupler for the monodomain system.
 
-TPU-native counterpart of reference ``src/beat/monodomain_solver.py``: the
-object-oriented :class:`MonodomainSplittingSolver` replicates the reference
-step choreography exactly (``monodomain_solver.py:53-116``) for API parity
-and testability.  The performance path is :mod:`.fused` — one jitted
-``lax.scan`` over the whole ODE->transfer->PDE->transfer pipeline with zero
-host round-trips per step.
+The reference couples its ODE and PDE stages through a small host-side
+orchestrator (``src/beat/monodomain_solver.py:26-116``); this module keeps
+that public surface — :class:`MonodomainSplittingSolver` with ``step`` /
+``solve`` and a duck-typed :class:`ODESolver` protocol — so user scripts
+translate one-to-one, while the production path lives in :mod:`.fused`,
+where the identical splitting schedule is compiled into a single
+``lax.scan`` with no host round-trips (``tests/test_fused.py``
+cross-validates the two).
+
+Splitting schedule for one step of width ``dt`` with splitting parameter
+``theta`` (Godunov when ``theta == 1``, Strang when ``theta == 0.5``):
+
+1. advance the ionic ODEs by ``theta * dt`` from ``t0``;
+2. move the ODE voltage into the PDE space and diffuse over the full
+   ``[t0, t1]`` window;
+3. push the diffused voltage back into the ODE state;
+4. for ``theta < 1`` only, advance the ODEs again by the remaining
+   ``(1 - theta) * dt`` and re-sync the PDE's previous-state buffer.
+
+Monitor section names are part of the observable contract (the reference's
+``PerformanceMonitor`` summaries key on them) and are kept verbatim.
 """
 
 from __future__ import annotations
 
 import logging
+import math
 from dataclasses import dataclass, field
-from typing import Protocol
-
-import numpy as np
+from typing import Protocol, Tuple
 
 from .monodomain_model import MonodomainModel
 from .telemetry import BaseMonitor, NullMonitor
 
 logger = logging.getLogger(__name__)
+
+#: Tolerance used to decide whether another whole step fits in the interval.
 EPS = 1e-12
 
 __all__ = ["ODESolver", "MonodomainSplittingSolver"]
 
 
 class ODESolver(Protocol):
+    """Anything the splitting solver can drive as its reaction stage.
+
+    Matches the adapters in :mod:`.odesolver` (``DolfinODESolver`` /
+    ``DolfinMultiODESolver``): a per-node integrator plus the four transfer
+    hooks between the raw state array, the ODE-space field, and the PDE
+    space.
+    """
+
     def to_dolfin(self) -> None: ...
 
     def from_dolfin(self) -> None: ...
@@ -39,77 +63,95 @@ class ODESolver(Protocol):
 
 @dataclass
 class MonodomainSplittingSolver:
+    """Theta-rule operator splitting between an ODE stage and a PDE stage.
+
+    Parameters mirror the reference constructor: ``pde`` is a
+    :class:`~fenicsx_beat_tpu.monodomain_model.MonodomainModel`, ``ode``
+    any :class:`ODESolver`, ``theta`` the splitting weight (distinct from
+    the PDE's own time-discretization theta), and ``monitor`` receives
+    per-section timings.
+    """
+
     pde: MonodomainModel
     ode: ODESolver
     theta: float = 1.0
     monitor: BaseMonitor = field(default_factory=NullMonitor)
 
     def __post_init__(self) -> None:
-        # initial sync: ODE state array -> ODE-space function -> PDE space
+        # Seed the PDE from the ODE initial conditions: raw state array ->
+        # ODE-space field -> PDE space -> previous-state buffer.
         self.ode.to_dolfin()
         self.ode.ode_to_pde()
         self.pde.assign_previous()
 
-    def solve(self, interval, dt) -> None:
-        T0, T = interval
+    def solve(self, interval: Tuple[float, float], dt: float | None) -> None:
+        """March ``step`` across ``interval`` in increments of ``dt``.
+
+        ``dt=None`` collapses the whole interval into a single step, like
+        the reference's ``solve`` entry.
+        """
+        start, stop = interval
         if dt is None:
-            dt = T - T0
-        t0 = T0
-        t1 = T0 + dt
-        while t1 < T + EPS:
-            logger.debug(f"Solving on t = ({t0:.2f}, {t1:.2f})")
-            self.step((t0, t1))
-            t0 = t1
-            t1 = t0 + dt
+            dt = stop - start
+        lo = start
+        while lo + dt < stop + EPS:
+            hi = lo + dt
+            logger.debug("splitting step over [%g, %g]", lo, hi)
+            self.step((lo, hi))
+            lo = hi
 
-    def step(self, interval) -> None:
+    # -- one splitting step ------------------------------------------------
+
+    def _timed(self, section: str):
+        return self.monitor.track_time(section)
+
+    def _sync_voltage_to_pde(self, prefix: str = "") -> None:
+        """ODE state -> ODE-space field -> PDE space (cross-space transfer)."""
+        with self._timed(prefix + "ode_to_dolfin"):
+            self.ode.to_dolfin()
+        with self._timed(prefix + "ode_to_pde"):
+            self.ode.ode_to_pde()
+
+    def step(self, interval: Tuple[float, float]) -> None:
+        lo, hi = interval
+        dt = hi - lo
         theta = self.theta
-        t0, t1 = interval
-        logger.debug(f"Stepping from {t0} to {t1} using theta = {theta}")
-        dt = t1 - t0
-        t = t0 + theta * dt
+        t_mid = lo + theta * dt
+        logger.debug("step [%g, %g], splitting theta=%g", lo, hi, theta)
 
-        with self.monitor.track_time("total_step"):
-            with self.monitor.track_time("ode_step"):
-                # tentative ODE step over theta*dt
-                self.ode.step(t0=t0, dt=theta * dt)
+        with self._timed("total_step"):
+            # (1) reaction: tentative ionic step over theta*dt.
+            with self._timed("ode_step"):
+                self.ode.step(t0=lo, dt=theta * dt)
 
-            with self.monitor.track_time("ode_to_dolfin"):
-                self.ode.to_dolfin()
-
-            with self.monitor.track_time("ode_to_pde"):
-                self.ode.ode_to_pde()
-
-            with self.monitor.track_time("pde_assign_previous_before"):
+            # (2) diffusion over the full window, fed by the ODE voltage.
+            self._sync_voltage_to_pde()
+            with self._timed("pde_assign_previous_before"):
                 self.pde.assign_previous()
+            with self._timed("pde_step"):
+                self.pde.step((lo, hi))
 
-            with self.monitor.track_time("pde_step"):
-                self.pde.step((t0, t1))
-
-            with self.monitor.track_time("pde_to_ode"):
+            # (3) diffused voltage back into the ODE state.
+            with self._timed("pde_to_ode"):
                 self.ode.pde_to_ode()
-
-            with self.monitor.track_time("ode_from_dolfin"):
+            with self._timed("ode_from_dolfin"):
                 self.ode.from_dolfin()
 
-            # Godunov (theta=1): done.  Strang: corrective ODE step.
-            if np.isclose(theta, 1.0):
-                with self.monitor.track_time("pde_assign_previous_after"):
+            # (4) Godunov stops here; Strang finishes the remaining
+            # (1-theta)*dt of reaction and re-syncs the PDE buffer.
+            if math.isclose(theta, 1.0):
+                with self._timed("pde_assign_previous_after"):
                     self.pde.assign_previous()
             else:
                 logger.debug(
-                    f"Corrective ODE step with t0={t:5f} and dt={(1.0 - theta) * dt:.5f}"
+                    "corrective ionic step: t0=%.5f dt=%.5f",
+                    t_mid,
+                    (1.0 - theta) * dt,
                 )
-                with self.monitor.track_time("corrective_ode_step"):
-                    self.ode.step(t, (1.0 - theta) * dt)
-
-                with self.monitor.track_time("corrective_ode_to_dolfin"):
-                    self.ode.to_dolfin()
-
-                with self.monitor.track_time("corrective_ode_to_pde"):
-                    self.ode.ode_to_pde()
-
-                with self.monitor.track_time("corrective_pde_assign_previous"):
+                with self._timed("corrective_ode_step"):
+                    self.ode.step(t_mid, (1.0 - theta) * dt)
+                self._sync_voltage_to_pde(prefix="corrective_")
+                with self._timed("corrective_pde_assign_previous"):
                     self.pde.assign_previous()
 
-        self.monitor.advance_step(t0, t1)
+        self.monitor.advance_step(lo, hi)
