@@ -16,6 +16,7 @@ the OO path.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
@@ -34,6 +35,8 @@ from .stimulation import dx as dx_measure
 from .telemetry import BaseMonitor, NullMonitor
 
 __all__ = ["FusedMonodomainSolver"]
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -193,22 +196,36 @@ class FusedMonodomainSolver:
         # single-kernel VMEM-resident ionic step: ~2.3x less HBM traffic
         # than the multi-fusion XLA lowering at production node counts
         use_pallas = self._use_pallas
+        ode_fun = self.ode_fun
         if use_pallas:
             from .ops.pallas_ode import build_pallas_ode_step
 
-            pallas_step = build_pallas_ode_step(
-                self.ode_fun,
-                num_states=self.states.shape[0],
-                n_nodes=self._n_pad,  # already kernel-aligned: no wrappers
-                parameters=self.parameters,
-                dtype=self.dtype,
-            )
+            try:
+                pallas_step = build_pallas_ode_step(
+                    self.ode_fun,
+                    num_states=self.states.shape[0],
+                    n_nodes=self._n_pad,  # already kernel-aligned: no wrappers
+                    parameters=self.parameters,
+                    dtype=self.dtype,
+                )
+                # Force Mosaic lowering now so a model the kernel language
+                # cannot express degrades to the plain jnp path instead of
+                # crashing on the first chunk.
+                jax.jit(pallas_step).lower(
+                    jax.ShapeDtypeStruct((self.states.shape[0], self._n_pad), self.dtype),
+                    jax.ShapeDtypeStruct((), self.dtype),
+                    jax.ShapeDtypeStruct((), self.dtype),
+                ).compile()
 
-            def ode_fun(states, t, parameters, dt):
-                return pallas_step(states, t, dt)
+                def ode_fun(states, t, parameters, dt):
+                    return pallas_step(states, t, dt)
 
-        else:
-            ode_fun = self.ode_fun
+            except Exception as exc:  # Mosaic/lowering failure: degrade
+                logger.warning(
+                    "pallas ionic kernel unavailable (%s); falling back to "
+                    "the plain jnp ODE path",
+                    exc,
+                )
 
         # operator application: pallas single-pass stencil SpMV on TPU
         # (operand resident in VMEM), XLA stencil/ELL otherwise

@@ -126,7 +126,7 @@ def coo_to_ell_arrays(
     vals: np.ndarray,
     shape: tuple[int, int],
     width: int | None = None,
-) -> tuple[np.ndarray, np.ndarray, int]:
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
     """Padded-ELL (cols[n,w] int32, vals[n,w] f64, width, row_counts) from
     COO with duplicate summation.  Padding columns point at the row itself
     with a zero value (gather-safe); ``row_counts`` gives the real (non-pad)

@@ -13,8 +13,9 @@ directly into the kernel, and model parameters are baked in as immediates
 Padding nodes replicate column 0 of the initial state so the model's
 logs/divisions stay finite; the wrapper slices the result back to ``n``.
 
-Falls back to interpret mode off-TPU (tests) and to the plain jnp path on
-any pallas failure.
+Falls back to interpret mode off-TPU (tests); :class:`.fused.
+FusedMonodomainSolver` additionally lowers the kernel eagerly at build
+time and degrades to the plain jnp ODE path if Mosaic rejects it.
 """
 
 from __future__ import annotations

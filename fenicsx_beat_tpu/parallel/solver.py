@@ -275,8 +275,12 @@ class ShardedMonodomainSolver:
 
         try:
             from jax import shard_map
-        except ImportError:  # jax < 0.8
+
+            _replication_check = {"check_vma": False}
+        except ImportError:  # jax < 0.8: same API but the kwarg is check_rep
             from jax.experimental.shard_map import shard_map
+
+            _replication_check = {"check_rep": False}
 
         mesh = self.device_mesh
 
@@ -297,7 +301,7 @@ class ShardedMonodomainSolver:
                     P(),  # stimulus amplitudes (traced: assign support)
                 ),
                 out_specs=(P(None, axis), P(axis), P(), P()),
-                check_vma=False,
+                **_replication_check,
             )
             cols_arg = (
                 self._cols
