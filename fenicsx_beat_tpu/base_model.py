@@ -278,6 +278,16 @@ class BaseModel(abc.ABC):
                 x.block_until_ready()
 
             self.monitor.record_ksp(info)
+            self._last_solve_converged = bool(info.converged)
+            if not self._last_solve_converged:
+                logger.warning(
+                    "CG stopped at maxiter without meeting tolerance at "
+                    "t=(%g, %g): residual norm %.3e after %d iterations",
+                    t0,
+                    t1,
+                    float(info.residual_norm),
+                    int(info.iterations),
+                )
 
             with self.monitor.track_time("pde_scatter_forward"):
                 self.state.x.array[:] = np.asarray(x, dtype=np.float64)
@@ -294,13 +304,16 @@ class BaseModel(abc.ABC):
         t0 = T0
         t1 = T0 + dt
 
+        all_converged = True
         while True:
             logger.debug("Solving on t = (%g, %g)", t0, t1)
             self.step((t0, t1))
+            all_converged &= getattr(self, "_last_solve_converged", True)
             if (t1 + dt) > (T + 1e-12):
                 break
             self.assign_previous()
             t0 = t1
             t1 = t0 + dt
 
-        return Results(state=self.state, status=Status.OK)
+        status = Status.OK if all_converged else Status.NOT_CONVERGING
+        return Results(state=self.state, status=status)

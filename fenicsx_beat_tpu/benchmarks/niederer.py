@@ -204,7 +204,16 @@ def run_niederer_benchmark(
     while t < T - 1e-9:
         n = min(chunk_steps, int(round((T - t) / dt)))
         tj = jnp.asarray(t, dtype=solver.states.dtype)
-        solver.states, solver.activation_time, _, _, _, probe_dev = solver._run_chunk_probed(
+        (
+            solver.states,
+            solver.activation_time,
+            _,
+            _,
+            _,
+            _,
+            _,
+            probe_dev,
+        ) = solver._run_chunk_probed(
             solver.states, solver.activation_time, tj, dtj, amps, n
         )
         t += n * dt

@@ -26,11 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fem
-from .base_model import _as_expr, _transform_I_s
+from .base_model import Status, _as_expr, _transform_I_s
 from .config import default_dtype
 from .conductivities import as_cell_tensors
 from .mesh import Mesh
-from .ops.cg import cg
+from .ops.cg import CGInfo, cg
 from .stimulation import dx as dx_measure
 from .telemetry import BaseMonitor, NullMonitor
 
@@ -334,7 +334,7 @@ class FusedMonodomainSolver:
 
                 init = (x0, r0, z0, rz0, rr0, jnp.asarray(0, dtype=jnp.int32))
                 x, r, p, rz, rr, k = jax.lax.while_loop(cond, body, init)
-                return x, k
+                return x, k, jnp.sqrt(rr), rr <= tol2
 
         else:
 
@@ -350,7 +350,7 @@ class FusedMonodomainSolver:
                     maxiter=maxiter,
                     dot=cg_dot,
                 )
-                return x, info.iterations
+                return x, info.iterations, info.residual_norm, info.converged
 
         params_j = self._params_j
 
@@ -369,7 +369,9 @@ class FusedMonodomainSolver:
                 # theta point (reference base_model.py:219); CG warm-started
                 # with the previous step's solve increment (the trajectory
                 # is smooth in time, so v + dv is a better x0 than v)
-                v_new, iters = pde_solve(ops, v, v + dv, t + pde_theta * dt, dt, amps)
+                v_new, iters, rnorm, conv = pde_solve(
+                    ops, v, v + dv, t + pde_theta * dt, dt, amps
+                )
                 dv = v_new - v
                 states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
@@ -383,13 +385,23 @@ class FusedMonodomainSolver:
                     v_new = states[v_index]
                 t_next = t + dt
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
-                return (states, act, t_next, dv), iters
+                return (states, act, t_next, dv), (iters, rnorm, conv)
 
             dv0 = jnp.zeros_like(states[v_index])
-            (states, act, t, _), iters = jax.lax.scan(
+            (states, act, t, _), (iters, rnorms, convs) = jax.lax.scan(
                 one_step, (states, act, t0, dv0), None, length=n_steps
             )
-            return states, act, t, jnp.max(iters), jnp.sum(iters)
+            # real per-chunk linear-solver stats (reference records the KSP
+            # converged_reason per solve, telemetry.py:67-76 there)
+            return (
+                states,
+                act,
+                t,
+                jnp.max(iters),
+                jnp.sum(iters),
+                rnorms[-1],
+                jnp.all(convs),
+            )
 
         self._run_chunk = run_chunk
         probe_tables = self._probe_tables
@@ -398,10 +410,12 @@ class FusedMonodomainSolver:
         def run_chunk_probed(states, act, t0, dt, amps, n_steps):
             """One invocation returning probe activation values too — keeps
             host round-trips (the tunnel latency) to one per chunk."""
-            states, act, t, it_max, it_sum = run_chunk(states, act, t0, dt, amps, n_steps)
+            states, act, t, it_max, it_sum, rnorm, conv = run_chunk(
+                states, act, t0, dt, amps, n_steps
+            )
             pdofs, pw = probe_tables
             probes = jnp.sum(act[pdofs] * pw, axis=1)
-            return states, act, t, it_max, it_sum, probes
+            return states, act, t, it_max, it_sum, rnorm, conv, probes
 
         self._run_chunk_probed = run_chunk_probed if probe_tables is not None else None
 
@@ -425,36 +439,61 @@ class FusedMonodomainSolver:
         dt: float,
         save_freq: int | None = None,
         save_callback: Callable[[float, np.ndarray], None] | None = None,
-    ) -> None:
+    ) -> Status:
         """Run the fused time loop on (T0, T].
 
         ``save_freq`` (in steps) bounds chunk length; ``save_callback(t,
         v_host)`` fires once per chunk with the voltage synced to host —
-        the only host round-trip of the loop."""
+        the only host round-trip of the loop.
+
+        Returns ``Status.NOT_CONVERGING`` if any step's CG stopped at
+        ``ksp_max_it`` without meeting tolerance (mirrors the reference's
+        KSP converged_reason plumbing, ``base_model.py:23-25`` there);
+        ``Status.OK`` otherwise."""
         T0, T = interval
         n_total = int(round((T - T0) / dt))
         chunk = save_freq or n_total
         t = jnp.asarray(T0, dtype=self.dtype)
         dtj = jnp.asarray(dt, dtype=self.dtype)
         done = 0
+        all_converged = True
         while done < n_total:
             n = min(chunk, n_total - done)
             with self.monitor.track_time("fused_chunk"):
-                self.states, self.activation_time, t, it_max, it_sum = self._run_chunk(
+                (
+                    self.states,
+                    self.activation_time,
+                    t,
+                    it_max,
+                    it_sum,
+                    rnorm,
+                    conv,
+                ) = self._run_chunk(
                     self.states, self.activation_time, t, dtj, self.stimulus_amplitudes(), n
                 )
                 self.states.block_until_ready()
             done += n
+            converged = bool(conv)
+            all_converged &= converged
+            if not converged:
+                logger.warning(
+                    "CG did not converge within ksp_max_it during chunk ending "
+                    "t=%g (last residual norm %.3e)",
+                    float(t),
+                    float(rnorm),
+                )
             self.monitor.record_ksp(
-                type("Info", (), {
-                    "iterations": int(it_max),
-                    "residual_norm": 0.0,
-                    "converged": True,
-                })()
+                CGInfo(
+                    iterations=int(it_max),
+                    residual_norm=float(rnorm),
+                    converged=converged,
+                )
             )
             self.monitor.advance_step(float(t) - n * dt, float(t))
             if save_callback is not None:
                 save_callback(float(t), np.asarray(self.v))
+        self.last_solve_converged = all_converged
+        return Status.OK if all_converged else Status.NOT_CONVERGING
 
     def activation_times(self) -> np.ndarray:
         return np.asarray(self.activation_time[: self._n])

@@ -18,7 +18,7 @@ compute on ICI.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable
 
@@ -29,12 +29,13 @@ from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import fem
-from ..base_model import _transform_I_s
+from ..base_model import Status, _transform_I_s
 from ..config import default_dtype
 from ..conductivities import as_cell_tensors
 from ..mesh import Mesh
-from ..ops.cg import cg
+from ..ops.cg import CGInfo, cg
 from ..stimulation import TimeWindow, dx as dx_measure
+from ..telemetry import BaseMonitor, NullMonitor
 from .partition import Partition1D, pad_global, partition_ell
 
 __all__ = ["ShardedMonodomainSolver"]
@@ -66,6 +67,7 @@ class ShardedMonodomainSolver:
     cg_maxiter: int = 1000
     activation_threshold: float = 0.0
     dtype: Any = None
+    monitor: BaseMonitor = field(default_factory=NullMonitor)
 
     def __post_init__(self):
         self.dtype = self.dtype or default_dtype()
@@ -265,13 +267,26 @@ class ShardedMonodomainSolver:
                     )
                     v_new = states[v_index]
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
-                return (states, act, t + dt, dv), info.iterations
+                return (states, act, t + dt, dv), (
+                    info.iterations,
+                    info.residual_norm,
+                    info.converged,
+                )
 
             dv0 = jnp.zeros_like(states_loc[v_index])
-            (states_loc, act_loc, t, _), iters = jax.lax.scan(
+            (states_loc, act_loc, t, _), (iters, rnorms, convs) = jax.lax.scan(
                 one_step, (states_loc, act_loc, t0, dv0), None, length=n_steps
             )
-            return states_loc, act_loc, t, jax.lax.pmax(jnp.max(iters), axis)
+            # residuals/flags come from psum'd dots, so they are already
+            # replicated; pmax keeps the iteration count collective-consistent
+            return (
+                states_loc,
+                act_loc,
+                t,
+                jax.lax.pmax(jnp.max(iters), axis),
+                rnorms[-1],
+                jnp.all(convs),
+            )
 
         try:
             from jax import shard_map
@@ -300,7 +315,7 @@ class ShardedMonodomainSolver:
                     P(),  # dt
                     P(),  # stimulus amplitudes (traced: assign support)
                 ),
-                out_specs=(P(None, axis), P(axis), P(), P()),
+                out_specs=(P(None, axis), P(axis), P(), P(), P(), P()),
                 **_replication_check,
             )
             cols_arg = (
@@ -322,21 +337,45 @@ class ShardedMonodomainSolver:
     def v(self) -> jnp.ndarray:
         return self.states[self.v_index][: self.part.n_global]
 
-    def solve(self, interval, dt, save_freq: int | None = None, save_callback=None) -> None:
+    def solve(self, interval, dt, save_freq: int | None = None, save_callback=None) -> Status:
+        """Sharded time loop; returns ``Status.NOT_CONVERGING`` if any
+        step's CG hit ``cg_maxiter`` without meeting tolerance."""
         T0, T = interval
         n_total = int(round((T - T0) / dt))
         chunk = save_freq or n_total
         t = jnp.asarray(T0, dtype=self.dtype)
         dtj = jnp.asarray(dt, dtype=self.dtype)
         done = 0
+        all_converged = True
         while done < n_total:
             n = min(chunk, n_total - done)
-            self.states, self.activation_time, t, _ = self._run_chunk(
-                self.states, self.activation_time, t, dtj, self.stimulus_amplitudes(), n
-            )
+            with self.monitor.track_time("sharded_chunk"):
+                (
+                    self.states,
+                    self.activation_time,
+                    t,
+                    it_max,
+                    rnorm,
+                    conv,
+                ) = self._run_chunk(
+                    self.states, self.activation_time, t, dtj, self.stimulus_amplitudes(), n
+                )
+                self.states.block_until_ready()
             done += n
+            converged = bool(conv)
+            all_converged &= converged
+            self.monitor.record_ksp(
+                CGInfo(
+                    iterations=int(it_max),
+                    residual_norm=float(rnorm),
+                    converged=converged,
+                )
+            )
+            self.monitor.advance_step(float(t) - n * dt, float(t))
             if save_callback is not None:
                 save_callback(float(t), np.asarray(self.v))
+        self.last_solve_converged = all_converged
+        return Status.OK if all_converged else Status.NOT_CONVERGING
 
     def activation_times(self) -> np.ndarray:
         return np.asarray(self.activation_time)[: self.part.n_global]

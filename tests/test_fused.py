@@ -141,3 +141,45 @@ def test_fused_pallas_cg_matches_generic(tmp_path):
     np.testing.assert_allclose(
         np.asarray(fused_cg.v), np.asarray(plain.v), rtol=1e-10, atol=1e-9
     )
+
+
+def test_fused_surfaces_cg_non_convergence():
+    """With ksp_max_it=1 the CG cannot meet tolerance; the solver must
+    return Status.NOT_CONVERGING and the monitor must see the real stats
+    (reference records the KSP converged_reason, telemetry.py:67-76)."""
+    from fenicsx_beat_tpu.base_model import Status
+    from fenicsx_beat_tpu.telemetry import PerformanceMonitor
+
+    mesh, I_s, dx = _setup(N=8)
+    monitor = PerformanceMonitor(log_frequency=0)
+    solver = FusedMonodomainSolver(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        monitor=monitor,
+        params={"ksp_max_it": 1, "ksp_rtol": 1e-14, "ksp_atol": 1e-16},
+    )
+    status = solver.solve((0.0, 0.5), dt=0.05)
+    assert status == Status.NOT_CONVERGING
+    assert solver.last_solve_converged is False
+    assert monitor.ksp_last_converged_reason == 0
+    assert monitor.ksp_last_residual_norm > 0.0
+
+    # and a healthy solve reports OK with a converged monitor record
+    ok_monitor = PerformanceMonitor(log_frequency=0)
+    healthy = FusedMonodomainSolver(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        monitor=ok_monitor,
+    )
+    assert healthy.solve((0.0, 0.5), dt=0.05) == Status.OK
+    assert ok_monitor.ksp_last_converged_reason == 1

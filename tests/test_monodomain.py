@@ -140,3 +140,30 @@ def test_monodomain_p2_spatial_convergence(degree, min_rate):
         errors.append(_l2_error(res.state, exact, T))
     rates = [np.log2(e1 / e2) for e1, e2 in zip(errors[:-1], errors[1:])]
     assert sum(rates) / len(rates) > min_rate, (rates, errors)
+
+
+def test_solve_returns_not_converging_when_cg_capped():
+    """ksp_max_it=1 starves the CG; BaseModel.solve must surface it as
+    Status.NOT_CONVERGING (reference plumbs the KSP converged_reason,
+    base_model.py:23-25 there)."""
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    time = fem.Constant(0.0)
+    model = beat.MonodomainModel(
+        time=time,
+        mesh=mesh,
+        M=1.0,
+        I_s=lambda x, t: jnp.ones_like(x[0]),
+        params={
+            "petsc_options": {"ksp_rtol": 1e-14, "ksp_atol": 1e-16, "ksp_max_it": 1}
+        },
+    )
+    res = model.solve((0.0, 0.2), dt=0.1)
+    assert res.status == beat.base_model.Status.NOT_CONVERGING
+
+    healthy = beat.MonodomainModel(
+        time=fem.Constant(0.0),
+        mesh=mesh,
+        M=1.0,
+        I_s=lambda x, t: jnp.ones_like(x[0]),
+    )
+    assert healthy.solve((0.0, 0.2), dt=0.1).status == beat.base_model.Status.OK
