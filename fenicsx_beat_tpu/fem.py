@@ -427,26 +427,18 @@ def _element_matrices_to_coo(V: FunctionSpace, Ke: np.ndarray):
     return rows, cols, Ke.reshape(-1)
 
 
-def assemble_mass_stiffness(
+def assemble_mass_stiffness_coo(
     V: FunctionSpace,
     M_cells: np.ndarray | float,
-    dtype=None,
-) -> tuple[ELLMatrix, ELLMatrix]:
-    """Assemble consistent mass and anisotropic stiffness with one shared
-    ELL sparsity pattern, so ``A = a*Mass + b*Stiff`` is a pure value-level
-    combination on device (dt can then be a traced jit argument — the
-    reference instead re-assembles the PETSc matrix on dt change,
-    ``base_model.py:188-194,225-230``).
-
-    ``M_cells``: scalar, [gdim,gdim], or per-cell [nc,gdim,gdim] tensor.
-    Supported spaces: any continuous/discontinuous Lagrange degree with a
-    tabulated basis (P1 uses the closed-form fast path; higher degrees use
-    exact quadrature — the reference's ``degree`` parameter accepts the
-    same, ``base_model.py:158-168``).
-    """
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, tuple[int, int]]:
+    """Raw COO triplets ``(rows, cols, mass_vals, stiff_vals, shape)`` of
+    the consistent mass and anisotropic stiffness (duplicates unsummed,
+    shared pattern).  Used by the sharded solver to renumber dofs (RCM)
+    before building the device-side format — the reference delegates this
+    renumbering to the DOLFINx/MPI partitioner (``geometry.py:112-139``
+    there)."""
     if V.element.family == "Quadrature":
         raise NotImplementedError("PDE assembly on Quadrature spaces")
-    dtype = dtype or np.float64
     mesh = V.mesh
     geom = cell_geometry(mesh)
     nc, d = mesh.num_cells, mesh.tdim
@@ -485,7 +477,27 @@ def assemble_mass_stiffness(
 
     rows, cols, mvals = _element_matrices_to_coo(V, Me)
     _, _, kvals = _element_matrices_to_coo(V, Ke)
-    shape = (V.ndofs, V.ndofs)
+    return rows, cols, mvals, kvals, (V.ndofs, V.ndofs)
+
+
+def assemble_mass_stiffness(
+    V: FunctionSpace,
+    M_cells: np.ndarray | float,
+    dtype=None,
+) -> tuple[ELLMatrix, ELLMatrix]:
+    """Assemble consistent mass and anisotropic stiffness with one shared
+    ELL sparsity pattern, so ``A = a*Mass + b*Stiff`` is a pure value-level
+    combination on device (dt can then be a traced jit argument — the
+    reference instead re-assembles the PETSc matrix on dt change,
+    ``base_model.py:188-194,225-230``).
+
+    ``M_cells``: scalar, [gdim,gdim], or per-cell [nc,gdim,gdim] tensor.
+    Supported spaces: any continuous/discontinuous Lagrange degree with a
+    tabulated basis (P1 uses the closed-form fast path; higher degrees use
+    exact quadrature — the reference's ``degree`` parameter accepts the
+    same, ``base_model.py:158-168``).
+    """
+    rows, cols, mvals, kvals, shape = assemble_mass_stiffness_coo(V, M_cells)
     mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
     stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
     return mass, stiff

@@ -25,7 +25,13 @@ import numpy as np
 
 from ..ops.sparse import ELLMatrix
 
-__all__ = ["Partition1D", "partition_nodes", "partition_ell", "partition_stencil"]
+__all__ = [
+    "Partition1D",
+    "partition_nodes",
+    "partition_ell",
+    "partition_stencil",
+    "partition_quadrature",
+]
 
 
 @dataclass(frozen=True)
@@ -55,19 +61,21 @@ def pad_global(x: np.ndarray, part: Partition1D, fill: float = 0.0) -> np.ndarra
     return np.pad(x, widths, constant_values=fill)
 
 
-def partition_ell(A: ELLMatrix, n_devices: int) -> tuple[Partition1D, jnp.ndarray, jnp.ndarray]:
+def partition_ell(
+    A: ELLMatrix, n_devices: int
+) -> tuple[Partition1D, jnp.ndarray, jnp.ndarray, tuple | None]:
     """Split a global ELL matrix into stacked per-device local blocks.
 
-    Returns (partition, cols_local [ndev, n_local, W], vals [ndev,
-    n_local, W]).  Raises if any row reaches beyond its neighbors' blocks
-    (i.e. the 1-D partition assumption is violated — reorder nodes first).
+    Returns ``(partition, cols_local [ndev, n_local, W], vals [ndev,
+    n_local, W], tail)`` where ``tail`` is ``None`` or per-device COO-tail
+    arrays ``(rows [ndev, nt] local-row int32, cols [ndev, nt]
+    extended-local-col int32, vals [ndev, nt])`` covering the hybrid
+    matrix's spilled high-degree entries (e.g. the welded LV apex), padded
+    per device with inert zero-value slots.  Raises if any row reaches
+    beyond its neighbors' blocks (the 1-D partition assumption is violated
+    — reorder nodes first, e.g. with RCM).
     """
     n = A.shape[0]
-    if getattr(A, "has_tail", False):
-        raise NotImplementedError(
-            "1-D partitioning of hybrid ELL+tail matrices is not supported; "
-            "use a mesh without extreme-degree rows for sharded runs"
-        )
     cols = np.asarray(A.cols)
     vals = np.asarray(A.vals)
     W = cols.shape[1]
@@ -82,12 +90,28 @@ def partition_ell(A: ELLMatrix, n_devices: int) -> tuple[Partition1D, jnp.ndarra
         cols = np.concatenate([cols, pad_cols], axis=0)
         vals = np.concatenate([vals, pad_vals], axis=0)
 
-    # compute required halo: max reach of any row outside its own block
+    if A.has_tail:
+        t_rows = np.asarray(A.tail_rows, dtype=np.int64)
+        t_cols = np.asarray(A.tail_cols, dtype=np.int64)
+        t_vals = np.asarray(A.tail_vals)
+    else:
+        t_rows = t_cols = np.zeros(0, dtype=np.int64)
+        t_vals = np.zeros(0, dtype=vals.dtype)
+
+    # required halo: max reach of any entry (main or tail) outside its
+    # row's block
     row_block = np.repeat(np.arange(n_pad) // n_local, W).reshape(n_pad, W)
     block_start = row_block * n_local
     reach_left = np.maximum(0, block_start - cols)
     reach_right = np.maximum(0, cols - (block_start + n_local - 1))
     halo = int(max(reach_left.max(), reach_right.max()))
+    if t_rows.size:
+        t_start = (t_rows // n_local) * n_local
+        halo = max(
+            halo,
+            int(np.maximum(0, t_start - t_cols).max()),
+            int(np.maximum(0, t_cols - (t_start + n_local - 1)).max()),
+        )
     if halo > n_local:
         raise ValueError(
             f"halo {halo} exceeds local block {n_local}: too many devices for "
@@ -100,7 +124,25 @@ def partition_ell(A: ELLMatrix, n_devices: int) -> tuple[Partition1D, jnp.ndarra
     cols_local = cols - block_start + halo
     cols3 = cols_local.reshape(n_devices, n_local, W).astype(np.int32)
     vals3 = vals.reshape(n_devices, n_local, W)
-    return part, jnp.asarray(cols3), jnp.asarray(vals3)
+
+    tail3 = None
+    if t_rows.size:
+        dev = t_rows // n_local
+        counts = np.bincount(dev, minlength=n_devices)
+        nt = int(counts.max())
+        # inert pad slots: val 0, col 0 (any in-bounds extended index)
+        tr3 = np.zeros((n_devices, nt), dtype=np.int32)
+        tc3 = np.zeros((n_devices, nt), dtype=np.int32)
+        tv3 = np.zeros((n_devices, nt), dtype=t_vals.dtype)
+        for d in range(n_devices):
+            sel = np.nonzero(dev == d)[0]
+            k = sel.size
+            tr3[d, :k] = (t_rows[sel] - d * n_local).astype(np.int32)
+            tc3[d, :k] = (t_cols[sel] - d * n_local + halo).astype(np.int32)
+            tv3[d, :k] = t_vals[sel]
+        tail3 = (jnp.asarray(tr3), jnp.asarray(tc3), jnp.asarray(tv3))
+
+    return part, jnp.asarray(cols3), jnp.asarray(vals3), tail3
 
 
 def partition_stencil(
@@ -136,3 +178,52 @@ def partition_stencil(
         vals = np.concatenate([vals, pad_vals], axis=0)
     part = Partition1D(n_global=n, n_devices=n_devices, n_local=n_local, halo=halo)
     return part, jnp.asarray(vals.reshape(n_devices, n_local, K))
+
+
+def partition_quadrature(quad, part: Partition1D, iperm: np.ndarray | None = None):
+    """Per-device quadrature tables for load assembly under the 1-D node
+    partition (non-separable stimuli — the reference assembles these with
+    DOLFINx over each MPI rank's cells).
+
+    Each device receives the (padded) subset of elements that touch any of
+    its owned rows, with dof slots masked by ownership so boundary elements
+    shared by two devices contribute each entry exactly once.  Returns
+    ``(X [ndev, ne, nq, g], W [ndev, ne, nq], N [nq, nd],
+    dofs_local [ndev, ne, nd] int32, own [ndev, ne, nd])``; pad elements
+    replicate a real element with zero weight.
+    """
+    X = np.asarray(quad.X)
+    W = np.asarray(quad.W)
+    N = np.asarray(quad.N)
+    dofs = np.asarray(quad.dofs, dtype=np.int64)
+    if iperm is not None:
+        dofs = np.asarray(iperm, dtype=np.int64)[dofs]
+    nd_, nl = part.n_devices, part.n_local
+    dev_of = dofs // nl  # [ne, ndpc]
+
+    selections = [np.nonzero((dev_of == d).any(axis=1))[0] for d in range(nd_)]
+    ne_max = max(max((s.size for s in selections), default=0), 1)
+
+    Xs = np.zeros((nd_, ne_max) + X.shape[1:], dtype=X.dtype)
+    Ws = np.zeros((nd_, ne_max) + W.shape[1:], dtype=W.dtype)
+    Ds = np.zeros((nd_, ne_max, dofs.shape[1]), dtype=np.int32)
+    Os = np.zeros((nd_, ne_max, dofs.shape[1]), dtype=W.dtype)
+    for d, sel in enumerate(selections):
+        k = sel.size
+        # pad elements replicate element 0 (weight 0) so the traced
+        # expression is evaluated at real coordinates
+        Xs[d] = X[0]
+        if k == 0:
+            continue
+        Xs[d, :k] = X[sel]
+        Ws[d, :k] = W[sel]
+        own = dev_of[sel] == d
+        Ds[d, :k] = np.where(own, dofs[sel] - d * nl, 0).astype(np.int32)
+        Os[d, :k] = own
+    return (
+        jnp.asarray(Xs),
+        jnp.asarray(Ws),
+        jnp.asarray(N),
+        jnp.asarray(Ds),
+        jnp.asarray(Os),
+    )

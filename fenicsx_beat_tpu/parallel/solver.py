@@ -29,14 +29,14 @@ from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import fem
-from ..base_model import Status, _transform_I_s
+from ..base_model import Status, _as_expr, _transform_I_s
 from ..config import default_dtype
 from ..conductivities import as_cell_tensors
 from ..mesh import Mesh
 from ..ops.cg import CGInfo, cg
 from ..stimulation import TimeWindow, dx as dx_measure
 from ..telemetry import BaseMonitor, NullMonitor
-from .partition import Partition1D, pad_global, partition_ell
+from .partition import Partition1D, pad_global, partition_ell, partition_quadrature
 
 __all__ = ["ShardedMonodomainSolver"]
 
@@ -46,9 +46,16 @@ class ShardedMonodomainSolver:
     """Monodomain splitting solver sharded over a 1-D device mesh.
 
     Node arrays (ionic states, voltage, activation) are sharded along the
-    x-ordered node axis; each device owns a contiguous slab.  Stimuli must
-    be separable in space/time (``TimeWindow`` amplitude windows — the
-    production protocol, reference ``stimulation.py:270``).
+    node axis; each device owns a contiguous block.  Structured slabs keep
+    their lexicographic order (stencil SpMV); unstructured meshes (LV
+    ellipsoid, BiV) are RCM-renumbered at setup so the block partition has
+    a bounded halo, with spilled high-degree rows (hybrid ELL+tail) carried
+    as a per-device COO tail — the in-repo counterpart of the reference's
+    DOLFINx/MPI mesh partitioning (``geometry.py:112-139`` there).  Outputs
+    (``v``, ``activation_times``) are returned in the mesh's original dof
+    order.  Stimuli must be separable in space/time (``TimeWindow``
+    amplitude windows — the production protocol, reference
+    ``stimulation.py:270``).
     """
 
     mesh: Mesh
@@ -77,13 +84,25 @@ class ShardedMonodomainSolver:
         self.V = fem.functionspace(self.mesh, ("P", 1))
         n = self.V.ndofs
         M_cells = as_cell_tensors(self.M, self.mesh)
-        mass, stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
-
-        # stencil (fixed-offset) partition: gather-free shifted-FMA SpMV on
-        # the extended local vector; falls back to partitioned ELL
-        from ..ops.sparse import ell_to_stencil
+        rows, cols, mvals, kvals, shape = fem.assemble_mass_stiffness_coo(
+            self.V, M_cells
+        )
+        from ..ops.sparse import coo_to_ell, ell_to_stencil
         from .partition import partition_stencil
 
+        mass = coo_to_ell(rows, cols, mvals, shape, dtype=self.dtype)
+        stiff = coo_to_ell(rows, cols, kvals, shape, dtype=self.dtype)
+
+        # Node renumbering (perm[new] = old): identity on structured slabs
+        # (lexicographic order is already banded); RCM on unstructured
+        # meshes so the 1-D block partition has a bounded halo.  This is
+        # the role the DOLFINx/MPI partitioner plays for the reference
+        # (``geometry.py:112-139`` there).
+        self._perm = None
+        self._iperm = None
+
+        # stencil (fixed-offset) partition: gather-free shifted-FMA SpMV on
+        # the extended local vector; falls back to partitioned (hybrid) ELL
         mass_st = ell_to_stencil(mass)
         stiff_st = ell_to_stencil(stiff) if mass_st is not None else None
         if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
@@ -92,26 +111,51 @@ class ShardedMonodomainSolver:
             assert part_m == part_k
             self._offsets = mass_st.offsets
             self._cols = None
+            self._tail = None
         else:
-            part_m, cols_m, vals_mass = partition_ell(mass, nd)
-            part_k, cols_k, vals_stiff = partition_ell(stiff, nd)
+            from ..native import rcm_ordering
+
+            # symmetric pattern => CSR adjacency from the deduped triplets
+            key = rows.astype(np.int64) * n + cols.astype(np.int64)
+            uniq = np.unique(key)
+            urows = (uniq // n).astype(np.int64)
+            ucols = (uniq % n).astype(np.int32)
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(urows, minlength=n), out=indptr[1:])
+            perm = rcm_ordering(indptr, ucols).astype(np.int64)
+            iperm = np.empty(n, dtype=np.int64)
+            iperm[perm] = np.arange(n, dtype=np.int64)
+            self._perm = perm
+            self._iperm = iperm
+            mass = coo_to_ell(iperm[rows], iperm[cols], mvals, shape, dtype=self.dtype)
+            stiff = coo_to_ell(iperm[rows], iperm[cols], kvals, shape, dtype=self.dtype)
+
+            part_m, cols_m, vals_mass, tail_m = partition_ell(mass, nd)
+            part_k, cols_k, vals_stiff, tail_k = partition_ell(stiff, nd)
             # identical sparsity pattern => identical partition geometry
             assert part_m == part_k and bool(jnp.all(cols_m == cols_k))
             self._offsets = None
             self._cols = cols_m
+            if tail_m is not None:
+                tr, tc, tvm = tail_m
+                _, _, tvk = tail_k
+                self._tail = (tr, tc, tvm, tvk)
+            else:
+                self._tail = None
         self.part: Partition1D = part_m
         self._vals_mass = vals_mass
         self._vals_stiff = vals_stiff
 
-        # separable stimulus vectors: b(t) = sum_s window_s(t) * b_s
+        # Stimuli: TimeWindow protocols stay separable (b(t) = sum_s
+        # window_s(t) * b_s, one precomputed unit vector each); everything
+        # else gets per-device quadrature tables and is assembled inside
+        # the sharded step at the traced time t (the reference assembles
+        # these over each MPI rank's cells via DOLFINx).
         stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
-        b_units, windows = [], []
+        b_units, windows, win_amp_idx = [], [], []
+        gen_tables, gen_exprs, gen_Ns, gen_amp_idx = [], [], [], []
+        self._stimuli = []  # amps-slot-aligned: Stimulus or None (general)
         for s in stimuli:
-            if not isinstance(s.expr, TimeWindow):
-                raise NotImplementedError(
-                    "ShardedMonodomainSolver requires TimeWindow stimuli "
-                    "(separable space/time); use FusedMonodomainSolver otherwise"
-                )
             ents = s.dz.entities()
             if len(ents) == 0:
                 continue
@@ -119,22 +163,43 @@ class ShardedMonodomainSolver:
                 quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
             else:
                 quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
-            b_unit = np.asarray(quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0))
-            b_units.append(pad_global(b_unit, self.part))
-            windows.append((float(s.expr.start), float(s.expr.duration)))
+            slot = len(self._stimuli)
+            if isinstance(s.expr, TimeWindow):
+                b_unit = np.asarray(
+                    quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
+                )
+                if self._perm is not None:
+                    b_unit = b_unit[self._perm]
+                b_units.append(pad_global(b_unit, self.part))
+                windows.append((float(s.expr.start), float(s.expr.duration)))
+                win_amp_idx.append(slot)
+                self._stimuli.append(s)
+            else:
+                X3, W3, N, D3, O3 = partition_quadrature(quad, self.part, self._iperm)
+                gen_tables.append((X3, W3, D3, O3))
+                gen_Ns.append(N)
+                gen_exprs.append(_as_expr(s.expr))
+                gen_amp_idx.append(slot)
+                self._stimuli.append(None)
         self._b_units = (
             jnp.asarray(np.stack(b_units), dtype=self.dtype)
             if b_units
             else jnp.zeros((0, self.part.n_pad), dtype=self.dtype)
         )
         self._windows = windows
-        self._stimuli = [s for s in stimuli if len(s.dz.entities())]
+        self._win_amp_idx = win_amp_idx
+        self._gen_tables = tuple(gen_tables)
+        self._gen_Ns = gen_Ns
+        self._gen_exprs = gen_exprs
+        self._gen_amp_idx = gen_amp_idx
 
         init = np.asarray(self.init_states, dtype=np.float64)
         if init.ndim == 1:
             states = np.tile(init[:, None], (1, n))
         else:
             states = init.copy()
+            if self._perm is not None:
+                states = states[:, self._perm]
         pad = self.part.n_pad - n
         if pad:
             # replicate node 0 into the padding so log/division-based ionic
@@ -166,6 +231,10 @@ class ShardedMonodomainSolver:
         ode_fun = self.ode_fun
         params_j = self._params_j
         windows = self._windows
+        win_amp_idx = self._win_amp_idx
+        gen_Ns = self._gen_Ns
+        gen_exprs = self._gen_exprs
+        gen_amp_idx = self._gen_amp_idx
         rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
         fwd = [(i, i + 1) for i in range(nd - 1)]
         bwd = [(i + 1, i) for i in range(nd - 1)]
@@ -184,7 +253,7 @@ class ShardedMonodomainSolver:
         if offsets is not None:
             k0 = offsets.index(0)
 
-            def spmv(vals_loc, cols_loc, x_loc):
+            def spmv(vals_loc, cols_loc, x_loc, tail_loc=None):
                 # cols_loc unused: shifted fused multiply-adds over the
                 # extended local vector (same trick as StencilMatrix)
                 x_ext = halo_extend(x_loc)
@@ -197,18 +266,29 @@ class ShardedMonodomainSolver:
                     )
                 return y
 
-            def diag_of(A_vals, cols_loc):
+            def diag_of(A_vals, cols_loc, tail_loc=None):
                 return A_vals[:, k0]
 
         else:
 
-            def spmv(vals_loc, cols_loc, x_loc):
+            def spmv(vals_loc, cols_loc, x_loc, tail_loc=None):
                 x_ext = halo_extend(x_loc)
-                return jnp.sum(vals_loc * x_ext[cols_loc], axis=1)
+                y = jnp.sum(vals_loc * x_ext[cols_loc], axis=1)
+                if tail_loc is not None:
+                    # hybrid COO tail (spilled high-degree rows, e.g. the
+                    # welded LV apex): scatter-add against the extended
+                    # local vector; pad slots carry value 0
+                    tr, tc, tv = tail_loc
+                    y = y.at[tr].add(tv * x_ext[tc])
+                return y
 
-            def diag_of(A_vals, cols_loc):
+            def diag_of(A_vals, cols_loc, tail_loc=None):
                 rows = jnp.arange(n_local, dtype=cols_loc.dtype)[:, None] + H
-                return jnp.sum(jnp.where(cols_loc == rows, A_vals, 0.0), axis=1)
+                d = jnp.sum(jnp.where(cols_loc == rows, A_vals, 0.0), axis=1)
+                if tail_loc is not None:
+                    tr, tc, tv = tail_loc
+                    d = d.at[tr].add(jnp.where(tc == tr + H, tv, 0.0))
+                return d
 
         # per-device mask excluding the globally padded dofs from CG inner
         # products (same reasoning as the fused solver's masked cg_dot)
@@ -222,32 +302,52 @@ class ShardedMonodomainSolver:
             mask = (jnp.arange(n_local) < k).astype(a.dtype)
             return jax.lax.psum(jnp.vdot(a * mask, b), axis)
 
-        def local_chunk(states_loc, act_loc, cols3, vm3, vk3, b_units, t0, dt, amps, n_steps):
+        def local_chunk(
+            states_loc, act_loc, cols3, vm3, vk3, tr3, tc3, tvm3, tvk3,
+            b_units, gq, t0, dt, amps, n_steps,
+        ):
             cols_loc = cols3[0]
             vm = vm3[0]
             vk = vk3[0]
             A_vals = C_m * vm + (pde_theta * dt) * vk
             B_vals = C_m * vm - ((1.0 - pde_theta) * dt) * vk
-            diag = diag_of(A_vals, cols_loc)
+            if tr3.shape[-1] > 0:
+                tr, tc = tr3[0], tc3[0]
+                tail_A = (tr, tc, C_m * tvm3[0] + (pde_theta * dt) * tvk3[0])
+                tail_B = (tr, tc, C_m * tvm3[0] - ((1.0 - pde_theta) * dt) * tvk3[0])
+            else:
+                tail_A = tail_B = None
+            diag = diag_of(A_vals, cols_loc, tail_A)
 
             def stim_vector(t):
                 # amplitudes are traced so Stimulus.assign takes effect at
                 # the next chunk (matches the fused solver)
                 b = jnp.zeros((n_local,), dtype=A_vals.dtype)
                 for i, (start, dur) in enumerate(windows):
-                    on = jnp.where((t >= start) & (t <= start + dur), amps[i], 0.0)
+                    on = jnp.where(
+                        (t >= start) & (t <= start + dur), amps[win_amp_idx[i]], 0.0
+                    )
                     b = b + on * b_units[i]
+                # non-separable stimuli: per-device quadrature assembly at
+                # the traced time (fused path: _assemble_rhs)
+                for j, (X4, W4, D4, O4) in enumerate(gq):
+                    x = jnp.moveaxis(X4[0], -1, 0)
+                    vals = gen_exprs[j](x, t) * W4[0]
+                    cellvals = jnp.einsum("eq,qd->ed", vals, gen_Ns[j]) * O4[0]
+                    load = jnp.zeros((n_local,), dtype=A_vals.dtype)
+                    load = load.at[D4[0].ravel()].add(cellvals.ravel())
+                    b = b + amps[gen_amp_idx[j]] * load
                 return b
 
             def one_step(carry, _):
                 states, act, t, dv = carry
                 states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
                 v = states[v_index]
-                b = spmv(B_vals, cols_loc, v) + dt * stim_vector(t + pde_theta * dt)
+                b = spmv(B_vals, cols_loc, v, tail_B) + dt * stim_vector(t + pde_theta * dt)
                 # warm start with the previous solve increment (matches the
                 # fused solver)
                 v_new, info = cg(
-                    lambda u: spmv(A_vals, cols_loc, u),
+                    lambda u: spmv(A_vals, cols_loc, u, tail_A),
                     b,
                     v + dv,
                     precond_diag=diag,
@@ -310,7 +410,20 @@ class ShardedMonodomainSolver:
                     P(axis, None, None),  # cols3
                     P(axis, None, None),  # vals mass
                     P(axis, None, None),  # vals stiff
+                    P(axis, None),  # tail rows (local)
+                    P(axis, None),  # tail cols (extended local)
+                    P(axis, None),  # tail vals mass
+                    P(axis, None),  # tail vals stiffness
                     P(None, axis),  # stimulus unit vectors
+                    tuple(
+                        (
+                            P(axis, None, None, None),  # quad points X
+                            P(axis, None, None),  # quad weights W
+                            P(axis, None, None),  # local target dofs
+                            P(axis, None, None),  # ownership mask
+                        )
+                        for _ in self._gen_tables
+                    ),  # non-separable stimulus tables
                     P(),  # t0
                     P(),  # dt
                     P(),  # stimulus amplitudes (traced: assign support)
@@ -323,19 +436,33 @@ class ShardedMonodomainSolver:
                 if self._cols is not None
                 else jnp.zeros((nd, 1, 1), dtype=jnp.int32)
             )
+            if self._tail is not None:
+                tr3, tc3, tvm3, tvk3 = self._tail
+            else:
+                tr3 = tc3 = jnp.zeros((nd, 0), dtype=jnp.int32)
+                tvm3 = tvk3 = jnp.zeros((nd, 0), dtype=self._vals_mass.dtype)
             return fn(states, act, cols_arg, self._vals_mass, self._vals_stiff,
-                      self._b_units, t0, dt, amps)
+                      tr3, tc3, tvm3, tvk3, self._b_units, self._gen_tables,
+                      t0, dt, amps)
 
         self._run_chunk = run_chunk
 
     def stimulus_amplitudes(self) -> jnp.ndarray:
-        amps = [float(s.expr.amplitude) for s in self._stimuli]
+        """Live amplitude vector (read each chunk; 1.0 for non-TimeWindow
+        exprs whose value is baked into the traced callable)."""
+        amps = [
+            float(s.expr.amplitude) if s is not None else 1.0 for s in self._stimuli
+        ]
         return jnp.asarray(amps or [0.0], dtype=self.dtype)
 
     # ------------------------------------------------------------------
     @property
     def v(self) -> jnp.ndarray:
-        return self.states[self.v_index][: self.part.n_global]
+        """Voltage in the mesh's original dof order."""
+        v = self.states[self.v_index][: self.part.n_global]
+        if self._iperm is not None:
+            v = v[self._iperm]
+        return v
 
     def solve(self, interval, dt, save_freq: int | None = None, save_callback=None) -> Status:
         """Sharded time loop; returns ``Status.NOT_CONVERGING`` if any
@@ -378,4 +505,8 @@ class ShardedMonodomainSolver:
         return Status.OK if all_converged else Status.NOT_CONVERGING
 
     def activation_times(self) -> np.ndarray:
-        return np.asarray(self.activation_time)[: self.part.n_global]
+        """Activation times in the mesh's original dof order."""
+        act = np.asarray(self.activation_time)[: self.part.n_global]
+        if self._iperm is not None:
+            act = act[self._iperm]
+        return act

@@ -78,7 +78,8 @@ def test_partitioned_spmv_matches_global(n_devices):
     geo = get_3D_slab_geometry(None, dx=1.0, Lx=10.0, Ly=5.0, Lz=3.0)
     V = fem.functionspace(geo.mesh, ("P", 1))
     mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
-    part, cols, vals = partition_ell(stiff, n_devices)
+    part, cols, vals, tail = partition_ell(stiff, n_devices)
+    assert tail is None  # slab operators have no spilled high-degree rows
     rng = np.random.default_rng(0)
     x = rng.standard_normal(V.ndofs)
     y_ref = np.asarray(stiff @ jnp.asarray(x))
@@ -177,3 +178,98 @@ def test_sharded_solver_with_padding():
     assert np.isfinite(v_s).all()
     assert v_s.max() > 0.0  # the stimulus depolarized (CG actually ran)
     np.testing.assert_allclose(v_s, v_f, rtol=1e-7, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_unstructured_lv_matches_fused(n_devices):
+    """LV ellipsoid (unstructured: hybrid ELL+tail operator from the welded
+    apex) sharded over the device mesh must match the fused solver — the
+    reference partitions arbitrary meshes via DOLFINx (geometry.py:112-139
+    there); here RCM renumbering + tail-aware partitioning plays that role."""
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+    from fenicsx_beat_tpu.stimulation import TimeWindow, dx as dx_measure
+    from fenicsx_beat_tpu import Stimulus
+
+    dmesh = _device_mesh(n_devices)
+    geo = get_lv_ellipsoid_geometry(None, psize_ref=0.6)
+    mesh = geo.mesh
+
+    # apex-region stimulus (cells below the 20th percentile of x)
+    coords = mesh.coords
+    x_cut = np.percentile(coords[:, 0], 20.0)
+    cells = locate_entities(mesh, mesh.tdim, lambda x: x[0] <= x_cut)
+    tags = meshtags(mesh, mesh.tdim, cells, 1)
+    dx = dx_measure(mesh, subdomain_data=tags)
+    I_s = Stimulus(expr=TimeWindow(amplitude=50.0, start=0.0, duration=2.0), dZ=dx, marker=1)
+
+    common = dict(
+        mesh=mesh,
+        M=define_conductivity_tensor(f0=geo.f0, **default_conductivities("Niederer")),
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        theta=1.0,
+    )
+
+    fused = FusedMonodomainSolver(**common)
+    assert fused._mass.has_tail or not hasattr(fused._mass, "has_tail")
+    fused.solve((0.0, 2.0), dt=0.05)
+    v_fused = np.asarray(fused.v)
+
+    sharded = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    assert sharded._perm is not None  # RCM renumbering engaged
+    assert sharded._tail is not None  # apex rows spilled into the COO tail
+    sharded.solve((0.0, 2.0), dt=0.05)
+    v_sharded = np.asarray(sharded.v)
+
+    assert np.isfinite(v_sharded).all()
+    assert v_sharded.max() > 0.0  # stimulus depolarized the apex
+    np.testing.assert_allclose(v_sharded, v_fused, rtol=1e-7, atol=1e-6)
+    np.testing.assert_allclose(
+        sharded.activation_times(), fused.activation_times(), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_sharded_general_stimulus_matches_fused():
+    """Non-separable stimulus (arbitrary space-time callable, not a
+    TimeWindow): the sharded solver assembles it per device inside the
+    step; must match the fused solver's global assembly."""
+    import jax.numpy as jnp
+    from fenicsx_beat_tpu import Stimulus
+    from fenicsx_beat_tpu.stimulation import dx as dx_measure
+
+    dmesh = _device_mesh(8)
+    geo = get_3D_slab_geometry(None, dx=1.0, Lx=20.0, Ly=7.0, Lz=3.0)
+    mesh = geo.mesh
+    tol = 1e-10
+    cells = locate_entities(
+        mesh, mesh.tdim,
+        lambda x: (x[0] <= 3.0 + tol) & (x[1] <= 3.0 + tol) & (x[2] <= 3.0 + tol),
+    )
+    tags = meshtags(mesh, mesh.tdim, cells, 1)
+    dx = dx_measure(mesh, subdomain_data=tags)
+
+    def expr(x, t):  # traveling gaussian * ramp — not separable
+        return 40.0 * jnp.exp(-((x[0] - 0.5 * t) ** 2)) * jnp.maximum(0.0, 1.0 - t / 4.0)
+
+    I_s = Stimulus(expr=expr, dZ=dx, marker=1)
+    common = dict(
+        mesh=mesh,
+        M=define_conductivity_tensor(f0=geo.f0, **default_conductivities("Niederer")),
+        ode_fun=tp06.generalized_rush_larsen,
+        init_states=tp06.init_state_values(),
+        parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        theta=1.0,
+    )
+    fused = FusedMonodomainSolver(**common)
+    fused.solve((0.0, 2.0), dt=0.05)
+    sharded = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    assert len(sharded._gen_tables) == 1  # general path engaged
+    sharded.solve((0.0, 2.0), dt=0.05)
+    np.testing.assert_allclose(
+        np.asarray(sharded.v), np.asarray(fused.v), rtol=1e-7, atol=1e-6
+    )
