@@ -75,6 +75,7 @@ class FusedMonodomainSolver:
     activation_threshold: float = 0.0
     dtype: Any = None
     probe_points: Any = None  # [np, gdim] physical probe coordinates
+    ode_markers: Any = None  # per-node marker array/Function: multi-model
     use_pallas_ode: bool | None = None  # None = auto (TPU backend only)
     pallas_spmv_min_nodes: int = 4096  # below this the XLA stencil SpMV wins
 
@@ -92,6 +93,41 @@ class FusedMonodomainSolver:
 
         self.V = fem.functionspace(self.mesh, ("P", 1))
         n = self.V.ndofs
+
+        # multi-marker ionic models (DolfinMultiODESolver semantics,
+        # reference odesolver.py:228-354): dicts keyed by marker compose
+        # into one traceable step whose `parameters` are the node masks
+        self._ode_masks = None
+        if isinstance(self.ode_fun, dict):
+            if self.ode_markers is None:
+                raise ValueError("dict-valued ode_fun requires ode_markers")
+            from .odesolver import make_multi_ode
+
+            markers = (
+                self.ode_markers.x.array
+                if hasattr(self.ode_markers, "x")
+                else self.ode_markers
+            )
+            markers = np.asarray(markers).astype(np.int64)
+            if markers.shape[0] != n:
+                raise ValueError(
+                    f"ode_markers has {markers.shape[0]} entries, expected {n}"
+                )
+            (
+                self.ode_fun,
+                self.init_states,
+                self._ode_masks,
+                self.v_index,
+            ) = make_multi_ode(
+                markers,
+                self.ode_fun,
+                self.init_states,
+                self.parameters,
+                self.v_index,
+                dtype=self.dtype,
+            )
+            self.parameters = None  # masks travel as the traced parameters
+
         M_cells = as_cell_tensors(self.M, self.mesh)
         self._mass, self._stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
         # stencil (fixed-offset) form: gather-free SpMV on structured meshes
@@ -133,7 +169,14 @@ class FusedMonodomainSolver:
 
         use_pallas = self.use_pallas_ode
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # the pallas ionic kernel bakes parameters as immediates; node-
+            # sized parameters (multi-marker masks, per-node vectors) stay
+            # on the plain jnp path
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and self._ode_masks is None
+                and np.ndim(self.parameters) < 2
+            )
         self._use_pallas = use_pallas
         if use_pallas and isinstance(self._mass, StencilMatrix):
             # large meshes round to 512-row kernel blocks (65536 nodes) so
@@ -170,9 +213,20 @@ class FusedMonodomainSolver:
                 )
         self.states = jnp.asarray(states, dtype=self.dtype)
         self.activation_time = jnp.full((self._n_pad,), -1.0, dtype=self.dtype)
-        self._params_j = (
-            None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
-        )
+        if self._ode_masks is not None:
+            masks = self._ode_masks
+            if pad:
+                masks = np.concatenate([masks, np.tile(masks[:, :1], (1, pad))], axis=1)
+            self._params_j = jnp.asarray(masks)
+        elif self.parameters is not None and np.ndim(self.parameters) == 2:
+            pvals = np.asarray(self.parameters, dtype=np.float64)
+            if pad:
+                pvals = np.concatenate([pvals, np.tile(pvals[:, :1], (1, pad))], axis=1)
+            self._params_j = jnp.asarray(pvals, dtype=self.dtype)
+        else:
+            self._params_j = (
+                None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
+            )
         if self.probe_points is not None:
             pdofs, pw = fem.point_evaluation_tables(self.V, np.asarray(self.probe_points))
             self._probe_tables = (jnp.asarray(pdofs), jnp.asarray(pw, dtype=self.dtype))

@@ -34,6 +34,7 @@ __all__ = [
     "BaseDolfinODESolver",
     "DolfinODESolver",
     "DolfinMultiODESolver",
+    "make_multi_ode",
 ]
 
 
@@ -350,3 +351,93 @@ class DolfinMultiODESolver(BaseDolfinODESolver):
         for marker in self._marker_values:
             self._full_values[:, self._inds[marker]] = self._values[marker]
         return self._full_values
+
+
+def make_multi_ode(
+    markers: np.ndarray,
+    fun: dict[int, Callable],
+    init_states: dict[int, np.ndarray],
+    parameters: dict[int, np.ndarray | None],
+    v_index: dict[int, int],
+    dtype=np.float64,
+):
+    """Compose marker-partitioned ionic models into ONE jax-traceable step
+    for the fused/sharded solvers (``DolfinMultiODESolver`` semantics,
+    reference ``odesolver.py:228-354``, but compiler-friendly: no
+    boolean-index gather/scatter).
+
+    Every model steps the full node axis on a union state array
+    ``[S_max, n]`` and a per-marker mask selects which nodes keep its
+    result — nodes outside a model's marker evolve that model's dynamics
+    on their own rows but are never read, so the trajectories of the
+    marked nodes are exactly the per-marker ones.  Cost: each model runs
+    over all nodes (2-3 markers => 2-3x ionic FLOPs), the price of static
+    shapes on TPU.
+
+    Returns ``(ode_fun, init_union [S_max, n], masks [nm, n] bool,
+    v_index_common)`` where ``ode_fun(states, t, parameters, dt)`` takes
+    the (possibly node-sharded) ``masks`` as its ``parameters`` argument —
+    per-marker parameter vectors are baked into the closure.
+
+    Models may disagree on their voltage row: each model's rows are stored
+    with its voltage swapped to row 0 (the swap is applied around every
+    model call), so ``v_index_common`` is always 0 and the solvers read a
+    single voltage row regardless of per-model layouts.
+    """
+    marker_values = tuple(sorted(fun.keys()))
+    for d, name in ((init_states, "init_states"), (parameters, "parameters"), (v_index, "v_index")):
+        if set(d.keys()) != set(marker_values):
+            raise ValueError(f"{name} keys {set(d.keys())} != fun keys {set(marker_values)}")
+
+    markers = np.asarray(markers)
+    n = markers.shape[0]
+    masks = np.stack([markers == m for m in marker_values])
+    sizes, swaps = {}, {}
+    init_union = None
+    for i, m in enumerate(marker_values):
+        init_m = np.asarray(init_states[m], dtype=np.float64)
+        S_m = init_m.shape[0]
+        sizes[m] = S_m
+        swap = np.arange(S_m)
+        v_m = int(v_index[m])
+        swap[[0, v_m]] = [v_m, 0]  # involution: storage <-> model layout
+        swaps[m] = swap
+        if init_union is None or S_m > init_union.shape[0]:
+            grown = np.zeros((S_m, n))
+            if init_union is not None:
+                grown[: init_union.shape[0]] = init_union
+            init_union = grown
+        nodes = masks[i]
+        if init_m.ndim == 1:
+            init_union[:S_m, nodes] = init_m[swap][:, None]
+        else:
+            init_union[:S_m, nodes] = init_m[swap][:, nodes]
+    S_max = init_union.shape[0]
+
+    import jax.numpy as jnp
+
+    funs = [fun[m] for m in marker_values]
+    params = [
+        None if parameters[m] is None else jnp.asarray(parameters[m], dtype=dtype)
+        for m in marker_values
+    ]
+    model_sizes = [sizes[m] for m in marker_values]
+    model_swaps = [jnp.asarray(swaps[m]) for m in marker_values]
+    trivial_swap = [int(v_index[m]) == 0 for m in marker_values]
+
+    def ode_fun(states, t, parameters, dt):
+        node_masks = parameters.astype(bool)  # [nm, n_loc]
+        out = states
+        for i, (f, p, S_m) in enumerate(zip(funs, params, model_sizes)):
+            s_model = states[:S_m]
+            if not trivial_swap[i]:
+                s_model = s_model[model_swaps[i]]
+            y = f(states=s_model, t=t, parameters=p, dt=dt)
+            if not trivial_swap[i]:
+                y = y[model_swaps[i]]
+            if S_m < S_max:
+                y = jnp.concatenate([y, states[S_m:]], axis=0)
+            out = jnp.where(node_masks[i][None, :], y, out)
+        return out
+
+    return ode_fun, init_union, masks, 0

@@ -53,9 +53,12 @@ class ShardedMonodomainSolver:
     as a per-device COO tail — the in-repo counterpart of the reference's
     DOLFINx/MPI mesh partitioning (``geometry.py:112-139`` there).  Outputs
     (``v``, ``activation_times``) are returned in the mesh's original dof
-    order.  Stimuli must be separable in space/time (``TimeWindow``
-    amplitude windows — the production protocol, reference
-    ``stimulation.py:270``).
+    order.  ``TimeWindow`` stimuli use a precomputed separable fast path;
+    arbitrary space-time callables are assembled per device inside the
+    step.  Multi-marker ionic models (dict-valued ``ode_fun`` /
+    ``init_states`` / ``parameters`` / ``v_index`` plus ``ode_markers``)
+    follow ``DolfinMultiODESolver`` semantics via masked composition
+    (:func:`~fenicsx_beat_tpu.odesolver.make_multi_ode`).
     """
 
     mesh: Mesh
@@ -75,6 +78,7 @@ class ShardedMonodomainSolver:
     activation_threshold: float = 0.0
     dtype: Any = None
     monitor: BaseMonitor = field(default_factory=NullMonitor)
+    ode_markers: Any = None  # per-node marker array/Function: multi-model
 
     def __post_init__(self):
         self.dtype = self.dtype or default_dtype()
@@ -83,6 +87,40 @@ class ShardedMonodomainSolver:
 
         self.V = fem.functionspace(self.mesh, ("P", 1))
         n = self.V.ndofs
+
+        # multi-marker ionic models: compose into one traceable step whose
+        # `parameters` are the node masks (sharded along the node axis)
+        self._ode_masks = None
+        if isinstance(self.ode_fun, dict):
+            if self.ode_markers is None:
+                raise ValueError("dict-valued ode_fun requires ode_markers")
+            from ..odesolver import make_multi_ode
+
+            markers = (
+                self.ode_markers.x.array
+                if hasattr(self.ode_markers, "x")
+                else self.ode_markers
+            )
+            markers = np.asarray(markers).astype(np.int64)
+            if markers.shape[0] != n:
+                raise ValueError(
+                    f"ode_markers has {markers.shape[0]} entries, expected {n}"
+                )
+            (
+                self.ode_fun,
+                self.init_states,
+                self._ode_masks,
+                self.v_index,
+            ) = make_multi_ode(
+                markers,
+                self.ode_fun,
+                self.init_states,
+                self.parameters,
+                self.v_index,
+                dtype=self.dtype,
+            )
+            self.parameters = None  # masks travel as the traced parameters
+
         M_cells = as_cell_tensors(self.M, self.mesh)
         rows, cols, mvals, kvals, shape = fem.assemble_mass_stiffness_coo(
             self.V, M_cells
@@ -213,9 +251,30 @@ class ShardedMonodomainSolver:
         shard_vec = NamedSharding(self.device_mesh, P(self.axis))
         self.states = jax.device_put(jnp.asarray(states, dtype=self.dtype), shard_nodes)
         self.activation_time = jax.device_put(jnp.asarray(act, dtype=self.dtype), shard_vec)
-        self._params_j = (
-            None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
-        )
+        # ODE parameters: node-aligned arrays (multi-marker masks, per-node
+        # parameter vectors) are permuted/padded and threaded through
+        # shard_map along the node axis; plain vectors replicate via closure
+        self._params_sharded = False
+        if self._ode_masks is not None:
+            masks = self._ode_masks
+            if self._perm is not None:
+                masks = masks[:, self._perm]
+            if pad:
+                masks = np.concatenate([masks, np.tile(masks[:, :1], (1, pad))], axis=1)
+            self._params_j = jnp.asarray(masks)
+            self._params_sharded = True
+        elif self.parameters is not None and np.ndim(self.parameters) == 2:
+            pvals = np.asarray(self.parameters, dtype=np.float64)
+            if self._perm is not None:
+                pvals = pvals[:, self._perm]
+            if pad:
+                pvals = np.concatenate([pvals, np.tile(pvals[:, :1], (1, pad))], axis=1)
+            self._params_j = jnp.asarray(pvals, dtype=self.dtype)
+            self._params_sharded = True
+        else:
+            self._params_j = (
+                None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
+            )
         self._build_kernels()
 
     # ------------------------------------------------------------------
@@ -230,6 +289,7 @@ class ShardedMonodomainSolver:
         v_index = self.v_index
         ode_fun = self.ode_fun
         params_j = self._params_j
+        params_sharded = self._params_sharded
         windows = self._windows
         win_amp_idx = self._win_amp_idx
         gen_Ns = self._gen_Ns
@@ -304,8 +364,9 @@ class ShardedMonodomainSolver:
 
         def local_chunk(
             states_loc, act_loc, cols3, vm3, vk3, tr3, tc3, tvm3, tvk3,
-            b_units, gq, t0, dt, amps, n_steps,
+            b_units, gq, pnode, t0, dt, amps, n_steps,
         ):
+            ode_params = pnode if params_sharded else params_j
             cols_loc = cols3[0]
             vm = vm3[0]
             vk = vk3[0]
@@ -341,7 +402,7 @@ class ShardedMonodomainSolver:
 
             def one_step(carry, _):
                 states, act, t, dv = carry
-                states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
+                states = ode_fun(states=states, t=t, parameters=ode_params, dt=theta * dt)
                 v = states[v_index]
                 b = spmv(B_vals, cols_loc, v, tail_B) + dt * stim_vector(t + pde_theta * dt)
                 # warm start with the previous solve increment (matches the
@@ -362,7 +423,7 @@ class ShardedMonodomainSolver:
                     states = ode_fun(
                         states=states,
                         t=t + theta * dt,
-                        parameters=params_j,
+                        parameters=ode_params,
                         dt=(1.0 - theta) * dt,
                     )
                     v_new = states[v_index]
@@ -424,6 +485,10 @@ class ShardedMonodomainSolver:
                         )
                         for _ in self._gen_tables
                     ),  # non-separable stimulus tables
+                    # node-aligned ODE parameters (multi-marker masks /
+                    # per-node vectors) shard along nodes; otherwise a
+                    # dummy replicated placeholder (closure carries them)
+                    P(None, axis) if params_sharded else P(),
                     P(),  # t0
                     P(),  # dt
                     P(),  # stimulus amplitudes (traced: assign support)
@@ -441,9 +506,14 @@ class ShardedMonodomainSolver:
             else:
                 tr3 = tc3 = jnp.zeros((nd, 0), dtype=jnp.int32)
                 tvm3 = tvk3 = jnp.zeros((nd, 0), dtype=self._vals_mass.dtype)
+            pnode_arg = (
+                self._params_j
+                if params_sharded
+                else jnp.zeros((0,), dtype=self.dtype)
+            )
             return fn(states, act, cols_arg, self._vals_mass, self._vals_stiff,
                       tr3, tc3, tvm3, tvk3, self._b_units, self._gen_tables,
-                      t0, dt, amps)
+                      pnode_arg, t0, dt, amps)
 
         self._run_chunk = run_chunk
 

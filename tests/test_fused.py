@@ -183,3 +183,57 @@ def test_fused_surfaces_cg_non_convergence():
     )
     assert healthy.solve((0.0, 0.5), dt=0.05) == Status.OK
     assert ok_monitor.ksp_last_converged_reason == 1
+
+
+def test_fused_multi_marker_matches_oo():
+    """Two-marker TP06 (different per-region initial states) on the fused
+    path must match the OO MonodomainSplittingSolver driving a
+    DolfinMultiODESolver (reference odesolver.py:228-354 semantics)."""
+    from fenicsx_beat_tpu.odesolver import DolfinMultiODESolver
+
+    mesh, I_s, dx = _setup(N=12)
+    T, dt = 2.0, 0.05
+    M = 0.001
+
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    init1 = tp06.init_state_values()
+    init2 = tp06.init_state_values(V=-60.0)  # pre-depolarized region
+    v_index = tp06.state_index("V")
+
+    V_ode = fem.functionspace(mesh, ("P", 1))
+    coords = V_ode.tabulate_dof_coordinates()
+    marker_arr = np.where(coords[:, 0] < 0.5, 1, 2)
+
+    # OO path with DolfinMultiODESolver
+    time = fem.Constant(0.0)
+    pde = beat.MonodomainModel(time=time, mesh=mesh, M=M, I_s=I_s, dx=dx)
+    markers_fn = fem.Function(V_ode)
+    markers_fn.x.array[:] = marker_arr
+    ode = DolfinMultiODESolver(
+        v_ode=fem.Function(V_ode),
+        v_pde=pde.state,
+        markers=markers_fn,
+        init_states={1: init1, 2: init2},
+        parameters={1: params, 2: params},
+        fun={1: tp06.generalized_rush_larsen, 2: tp06.generalized_rush_larsen},
+        num_states={1: len(init1), 2: len(init2)},
+        v_index={1: v_index, 2: v_index},
+    )
+    oo = beat.MonodomainSplittingSolver(pde=pde, ode=ode, theta=1.0)
+    oo.solve((0.0, T), dt=dt)
+    v_oo = np.array(pde.state.x.array)
+
+    # fused path with dict-valued model inputs
+    fused = FusedMonodomainSolver(
+        mesh=mesh,
+        M=M,
+        ode_fun={1: tp06.generalized_rush_larsen, 2: tp06.generalized_rush_larsen},
+        init_states={1: init1, 2: init2},
+        parameters={1: params, 2: params},
+        v_index={1: v_index, 2: v_index},
+        ode_markers=marker_arr,
+        I_s=I_s,
+        theta=1.0,
+    )
+    fused.solve((0.0, T), dt=dt)
+    np.testing.assert_allclose(np.asarray(fused.v), v_oo, rtol=1e-6, atol=1e-4)

@@ -198,3 +198,58 @@ def test_DolfinMultiODESolver():
     states = ode.states_to_dolfin()
     assert len(states) == 2
     assert np.allclose(states[0].x.array, 1.0)
+
+
+def test_make_multi_ode_mixed_models():
+    """Composed multi-marker step (make_multi_ode) reproduces each model's
+    own trajectory on its nodes — including models with different state
+    counts AND different voltage rows (TP06: 19 states, V at 0; FHN: 2
+    states, v at 1)."""
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+    from fenicsx_beat_tpu.models import tentusscher_panfilov_2006 as tp06
+    from fenicsx_beat_tpu.odesolver import make_multi_ode
+
+    n = 40
+    rng = np.random.default_rng(3)
+    markers = np.where(rng.random(n) < 0.5, 1, 2)
+
+    fun = {1: tp06.generalized_rush_larsen, 2: fhn.generalized_rush_larsen}
+    init = {1: tp06.init_state_values(), 2: fhn.init_state_values()}
+    params = {
+        1: tp06.init_parameter_values(stim_amplitude=0.0),
+        2: fhn.init_parameter_values(),
+    }
+    v_index = {1: tp06.state_index("V"), 2: fhn.state_index("v")}
+
+    ode_fun, union, masks, v_common = make_multi_ode(markers, fun, init, params, v_index)
+    assert v_common == 0
+    assert union.shape == (19, n)
+    assert masks.shape == (2, n)
+
+    # reference trajectories: each model stepped alone over all nodes
+    dt, nsteps = 0.05, 20
+    s1 = jnp.asarray(np.tile(np.asarray(init[1])[:, None], (1, n)))
+    s2 = jnp.asarray(np.tile(np.asarray(init[2])[:, None], (1, n)))
+    su = jnp.asarray(union)
+    masks_j = jnp.asarray(masks)
+    t = 0.0
+    for _ in range(nsteps):
+        s1 = fun[1](states=s1, t=t, parameters=jnp.asarray(params[1]), dt=dt)
+        s2 = fun[2](states=s2, t=t, parameters=jnp.asarray(params[2]), dt=dt)
+        su = ode_fun(states=su, t=t, parameters=masks_j, dt=dt)
+        t += dt
+
+    m1, m2 = masks[0], masks[1]
+    # marker-1 nodes: all 19 rows match TP06 (stored with V swapped to 0)
+    swap1 = np.arange(19)
+    swap1[[0, v_index[1]]] = [v_index[1], 0]
+    np.testing.assert_allclose(
+        np.asarray(su)[:, m1], np.asarray(s1)[swap1][:, m1], rtol=1e-12, atol=1e-12
+    )
+    # marker-2 nodes: first 2 rows match FHN (v swapped to row 0)
+    swap2 = np.array([1, 0])
+    np.testing.assert_allclose(
+        np.asarray(su)[:2, m2], np.asarray(s2)[swap2][:, m2], rtol=1e-12, atol=1e-12
+    )

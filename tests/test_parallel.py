@@ -273,3 +273,56 @@ def test_sharded_general_stimulus_matches_fused():
     np.testing.assert_allclose(
         np.asarray(sharded.v), np.asarray(fused.v), rtol=1e-7, atol=1e-6
     )
+
+
+def test_sharded_two_marker_matches_fused():
+    """Two-marker ionic models (DolfinMultiODESolver semantics) on the
+    sharded path: per-node masks shard along the node axis and survive the
+    RCM-free slab partition; must match the fused multi-marker solver."""
+    dmesh = _device_mesh(8)
+    geo = get_3D_slab_geometry(None, dx=1.0, Lx=20.0, Ly=7.0, Lz=3.0)
+    mesh = geo.mesh
+    conds = default_conductivities("Niederer")
+    tol = 1e-10
+    cells = locate_entities(
+        mesh, mesh.tdim,
+        lambda x: (x[0] <= 1.5 + tol) & (x[1] <= 1.5 + tol) & (x[2] <= 1.5 + tol),
+    )
+    tags = meshtags(mesh, mesh.tdim, cells, 1)
+    I_s = define_stimulus(
+        mesh=mesh,
+        chi=conds["chi"],
+        time=fem.Constant(0.0),
+        subdomain_data=tags,
+        marker=1,
+        mesh_unit="mm",
+        amplitude=50_000.0,
+        duration=2.0,
+    )
+    V = fem.functionspace(mesh, ("P", 1))
+    coords = V.tabulate_dof_coordinates()
+    marker_arr = np.where(coords[:, 0] < 10.0, 1, 2)
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    common = dict(
+        mesh=mesh,
+        M=define_conductivity_tensor(f0=geo.f0, **conds),
+        ode_fun={1: tp06.generalized_rush_larsen, 2: tp06.generalized_rush_larsen},
+        init_states={
+            1: tp06.init_state_values(),
+            2: tp06.init_state_values(V=-60.0),
+        },
+        parameters={1: params, 2: params},
+        v_index={1: tp06.state_index("V"), 2: tp06.state_index("V")},
+        ode_markers=marker_arr,
+        I_s=I_s,
+        theta=1.0,
+        C_m=(1.0 * ureg("uF/cm**2")).to("uF/mm**2").magnitude,
+    )
+    fused = FusedMonodomainSolver(**common)
+    fused.solve((0.0, 2.0), dt=0.05)
+    sharded = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    assert sharded._params_sharded  # masks travel along the node axis
+    sharded.solve((0.0, 2.0), dt=0.05)
+    np.testing.assert_allclose(
+        np.asarray(sharded.v), np.asarray(fused.v), rtol=1e-7, atol=1e-6
+    )
