@@ -73,6 +73,79 @@ def _edge_combos(tdim: int) -> list[tuple[int, int]]:
     return list(itertools.combinations(range(tdim + 1), 2))
 
 
+def _face_combos(tdim: int) -> list[tuple[int, int, int]]:
+    return list(itertools.combinations(range(tdim + 1), 3))
+
+
+def _interior_multiindices(nverts: int, p: int) -> list[tuple[int, ...]]:
+    """Barycentric multi-indices with every component >= 1 summing to p,
+    in lexicographic order — the canonical ordering for entity-interior
+    lattice dofs shared between cells."""
+    out = []
+    for combo in itertools.product(range(1, p), repeat=nverts - 1):
+        last = p - sum(combo)
+        if last >= 1:
+            out.append(combo + (last,))
+    # lexicographic over the leading components
+    return sorted(out)
+
+
+def _lattice_multiindices(tdim: int, p: int) -> np.ndarray:
+    """Equispaced-lattice barycentric multi-indices [nd, tdim+1] of the
+    degree-``p`` simplex Lagrange element, in the canonical dof order:
+    vertices, then per-edge interior (k = multiplicity at the edge's
+    second vertex), then per-face interior, then cell interior."""
+    nv = tdim + 1
+    rows: list[tuple[int, ...]] = []
+    for i in range(nv):  # vertices
+        a = [0] * nv
+        a[i] = p
+        rows.append(tuple(a))
+    for (i, j) in _edge_combos(tdim):  # edges
+        for k in range(1, p):
+            a = [0] * nv
+            a[i] = p - k
+            a[j] = k
+            rows.append(tuple(a))
+    if tdim >= 2:
+        for combo in _face_combos(tdim) if tdim == 3 else [tuple(range(nv))]:
+            if tdim == 2 and p < 3:
+                continue
+            for m in _interior_multiindices(3, p):
+                a = [0] * nv
+                for pos, mult in zip(combo, m):
+                    a[pos] = mult
+                rows.append(tuple(a))
+    if tdim == 3 and p >= 4:
+        for m in _interior_multiindices(4, p):
+            rows.append(tuple(m))
+    if tdim == 1:
+        pass  # edge interior above covers the 1-D cell interior
+    return np.asarray(rows, dtype=np.int64)
+
+
+def _silvester_factors(lam_i: np.ndarray, a: int, p: int):
+    """P(λ) = prod_{k<a} (p λ - k) / a!  and its λ-derivative, at points."""
+    import math
+
+    if a == 0:
+        one = np.ones_like(lam_i)
+        return one, np.zeros_like(lam_i)
+    terms = [p * lam_i - k for k in range(a)]
+    P = np.ones_like(lam_i)
+    for t in terms:
+        P = P * t
+    dP = np.zeros_like(lam_i)
+    for k in range(a):
+        prod = np.ones_like(lam_i)
+        for k2 in range(a):
+            if k2 != k:
+                prod = prod * terms[k2]
+        dP = dP + p * prod
+    fact = math.factorial(a)
+    return P / fact, dP / fact
+
+
 @dataclass(frozen=True)
 class Element:
     family: str  # "P" | "DG" | "Quadrature"
@@ -97,7 +170,9 @@ class Element:
             return tdim + 1
         if self.degree == 2:
             return (tdim + 1) + len(_edge_combos(tdim))
-        raise NotImplementedError(f"degree {self.degree} not supported")
+        import math
+
+        return math.comb(self.degree + tdim, tdim)
 
     def dof_ref_points(self, tdim: int) -> np.ndarray:
         """Interpolation points in the reference cell, one per local dof."""
@@ -111,7 +186,8 @@ class Element:
         if self.degree == 2:
             mids = np.stack([(verts[i] + verts[j]) / 2 for i, j in _edge_combos(tdim)])
             return np.concatenate([verts, mids], axis=0)
-        raise NotImplementedError
+        alphas = _lattice_multiindices(tdim, self.degree)
+        return (alphas[:, 1:] / self.degree).astype(np.float64)
 
     def tabulate(self, tdim: int, pts: np.ndarray) -> np.ndarray:
         """Basis values [np, ndofs_per_cell] at reference points [np, tdim]."""
@@ -126,7 +202,16 @@ class Element:
             vert = lam * (2 * lam - 1)
             edge = np.stack([4 * lam[:, i] * lam[:, j] for i, j in _edge_combos(tdim)], axis=1)
             return np.concatenate([vert, edge], axis=1)
-        raise NotImplementedError
+        # generic degree: Silvester's closed form on the equispaced lattice
+        p = self.degree
+        alphas = _lattice_multiindices(tdim, p)
+        phi = np.ones((pts.shape[0], alphas.shape[0]))
+        for d, alpha in enumerate(alphas):
+            for i, a in enumerate(alpha):
+                if a:
+                    P, _ = _silvester_factors(lam[:, i], int(a), p)
+                    phi[:, d] *= P
+        return phi
 
     def tabulate_grad(self, tdim: int, pts: np.ndarray) -> np.ndarray:
         """Reference gradients [np, ndofs_per_cell, tdim]."""
@@ -145,7 +230,25 @@ class Element:
             return np.stack(parts, axis=1)
         if self.degree == 0:
             return np.zeros((npts, 1, tdim))
-        raise NotImplementedError
+        # generic degree: product rule over the per-coordinate Silvester
+        # factors, then chain rule lambda -> xi
+        p = self.degree
+        alphas = _lattice_multiindices(tdim, p)
+        nd = alphas.shape[0]
+        grad_lam = np.zeros((npts, nd, tdim + 1))
+        for d, alpha in enumerate(alphas):
+            Ps, dPs = [], []
+            for i, a in enumerate(alpha):
+                P, dP = _silvester_factors(lam[:, i], int(a), p)
+                Ps.append(P)
+                dPs.append(dP)
+            for i in range(tdim + 1):
+                g = dPs[i].copy()
+                for j in range(tdim + 1):
+                    if j != i:
+                        g *= Ps[j]
+                grad_lam[:, d, i] = g
+        return np.einsum("pdi,it->pdt", grad_lam, dlam)
 
 
 _FAMILY_ALIASES = {
@@ -235,6 +338,8 @@ def _space_from_element(mesh: Mesh, element: Element) -> FunctionSpace:
         dof_coords = (x0[:, None, :] + np.einsum("qd,cdg->cqg", refpts, geom.edges)).reshape(
             ndofs, mesh.gdim
         )
+    elif element.family == "P":
+        cell_dofs, ndofs, dof_coords = _generic_lagrange_dofmap(mesh, element.degree)
     else:
         raise NotImplementedError(f"{element}")
 
@@ -248,6 +353,115 @@ def _space_from_element(mesh: Mesh, element: Element) -> FunctionSpace:
         dof_coords=dof_coords,
         dof_owner_cell=owner.astype(np.int32),
     )
+
+
+def _face_interior_lookup(p: int) -> np.ndarray:
+    """Table mapping a face-interior multiplicity pair (a0, a1) — with
+    a2 = p - a0 - a1 implied — to its canonical slot (the lexicographic
+    order of ``_interior_multiindices(3, p)``)."""
+    table = np.full((p + 1, p + 1), -1, dtype=np.int64)
+    for idx, m in enumerate(_interior_multiindices(3, p)):
+        table[m[0], m[1]] = idx
+    return table
+
+
+def _generic_lagrange_dofmap(mesh: Mesh, p: int):
+    """Entity-based dofmap for continuous degree-``p`` simplex Lagrange.
+
+    Global numbering: mesh vertices, then ``p-1`` dofs per edge (ordered
+    by multiplicity at the edge's larger global vertex — orientation-
+    independent), then face-interior dofs per face (canonical order over
+    the face's sorted global vertices), then cell-interior dofs.  The
+    column order of ``cell_dofs`` matches ``_lattice_multiindices``, so
+    the tabulated basis pairs with it directly.  Arbitrary degree is what
+    the reference gets from Basix (``base_model.py:158-168`` there).
+    """
+    from .mesh import _row_searchsorted
+
+    tdim = mesh.tdim
+    nc = mesh.num_cells
+    cells64 = mesh.cells.astype(np.int64)
+    nvert = mesh.num_vertices
+    columns: list[np.ndarray] = [cells64[:, i] for i in range(tdim + 1)]
+    coords_blocks: list[np.ndarray] = [mesh.coords]
+
+    # --- edge dofs -----------------------------------------------------
+    edges = mesh.entities(1)
+    n_edges = edges.shape[0]
+    ne_d = p - 1
+    order = np.lexsort(edges.T[::-1])
+    sorted_edges = edges[order]
+    edge_offset = nvert
+    for (i, j) in _edge_combos(tdim):
+        gi, gj = cells64[:, i], cells64[:, j]
+        lo = np.minimum(gi, gj)
+        hi = np.maximum(gi, gj)
+        eid = order[_row_searchsorted(sorted_edges, np.stack([lo, hi], axis=1))]
+        flip = gi > gj
+        for k in range(1, p):  # lattice dof: multiplicity k at local vertex j
+            slot = np.where(flip, p - k - 1, k - 1)
+            columns.append(edge_offset + eid * ne_d + slot)
+    # edge dof s (0-based) lies at multiplicity s+1 of the larger vertex
+    elo = mesh.coords[np.minimum(edges[:, 0], edges[:, 1])]
+    ehi = mesh.coords[np.maximum(edges[:, 0], edges[:, 1])]
+    s = (np.arange(1, p) / p)[None, :, None]
+    coords_blocks.append(((1 - s) * elo[:, None, :] + s * ehi[:, None, :]).reshape(-1, mesh.gdim))
+    offset = edge_offset + n_edges * ne_d
+
+    # --- face-interior dofs --------------------------------------------
+    n_face_int = (p - 1) * (p - 2) // 2
+    if tdim == 3 and n_face_int:
+        faces = mesh.entities(2)
+        n_faces = faces.shape[0]
+        forder = np.lexsort(faces.T[::-1])
+        sorted_faces = faces[forder]
+        lookup = _face_interior_lookup(p)
+        face_ms = _interior_multiindices(3, p)
+        for combo in _face_combos(3):
+            gv = cells64[:, combo]  # [nc, 3]
+            gs = np.sort(gv, axis=1)
+            fid = forder[_row_searchsorted(sorted_faces, gs)]
+            rank = np.argsort(np.argsort(gv, axis=1), axis=1)  # local -> sorted pos
+            for m in face_ms:
+                cm = np.zeros((nc, 3), dtype=np.int64)
+                for t in range(3):
+                    cm[np.arange(nc), rank[:, t]] = m[t]
+                slot = lookup[cm[:, 0], cm[:, 1]]
+                columns.append(offset + fid * n_face_int + slot)
+        fverts = mesh.coords[np.sort(faces, axis=1)]  # [nf, 3, gdim]
+        mlist = np.asarray(face_ms, dtype=np.float64) / p  # [nfi, 3]
+        coords_blocks.append(
+            np.einsum("mk,fkg->fmg", mlist, fverts).reshape(-1, mesh.gdim)
+        )
+        offset += n_faces * n_face_int
+    elif tdim == 2 and n_face_int:
+        # triangle interior: cell-local, sequential slots in lattice order
+        for t in range(n_face_int):
+            columns.append(offset + np.arange(nc, dtype=np.int64) * n_face_int + t)
+        mlist = np.asarray(_interior_multiindices(3, p), dtype=np.float64) / p
+        cverts = mesh.coords[cells64]  # [nc, 3, gdim]
+        coords_blocks.append(
+            np.einsum("mk,ckg->cmg", mlist, cverts).reshape(-1, mesh.gdim)
+        )
+        offset += nc * n_face_int
+
+    # --- cell-interior dofs (tets, p >= 4) -------------------------------
+    if tdim == 3 and p >= 4:
+        cell_ms = _interior_multiindices(4, p)
+        n_int = len(cell_ms)
+        for t in range(n_int):
+            columns.append(offset + np.arange(nc, dtype=np.int64) * n_int + t)
+        mlist = np.asarray(cell_ms, dtype=np.float64) / p
+        cverts = mesh.coords[cells64]  # [nc, 4, gdim]
+        coords_blocks.append(
+            np.einsum("mk,ckg->cmg", mlist, cverts).reshape(-1, mesh.gdim)
+        )
+        offset += nc * n_int
+
+    cell_dofs = np.stack(columns, axis=1)
+    dof_coords = np.concatenate(coords_blocks, axis=0)
+    assert dof_coords.shape[0] == offset
+    return cell_dofs.astype(np.int32), int(offset), dof_coords
 
 
 def functionspace(mesh: Mesh, element) -> FunctionSpace:
@@ -582,15 +796,64 @@ def cell_quadrature(
     )
 
 
+def _facet_dofs(V: FunctionSpace, fverts: np.ndarray) -> np.ndarray:
+    """Global dofs [nf, ndofs_per_facet] of a continuous Lagrange space on
+    the given facets, ordered to pair with the facet element's basis
+    (vertices, per-facet-edge interior, facet interior)."""
+    from .mesh import _row_searchsorted
+
+    p = V.element.degree
+    mesh = V.mesh
+    fdim = fverts.shape[1] - 1
+    nf = fverts.shape[0]
+    fverts64 = fverts.astype(np.int64)
+    columns = [fverts64[:, i] for i in range(fdim + 1)]
+    if p >= 2 and fdim >= 1:
+        edges = mesh.entities(1)
+        order = np.lexsort(edges.T[::-1])
+        sorted_edges = edges[order]
+        ne_d = p - 1
+        nvert = mesh.num_vertices
+        for (i, j) in _edge_combos(fdim):
+            gi, gj = fverts64[:, i], fverts64[:, j]
+            lo = np.minimum(gi, gj)
+            hi = np.maximum(gi, gj)
+            eid = order[_row_searchsorted(sorted_edges, np.stack([lo, hi], axis=1))]
+            flip = gi > gj
+            for k in range(1, p):
+                slot = np.where(flip, p - k - 1, k - 1)
+                columns.append(nvert + eid * ne_d + slot)
+    n_face_int = (p - 1) * (p - 2) // 2
+    if p >= 3 and fdim == 2:
+        faces = mesh.entities(2)
+        forder = np.lexsort(faces.T[::-1])
+        sorted_faces = faces[forder]
+        nvert = mesh.num_vertices
+        face_offset = nvert + mesh.entities(1).shape[0] * (p - 1)
+        lookup = _face_interior_lookup(p)
+        gs = np.sort(fverts64, axis=1)
+        fid = forder[_row_searchsorted(sorted_faces, gs)]
+        rank = np.argsort(np.argsort(fverts64, axis=1), axis=1)
+        for m in _interior_multiindices(3, p):
+            cm = np.zeros((nf, 3), dtype=np.int64)
+            for t in range(3):
+                cm[np.arange(nf), rank[:, t]] = m[t]
+            slot = lookup[cm[:, 0], cm[:, 1]]
+            columns.append(face_offset + fid * n_face_int + slot)
+    return np.stack(columns, axis=1)
+
+
 def facet_quadrature(
     V: FunctionSpace, facets: np.ndarray, degree: int = 4, dtype=None
 ) -> CellQuadData:
     """Quadrature tables over boundary facets (for "ds" stimuli,
-    reference ``stimulation.py:99-106``).  P1 spaces only."""
-    if V.element.family != "P" or V.element.degree != 1:
-        raise NotImplementedError("facet integrals implemented for P1")
+    reference ``stimulation.py:99-106``) for any continuous Lagrange
+    degree (the reference gets this from Basix/FFCx)."""
+    if V.element.family != "P":
+        raise NotImplementedError("facet integrals implemented for Lagrange spaces")
     dtype = dtype or np.float64
     mesh = V.mesh
+    p = V.element.degree
     fdim = mesh.tdim - 1
     fverts = mesh.entities(fdim)[np.asarray(facets, dtype=np.int64)]  # [nf, fdim+1]
     F = mesh.coords[fverts]  # [nf, fdim+1, gdim]
@@ -603,19 +866,22 @@ def facet_quadrature(
         wts = np.ones(1)
         N = np.ones((1, 1))
         X = F[:, :1, :]
+        dofs = fverts
     else:
         G = np.einsum("cik,cjk->cij", E, E)
         area = np.sqrt(np.abs(np.linalg.det(G))) / math.factorial(fdim)
         pts, wts = simplex_rule(fdim, degree)
-        N = _bary(pts)  # P1 basis on the facet simplex
+        facet_element = Element("P", p)
+        N = facet_element.tabulate(fdim, pts)
         X = F[:, :1, :] + np.einsum("qd,cdg->cqg", pts, E)
+        dofs = _facet_dofs(V, fverts) if p >= 2 else fverts
     scale = math.factorial(fdim) if fdim > 0 else 1.0
     W = (area * scale)[:, None] * wts[None, :]
     return CellQuadData(
         X=jnp.asarray(X, dtype=dtype),
         W=jnp.asarray(W, dtype=dtype),
         N=jnp.asarray(N, dtype=dtype),
-        dofs=jnp.asarray(fverts, dtype=jnp.int32),
+        dofs=jnp.asarray(dofs, dtype=jnp.int32),
         ndofs=V.ndofs,
     )
 
@@ -699,6 +965,14 @@ def locate_dofs_topological(V: FunctionSpace, dim: int, entities: np.ndarray) ->
             edge_sets.append(order[idx[found]])
         edge_dofs = mesh.num_vertices + np.unique(np.concatenate(edge_sets))
         return np.concatenate([vert_dofs, edge_dofs]).astype(np.int32)
+    if V.element.family == "P":
+        if dim == 0:
+            return np.unique(ents.ravel()).astype(np.int32)
+        if dim == mesh.tdim - 1:
+            # facets carry vertex + edge + facet-interior dofs
+            return np.unique(_facet_dofs(V, ents).ravel()).astype(np.int32)
+        if dim == 1:
+            return np.unique(_facet_dofs(V, ents).ravel()).astype(np.int32)
     raise NotImplementedError
 
 

@@ -116,14 +116,24 @@ def test_monodomain_temporal_convergence():
     assert all(rate >= 2.0 for rate in rates), (rates, errors)
 
 
-@pytest.mark.parametrize("degree,min_rate", [(2, 2.7)])
-def test_monodomain_p2_spatial_convergence(degree, min_rate):
-    """P2 PDE state space (the reference's ``degree`` parameter,
-    base_model.py:158-168): L2 convergence at order p+1."""
+@pytest.mark.parametrize(
+    "degree,min_rate,Ns,params",
+    [
+        (2, 2.7, (4, 8, 16), {"degree": 2}),
+        # higher degrees: order p+1 (the reference accepts any Lagrange
+        # degree via Basix, base_model.py:158-168); P4 needs a load
+        # quadrature beyond the default to see its order
+        (3, 3.7, (2, 4, 8), {"degree": 3}),
+        (4, 4.2, (2, 4, 8), {"degree": 4, "quadrature_degree": 10}),
+    ],
+)
+def test_monodomain_higher_degree_spatial_convergence(degree, min_rate, Ns, params):
+    """Higher-degree PDE state spaces (the reference's ``degree``
+    parameter, base_model.py:158-168): L2 convergence at order p+1."""
     dt = 1e-3
     T = 0.05
     errors = []
-    for N in (4, 8, 16):
+    for N in Ns:
         mesh = meshmod.create_unit_square(None, N, N)
         time = fem.Constant(0.0)
         model = beat.MonodomainModel(
@@ -133,7 +143,7 @@ def test_monodomain_p2_spatial_convergence(degree, min_rate):
             I_s=lambda x, t: jnp.cos(2 * jnp.pi * x[0])
             * jnp.cos(2 * jnp.pi * x[1])
             * (jnp.cos(t) + 8 * jnp.pi**2 * jnp.sin(t)),
-            params={"degree": 2},
+            params=params,
         )
         res = model.solve((0.0, T), dt=dt)
         exact = lambda x, t: jnp.cos(2 * jnp.pi * x[0]) * jnp.cos(2 * jnp.pi * x[1]) * jnp.sin(t)
@@ -167,3 +177,31 @@ def test_solve_returns_not_converging_when_cg_capped():
         I_s=lambda x, t: jnp.ones_like(x[0]),
     )
     assert healthy.solve((0.0, 0.2), dt=0.1).status == beat.base_model.Status.OK
+
+
+@pytest.mark.parametrize("degree", [2, 3, 4])
+def test_facet_quadrature_higher_degree(degree):
+    """Facet ("ds") quadrature beyond P1: boundary loads integrate exactly
+    and facet interpolation of a degree-p FE function is exact (reference
+    gets facet integrals of any degree from Basix/FFCx)."""
+    for mesh in (
+        meshmod.create_unit_square(None, 4, 4),
+        meshmod.create_unit_cube(None, 2, 2, 2),
+    ):
+        facets = mesh.exterior_facets()
+        V = fem.functionspace(mesh, ("P", degree))
+        quad = fem.facet_quadrature(V, facets, degree=2 * degree + 2)
+        b = quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
+        expected = 4.0 if mesh.tdim == 2 else 6.0
+        np.testing.assert_allclose(float(jnp.sum(b)), expected, rtol=1e-12)
+
+        u = fem.Function(V)
+        c = V.tabulate_dof_coordinates()
+        u.x.array[:] = (1 + c[:, 0]) * c[:, 1] + c[:, 0] ** min(degree, 3)
+        vals = np.asarray(quad.interpolate(jnp.asarray(u.x.array)))
+        X = np.asarray(quad.X)
+        flat = X.reshape(-1, X.shape[-1])
+        exact = ((1 + flat[:, 0]) * flat[:, 1] + flat[:, 0] ** min(degree, 3)).reshape(
+            vals.shape
+        )
+        np.testing.assert_allclose(vals, exact, atol=1e-10)
