@@ -1,14 +1,19 @@
 """Driver benchmark: Niederer slab on the fused TPU solver.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: simulated milliseconds per wall-clock second on the Niederer
-benchmark (dx=0.5 mm, dt=0.05 ms, TP06, to full activation).
-``vs_baseline`` reports activation-time fidelity: 1.0 means all nine probe
-points match the reference's committed table
-(``demos/niederer_benchmark.py:301-311``) within 5%; scaled down by the
-excess error otherwise.
+Primary metric: simulated milliseconds per wall-clock second on the
+north-star Niederer configuration (dx=0.1 mm, 442k nodes, dt=0.05 ms,
+TP06, to full activation — BASELINE.md:45-49).  Extras report the easy
+dx=0.5 configuration, the measured-CPU speedup (vs the committed
+``BASELINE_CPU.json``, see ``fenicsx_beat_tpu/benchmarks/cpu_baseline.py``),
+and a pallas-vs-XLA kernel regression deviation when running on TPU.
+
+``vs_baseline`` reports activation-time fidelity: 1.0 means all nine
+probe points match the reference's committed table
+(``demos/niederer_benchmark.py:301-311``) within 5% at every benched
+configuration; scaled down by the worst excess error otherwise.
 """
 
 import argparse
@@ -19,13 +24,46 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _fidelity(err):
+    if err is None or err == float("inf"):
+        return 0.0
+    return round(min(1.0, 0.05 / max(err, 0.05)), 4)
+
+
+def _load_cpu_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        data = json.load(f)
+    return {(c["dx"], c["dt"]): c["best_ms_simulated_per_sec"] for c in data.get("configs", [])}
+
+
+def _kernel_check(dt=0.05, n_steps=40):
+    """Pallas-vs-XLA regression: identical dx=0.5 runs with the pallas
+    kernels (ionic, stencil SpMV, fused PCG) on and off; returns max |dv|.
+    Meaningful on the TPU backend (CPU uses interpret mode)."""
+    import numpy as np
+
+    from fenicsx_beat_tpu.benchmarks.niederer import _build_solver
+
+    v = {}
+    for use_pallas in (True, False):
+        solver = _build_solver(dx=0.5, use_pallas_ode=use_pallas, pallas_spmv_min_nodes=1)
+        solver.solve((0.0, n_steps * dt), dt=dt)
+        v[use_pallas] = np.asarray(solver.v)
+    return float(np.max(np.abs(v[True] - v[False])))
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--dx", type=float, default=0.5)
+    parser.add_argument("--dx", type=float, default=None, help="bench ONLY this dx")
     parser.add_argument("--dt", type=float, default=0.05)
     parser.add_argument("-T", type=float, default=100.0)
-    parser.add_argument("--quick", action="store_true", help="short run for smoke testing")
+    parser.add_argument("--theta", type=float, default=1.0, help="splitting theta (0.5 = Strang)")
+    parser.add_argument("--quick", action="store_true", help="short dx=0.5 run for smoke testing")
     parser.add_argument("--x64", action="store_true", help="force float64 (CPU validation)")
+    parser.add_argument("--skip-kernel-check", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -35,27 +73,50 @@ def main():
 
     from fenicsx_beat_tpu.benchmarks.niederer import run_niederer_benchmark
 
-    T = 20.0 if args.quick else args.T
-    res = run_niederer_benchmark(dx=args.dx, dt=args.dt, T=T)
+    cpu_base = _load_cpu_baseline()
 
-    err = res.error_vs_published()
-    if err is None or err == float("inf"):
-        vs_baseline = 0.0
+    if args.quick:
+        configs = [(0.5, args.dt, 20.0)]
+    elif args.dx is not None:
+        configs = [(args.dx, args.dt, args.T)]
     else:
-        # 1.0 when within the 5% activation-time target; degrade smoothly
-        vs_baseline = round(min(1.0, 0.05 / max(err, 0.05)), 4)
+        # north star first (dx=0.1 is the BASELINE.md target config);
+        # dx=0.5 kept for round-over-round continuity
+        configs = [(0.1, args.dt, min(args.T, 60.0)), (0.5, args.dt, args.T)]
 
-    print(res.summary(), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "niederer_ms_simulated_per_sec",
-                "value": round(res.ms_per_second, 2),
-                "unit": "ms/s",
-                "vs_baseline": vs_baseline,
-            }
-        )
-    )
+    extras = {}
+    results = []
+    for dx, dt, T in configs:
+        res = run_niederer_benchmark(dx=dx, dt=dt, T=T, theta=args.theta)
+        print(res.summary(), file=sys.stderr)
+        results.append(res)
+        key = f"dx{dx:g}"
+        extras[f"{key}_ms_per_s"] = round(res.ms_per_second, 2)
+        err = res.error_vs_published()
+        if err is not None and err != float("inf"):
+            extras[f"{key}_max_act_err"] = round(err, 4)
+        if (dx, dt) in cpu_base:
+            extras[f"{key}_speedup_vs_cpu"] = round(res.ms_per_second / cpu_base[(dx, dt)], 1)
+
+    primary = results[0]
+    vs_baseline = min(_fidelity(r.error_vs_published()) for r in results)
+
+    if not args.skip_kernel_check and not args.quick and jax.default_backend() == "tpu":
+        try:
+            extras["kernel_max_dev"] = _kernel_check()
+        except Exception as exc:  # regression artifact must not kill the bench
+            extras["kernel_check_error"] = str(exc)[:200]
+            print(f"kernel check failed: {exc}", file=sys.stderr)
+
+    out = {
+        "metric": "niederer_ms_simulated_per_sec",
+        "value": round(primary.ms_per_second, 2),
+        "unit": "ms/s",
+        "vs_baseline": vs_baseline,
+        "config": f"dx={primary.dx} dt={primary.dt} theta={args.theta}",
+    }
+    out.update(extras)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

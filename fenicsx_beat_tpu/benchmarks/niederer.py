@@ -101,21 +101,17 @@ class NiedererResult:
         )
 
 
-def run_niederer_benchmark(
+def _build_solver(
     dx: float = 0.5,
-    dt: float = 0.05,
-    T: float = 100.0,
     theta: float = 1.0,
     scheme: str = "generalized_rush_larsen",
     model=None,
-    outdir: Path | None = None,
     monitor: BaseMonitor | None = None,
-    check_interval_ms: float = 20.0,
     dtype=None,
-) -> NiedererResult:
-    """Run the benchmark on the fused solver; early-stops once all nine
-    probe points have activated (mirroring the reference's loop condition,
-    ``demos/niederer_benchmark.py:256``)."""
+    probe_points: np.ndarray | None = None,
+    **solver_kwargs,
+) -> FusedMonodomainSolver:
+    """Niederer-configuration solver (slab, S1 cube, TP06 by default)."""
     monitor = monitor or NullMonitor()
     mesh_unit = "mm"
     geo = get_3D_slab_geometry(None, dx=dx, Lx=LX, Ly=LY, Lz=LZ)
@@ -162,9 +158,7 @@ def run_niederer_benchmark(
         parameters = model.init_parameter_values()
     v_name = "V" if "V" in model._STATE_NAMES else "v"
 
-    points = benchmark_points()
-    pcoords = np.array(list(points.values()))
-    solver = FusedMonodomainSolver(
+    return FusedMonodomainSolver(
         mesh=mesh,
         M=M,
         ode_fun=fun,
@@ -174,6 +168,35 @@ def run_niederer_benchmark(
         I_s=I_s,
         theta=theta,
         C_m=C_m,
+        monitor=monitor,
+        dtype=dtype,
+        probe_points=probe_points,
+        **solver_kwargs,
+    )
+
+
+def run_niederer_benchmark(
+    dx: float = 0.5,
+    dt: float = 0.05,
+    T: float = 100.0,
+    theta: float = 1.0,
+    scheme: str = "generalized_rush_larsen",
+    model=None,
+    outdir: Path | None = None,
+    monitor: BaseMonitor | None = None,
+    check_interval_ms: float = 20.0,
+    dtype=None,
+) -> NiedererResult:
+    """Run the benchmark on the fused solver; early-stops once all nine
+    probe points have activated (mirroring the reference's loop condition,
+    ``demos/niederer_benchmark.py:256``)."""
+    points = benchmark_points()
+    pcoords = np.array(list(points.values()))
+    solver = _build_solver(
+        dx=dx,
+        theta=theta,
+        scheme=scheme,
+        model=model,
         monitor=monitor,
         dtype=dtype,
         probe_points=pcoords,
@@ -202,7 +225,9 @@ def run_niederer_benchmark(
     probe_dev = None
     tic = _time.perf_counter()
     while t < T - 1e-9:
-        n = min(chunk_steps, int(round((T - t) / dt)))
+        # always run whole chunks: a remainder chunk would trigger a fresh
+        # jit compile (different static n_steps) inside the timed loop
+        n = chunk_steps
         tj = jnp.asarray(t, dtype=solver.states.dtype)
         (
             solver.states,

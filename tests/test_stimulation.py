@@ -359,3 +359,58 @@ def test_stimulus_assign_takes_effect():
     v_off = float(np.asarray(solver.v).max())
     v_on = float(np.asarray(kept.v).max())
     assert v_on - v_off > 1.0, "fused solver ignored Stimulus.assign"
+
+
+def test_stimulus_assign_chunk_boundary_semantics():
+    """PIN: on the fused path, Stimulus.assign takes effect at the NEXT
+    chunk boundary (amplitudes are per-chunk traced arguments), not
+    mid-chunk — see PARITY.md 'Known semantic deltas'. An assign issued
+    from a save_callback at t=1.0 must produce exactly the trajectory of
+    separate solves switching amplitude at t=1.0."""
+    import fenicsx_beat_tpu as beat
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.fused import FusedMonodomainSolver
+    from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: np.ones(x.shape[1], dtype=bool))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    dxm = beat.stimulation.dx(mesh, subdomain_data=tags)
+
+    def build(stim):
+        return FusedMonodomainSolver(
+            mesh=mesh,
+            M=0.001,
+            ode_fun=fhn.forward_euler,
+            init_states=fhn.init_state_values(),
+            parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+            v_index=fhn.state_index("v"),
+            I_s=stim,
+        )
+
+    def window(amp):
+        return beat.Stimulus(
+            expr=beat.stimulation.TimeWindow(amplitude=amp, start=0.0, duration=100.0),
+            dZ=dxm,
+            marker=1,
+        )
+
+    # A: assign(0) from the save_callback fired at the t=1.0 chunk boundary
+    stim_a = window(10.0)
+    a = build(stim_a)
+
+    def cb(t, v):
+        if t >= 1.0 - 1e-9:
+            stim_a.assign(0.0)
+
+    a.solve((0.0, 2.0), dt=0.05, save_freq=20, save_callback=cb)  # 1.0ms chunks
+
+    # B: explicit separate solves switching at exactly t=1.0
+    stim_b = window(10.0)
+    b = build(stim_b)
+    b.solve((0.0, 1.0), dt=0.05)
+    stim_b.assign(0.0)
+    b.solve((1.0, 2.0), dt=0.05)
+
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v), atol=1e-12)
