@@ -218,12 +218,29 @@ class BaseModel(abc.ABC):
         rtol, atol, maxiter = self._solver_tolerances()
         theta = float(self.parameters["theta"])
 
+        # TimeWindow stimuli: precompute the fixed spatial load once; the
+        # per-step quadrature scatter-add it replaces serializes on the
+        # TPU VPU (~570 us/step at 442k nodes, see fused.py)
+        stim_terms = []
+        for i, (quad, expr, stim) in enumerate(stim_quads):
+            if stim is not None:
+                b_unit = quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
+                window = (float(stim.expr.start), float(stim.expr.duration))
+                stim_terms.append((i, None, None, b_unit, window))
+            else:
+                stim_terms.append((i, quad, expr, None, None))
+
         def step_kernel(v_prev, t, dt, amps):
             C_m = jnp.asarray(float(self._C_m), dtype=v_prev.dtype)
             A = mass.combine(C_m, stiff, theta * dt)
             b = mass.combine(C_m, stiff, -(1.0 - theta) * dt) @ v_prev
-            for i, (quad, expr, _) in enumerate(stim_quads):
-                b = b + (dt * amps[i]) * quad.assemble_load(expr, t)
+            for i, quad, expr, b_unit, window in stim_terms:
+                if b_unit is not None:
+                    start, dur = window
+                    on = jnp.where((t >= start) & (t <= start + dur), 1.0, 0.0)
+                    b = b + (dt * amps[i] * on) * b_unit
+                else:
+                    b = b + (dt * amps[i]) * quad.assemble_load(expr, t)
             diag = A.diagonal()
             x, info = cg(
                 lambda v: A @ v,

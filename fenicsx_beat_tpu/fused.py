@@ -291,13 +291,33 @@ class FusedMonodomainSolver:
             and mass.shape[0] >= self.pallas_spmv_min_nodes
         )
         if use_pallas_spmv:
-            from .ops.pallas_spmv import build_pallas_stencil_spmv
+            from .ops.pallas_spmv import (
+                build_pallas_stencil_spmv,
+                build_pallas_stencil_spmv_sym,
+                stencil_is_symmetric,
+            )
 
             n_dofs = mass.shape[0]  # padded size; pad rows are inert
-            _spmv = build_pallas_stencil_spmv(mass.offsets, n_dofs, self.dtype)
+            # FEM mass/stiffness are symmetric: stream only the d >= 0
+            # value columns (the dominant HBM traffic of the PCG) and
+            # derive sub-diagonal terms from shifted products
+            _spmv = None
+            if stencil_is_symmetric(
+                mass.offsets, np.asarray(mass.vals)
+            ) and stencil_is_symmetric(stiff.offsets, np.asarray(stiff.vals)):
+                try:
+                    _spmv = build_pallas_stencil_spmv_sym(
+                        mass.offsets, n_dofs, self.dtype
+                    )
+                except ValueError:
+                    _spmv = None
+            if _spmv is None:
+                _spmv = build_pallas_stencil_spmv(mass.offsets, n_dofs, self.dtype)
+                k0 = mass.offsets.index(0)
+            else:
+                k0 = _spmv.positive_offsets.index(0)
             mT = _spmv.pack_values(np.asarray(mass.vals))
             kT = _spmv.pack_values(np.asarray(stiff.vals))
-            k0 = mass.offsets.index(0)
 
             def build_operators(dt):
                 A_T = C_m * mT + (pde_theta * dt) * kT
@@ -341,15 +361,37 @@ class FusedMonodomainSolver:
         else:
             cg_dot = None
 
+        # TimeWindow stimuli are separable (purely temporal window x fixed
+        # spatial load): precompute the unit load vector once — the
+        # per-step quadrature scatter-add it replaces measured ~570 us/step
+        # at 442k nodes (scatters serialize on the VPU)
+        stim_terms = []
+        for i, (quad, expr, stim) in enumerate(stim_quads):
+            if stim is not None:
+                b_unit = quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
+                if n_pad_load:
+                    b_unit = jnp.concatenate(
+                        [b_unit, jnp.zeros((n_pad_load,), dtype=b_unit.dtype)]
+                    )
+                window = (float(stim.expr.start), float(stim.expr.duration))
+                stim_terms.append((i, None, None, b_unit, window))
+            else:
+                stim_terms.append((i, quad, expr, None, None))
+
         def _assemble_rhs(ops, v_prev, t, dt, amps):
             b = apply_B(ops, v_prev)
-            for i, (quad, expr, _) in enumerate(stim_quads):
-                load = quad.assemble_load(expr, t)
-                if n_pad_load:
-                    load = jnp.concatenate(
-                        [load, jnp.zeros((n_pad_load,), dtype=load.dtype)]
-                    )
-                b = b + (dt * amps[i]) * load
+            for i, quad, expr, b_unit, window in stim_terms:
+                if b_unit is not None:
+                    start, dur = window
+                    on = jnp.where((t >= start) & (t <= start + dur), 1.0, 0.0)
+                    b = b + (dt * amps[i] * on) * b_unit
+                else:
+                    load = quad.assemble_load(expr, t)
+                    if n_pad_load:
+                        load = jnp.concatenate(
+                            [load, jnp.zeros((n_pad_load,), dtype=load.dtype)]
+                        )
+                    b = b + (dt * amps[i]) * load
             return b
 
         if use_pallas_spmv:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_pallas_stencil_spmv"]
+__all__ = ["build_pallas_stencil_spmv", "build_pallas_stencil_spmv_sym"]
 
 LANE = 128
 
@@ -163,3 +163,207 @@ def build_pallas_stencil_spmv(
 
     spmv.pack_values = pack_values
     return spmv
+
+
+def build_pallas_stencil_spmv_sym(
+    offsets: Sequence[int],
+    n: int,
+    dtype,
+    block_rows: int = 512,
+    interpret: bool | None = None,
+):
+    """Symmetric-stencil SpMV streaming only the d >= 0 value columns.
+
+    For a symmetric operator the negative-offset column is a shifted copy
+    of its positive partner (``A[r, r-d] = A[r-d, r]`` gives
+    ``v_{-d}[r] = v_{+d}[r-d]``), so the dominant HBM stream — the value
+    array — halves: the sub-diagonal contribution at node r is
+    ``(v_d * x)[r-d]``, a row/lane shift of the elementwise product already
+    formed for the super-diagonal term.  Cross-block reach (product rows
+    below the block start) comes from a small streamed halo of the same
+    value array.
+
+    Returns ``spmv(vals3, x)`` with ``vals3`` packed via
+    ``spmv.pack_values`` from the FULL [n, K] stencil value table (the
+    packer keeps the d >= 0 columns).  The offset set must be symmetric.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    offsets = tuple(int(d) for d in offsets)
+    if set(offsets) != {-d for d in offsets}:
+        raise ValueError(f"offset set is not symmetric: {offsets}")
+    pos = tuple(d for d in offsets if d >= 0)  # streamed columns, incl. 0
+    Kp = len(pos)
+    R = _round_up(n, LANE) // LANE
+    Br = min(block_rows, _round_up(R, 8))
+    R_pad = _round_up(R, Br)
+    grid = (R_pad // Br,)
+
+    # row reach of any offset (both directions use the same magnitudes)
+    dr_max = max(abs((d - (d % LANE)) // LANE) for d in pos) + 1
+    # product-halo rows streamed per block: the smallest divisor of Br
+    # covering the reach (correctness needs Hs >= dr_max + 1)
+    m = Br // 8
+    h_min = -(-(dr_max + 1) // 8)
+    h = next((hh for hh in range(h_min, m + 1) if m % hh == 0), m)
+    Hs = 8 * h
+    if Hs < dr_max + 1:
+        raise ValueError(
+            f"stencil reach {dr_max} rows exceeds the block ({Br} rows); "
+            "use the generic kernel"
+        )
+    G = _round_up(max(dr_max + 8, Hs), 8)
+    rows_total = G + R_pad + G + 24
+    halo_blocks = Br // Hs
+
+    def body(x_ref, v_ref, vh_ref):
+        i = pl.program_id(0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (Br, LANE), 1)
+        acc = jnp.zeros((Br, LANE), dtype=x_ref.dtype)
+        # operand window for the product z = v * x over rows
+        # [block_start - Hs, block_start + Br)
+        zx_start = pl.multiple_of(G + i * Br - Hs, 8)
+        z_rows = Hs + Br
+        Xw = x_ref[pl.ds(zx_start, z_rows), :]
+        lane_z = jax.lax.broadcasted_iota(jnp.int32, (Br, LANE), 1)
+        for k, d in enumerate(pos):
+            dm = d % LANE
+            dr = (d - dm) // LANE
+            vk = v_ref[k]
+            # --- super-diagonal term: acc[r] += v[r] * x[r + d] ---------
+            c = G + dr
+            c8 = (c // 8) * 8
+            rem = c - c8
+            start = pl.multiple_of(i * Br + c8, 8)
+            WR = Br + 16
+            W = x_ref[pl.ds(start, WR), :]
+            if rem:
+                W = pltpu.roll(W, WR - rem, axis=0)
+            if dm == 0:
+                shifted = W[:Br, :]
+            else:
+                A = pltpu.roll(W, LANE - dm, axis=1)
+                B = pltpu.roll(pltpu.roll(W, WR - 1, axis=0), LANE - dm, axis=1)
+                shifted = jnp.where(lane_ids < LANE - dm, A[:Br, :], B[:Br, :])
+            acc = acc + vk * shifted
+            if d == 0:
+                continue
+            # --- sub-diagonal term: acc[r] += (v * x)[r - d] ------------
+            zW = jnp.concatenate([vh_ref[k], vk], axis=0) * Xw  # [z_rows, LANE]
+            sA = Hs - dr  # z row of (block row r) - dr
+            A2 = pltpu.roll(zW, z_rows - sA, axis=0)[:Br, :]
+            if dm == 0:
+                acc = acc + A2
+            else:
+                B2 = pltpu.roll(zW, z_rows - (sA - 1), axis=0)[:Br, :]
+                A2L = pltpu.roll(A2, dm, axis=1)
+                B2L = pltpu.roll(B2, dm, axis=1)
+                acc = acc + jnp.where(lane_z >= dm, A2L, B2L)
+        return acc
+
+    def kernel(x_ref, v_ref, vh_ref, o_ref):
+        o_ref[:] = body(x_ref, v_ref, vh_ref)
+
+    def kernel_dot(x_ref, v_ref, vh_ref, o_ref, dot_ref):
+        i = pl.program_id(0)
+        acc = body(x_ref, v_ref, vh_ref)
+        o_ref[:] = acc
+        gstart = pl.multiple_of(G + i * Br, 8)
+        xb = x_ref[pl.ds(gstart, Br), :]
+        partial = jnp.sum(xb * acc)
+
+        @pl.when(i == 0)
+        def _():
+            dot_ref[0] = partial
+
+        @pl.when(i > 0)
+        def _():
+            dot_ref[0] = dot_ref[0] + partial
+
+    def _halo_index(i):
+        # rows [block_start - Hs, block_start): block (i*halo_blocks - 1) of
+        # height Hs; i = 0 reads block 0 (values irrelevant: x rows there
+        # are guard zeros, so the product vanishes)
+        return (0, jnp.maximum(i * halo_blocks - 1, 0), 0)
+
+    in_specs = [
+        pl.BlockSpec((rows_total, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, Br, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, Hs, LANE), _halo_index, memory_space=pltpu.VMEM),
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, LANE), dtype),
+        interpret=interpret,
+    )
+
+    call_dot = pl.pallas_call(
+        kernel_dot,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((Br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, LANE), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    def _extend(x):
+        x_ext = jnp.zeros((rows_total * LANE,), dtype=dtype)
+        x_ext = jax.lax.dynamic_update_slice(x_ext, x.astype(dtype), (G * LANE,))
+        return x_ext.reshape(rows_total, LANE)
+
+    def spmv(vals3, x):
+        y = call(_extend(x), vals3, vals3)
+        return y.reshape(R_pad * LANE)[:n]
+
+    def spmv_dot(vals3, x):
+        y, dval = call_dot(_extend(x), vals3, vals3)
+        return y.reshape(R_pad * LANE)[:n], dval[0]
+
+    spmv.spmv_dot = spmv_dot
+
+    def pack_values(vals):
+        """FULL [n, K] stencil values -> [Kp, R_pad, 128] (d >= 0 columns)."""
+        vals = np.asarray(vals)
+        v = np.zeros((Kp, R_pad * LANE), dtype=np.dtype(dtype))
+        for kk, d in enumerate(pos):
+            v[kk, :n] = vals[:, offsets.index(d)]
+        return jnp.asarray(v.reshape(Kp, R_pad, LANE))
+
+    spmv.pack_values = pack_values
+    spmv.positive_offsets = pos
+    return spmv
+
+
+def stencil_is_symmetric(offsets: Sequence[int], vals: np.ndarray, tol: float = 1e-9) -> bool:
+    """Host check that the stencil matrix is symmetric: for every d > 0,
+    ``v_{-d}[r] == v_{+d}[r-d]`` (rows reaching outside [0, n) are zero)."""
+    offsets = tuple(int(d) for d in offsets)
+    if set(offsets) != {-d for d in offsets}:
+        return False
+    vals = np.asarray(vals)
+    n = vals.shape[0]
+    scale = max(np.abs(vals).max(), 1e-30)
+    for d in offsets:
+        if d <= 0:
+            continue
+        vneg = vals[:, offsets.index(-d)]
+        vpos = vals[:, offsets.index(d)]
+        shifted = np.zeros_like(vneg)
+        shifted[d:] = vpos[: n - d]
+        if np.abs(vneg - shifted).max() > tol * scale:
+            return False
+    return True

@@ -94,3 +94,49 @@ def test_pallas_spmv_random_offsets(seed):
     np.testing.assert_allclose(
         np.asarray(spmv(vals3, x)), np.asarray(st @ x), rtol=1e-12, atol=1e-12
     )
+
+
+def test_pallas_symmetric_spmv_fuzz():
+    """Symmetric-stream kernel (d>=0 columns only) vs dense reference over
+    random symmetric stencils — lane-only, row-carry, and slab-like offset
+    sets, with and without the fused pAp dot."""
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu.ops.pallas_spmv import (
+        build_pallas_stencil_spmv_sym,
+        stencil_is_symmetric,
+    )
+
+    rng = np.random.default_rng(7)
+    for offsets, n in [
+        ((-5, -1, 0, 1, 5), 900),
+        ((-129, -128, -1, 0, 1, 128, 129), 2500),
+        ((-300, -128, -70, 0, 70, 128, 300), 9000),
+    ]:
+        vals = np.zeros((n, len(offsets)))
+        for k, d in enumerate(offsets):
+            if d < 0:
+                continue
+            col = rng.standard_normal(n)
+            if d > 0:
+                col[n - d:] = 0.0
+            vals[:, k] = col
+            if d > 0:
+                vals[d:, offsets.index(-d)] = col[: n - d]
+        assert stencil_is_symmetric(offsets, vals)
+        x = rng.standard_normal(n)
+        sym = build_pallas_stencil_spmv_sym(offsets, n, np.float64, interpret=True)
+        packed = sym.pack_values(vals)
+        y_ref = np.zeros(n)
+        for k, d in enumerate(offsets):
+            src = np.zeros(n)
+            if d >= 0:
+                src[: n - d if d else n] = x[d:]
+            else:
+                src[-d:] = x[: n + d]
+            y_ref += vals[:, k] * src
+        y = np.asarray(sym(packed, jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+        y2, dot = sym.spmv_dot(packed, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y2), y_ref, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(float(dot), float(x @ y_ref), rtol=1e-10)
