@@ -10,6 +10,11 @@ external cardiac-geometries BiV mesh), so the full pipeline is exercised:
 electrodes, and the standard 12-lead algebra.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 from pathlib import Path
 

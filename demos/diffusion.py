@@ -6,6 +6,11 @@ time-windowed corner stimulus; the voltage integral grows during the
 stimulus window and is conserved afterwards (pure Neumann diffusion).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import fenicsx_beat_tpu as beat

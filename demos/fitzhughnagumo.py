@@ -5,6 +5,11 @@ TPU-native translation of the reference's README getting-started example
 simulation with a corner stimulus driving a propagating wave.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import fenicsx_beat_tpu as beat

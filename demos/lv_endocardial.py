@@ -7,6 +7,11 @@ ToR-ORd dynCl celltypes pre-paced to steady state, endocardial surface
 stimulus, and pseudo-ECG recovery at an electrode.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 from pathlib import Path
 

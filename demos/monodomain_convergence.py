@@ -5,6 +5,11 @@ solution v = cos(2*pi*x)cos(2*pi*y)sin(t) with matching source; second
 order in space (P1) and in time (Crank-Nicolson).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import fenicsx_beat_tpu as beat

@@ -7,6 +7,11 @@ table committed in the reference (``demos/niederer_benchmark.py:301-311``).
 Runs on the fused on-device solver (one ``lax.scan`` per check interval).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 from pathlib import Path

@@ -8,6 +8,11 @@ probes (reference prints at ``demos/pace_train.py:266-271``) and voltage
 snapshots are checkpointed for postprocessing.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 from pathlib import Path
 

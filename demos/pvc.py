@@ -6,6 +6,11 @@ S1 stimulus at the left end followed by a premature S2 in the
 heterogeneous region probes unidirectional block / re-excitation.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 from pathlib import Path
 

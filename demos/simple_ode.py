@@ -5,6 +5,11 @@ v' = -s, s' = v stepped over several points at once with the free
 ``odesolver.solve`` driver, compared against the exact solution.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from time import perf_counter
 
 import numpy as np

@@ -6,6 +6,11 @@ the x=0 face; conduction velocity measured between two probe points
 recovered at an electrode with :class:`ECGRecovery`.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 from pathlib import Path
 

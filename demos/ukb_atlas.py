@@ -10,6 +10,11 @@ so the full pipeline still runs end-to-end: transmural layers, per-layer
 ToR-ORd models, random endocardial activation and checkpointed voltage.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 from pathlib import Path
 

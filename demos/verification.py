@@ -6,6 +6,11 @@ for the ODE sub-step, dt self-convergence on a fixed mesh so the temporal
 orders are visible above the O(h^2) spatial floor.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import fenicsx_beat_tpu as beat

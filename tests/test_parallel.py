@@ -326,3 +326,31 @@ def test_sharded_two_marker_matches_fused():
     np.testing.assert_allclose(
         np.asarray(sharded.v), np.asarray(fused.v), rtol=1e-7, atol=1e-6
     )
+
+
+def test_ecg_recovery_from_sharded_solution():
+    """Postprocessing parity: ECG recovery over a sharded solve's voltage
+    matches the fused solve's (the reference runs ECG under MPI;
+    here recovery consumes the gathered, original-order voltage)."""
+    from fenicsx_beat_tpu.ecg import ECGRecovery
+
+    dmesh = _device_mesh(8)
+    common = _niederer_setup(dx=1.0)
+    T, dt = 5.0, 0.05
+
+    fused = FusedMonodomainSolver(**common)
+    fused.solve((0.0, T), dt=dt)
+    sharded = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    sharded.solve((0.0, T), dt=dt)
+
+    V = fem.functionspace(common["mesh"], ("P", 1))
+    electrodes = [(25.0, 3.5, 1.5), (10.0, 20.0, 1.5)]
+    phies = []
+    for solver in (fused, sharded):
+        v_fn = fem.Function(V)
+        v_fn.x.array[:] = np.asarray(solver.v)
+        rec = ECGRecovery(v=v_fn)
+        rec.solve()
+        phies.append([fem.assemble_scalar(rec.eval(p)) for p in electrodes])
+    assert abs(phies[0][0]) > 0  # non-trivial signal
+    np.testing.assert_allclose(phies[1], phies[0], rtol=1e-6, atol=1e-9)
