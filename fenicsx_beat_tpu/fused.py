@@ -250,7 +250,15 @@ class FusedMonodomainSolver:
         # single-kernel VMEM-resident ionic step: ~2.3x less HBM traffic
         # than the multi-fusion XLA lowering at production node counts
         use_pallas = self._use_pallas
-        ode_fun = self.ode_fun
+        params_closure = self._params_j
+        jnp_ode_fun = self.ode_fun
+
+        def ode_apply(states, v, t, dt):
+            """Ionic step with the live voltage row injected — the jnp
+            fallback pays the row update; the pallas kernel absorbs it."""
+            states = states.at[v_index].set(v)
+            return jnp_ode_fun(states=states, t=t, parameters=params_closure, dt=dt)
+
         if use_pallas:
             from .ops.pallas_ode import build_pallas_ode_step
 
@@ -261,18 +269,20 @@ class FusedMonodomainSolver:
                     n_nodes=self._n_pad,  # already kernel-aligned: no wrappers
                     parameters=self.parameters,
                     dtype=self.dtype,
+                    v_index=v_index,
                 )
                 # Force Mosaic lowering now so a model the kernel language
                 # cannot express degrades to the plain jnp path instead of
                 # crashing on the first chunk.
                 jax.jit(pallas_step).lower(
                     jax.ShapeDtypeStruct((self.states.shape[0], self._n_pad), self.dtype),
+                    jax.ShapeDtypeStruct((self._n_pad,), self.dtype),
                     jax.ShapeDtypeStruct((), self.dtype),
                     jax.ShapeDtypeStruct((), self.dtype),
                 ).compile()
 
-                def ode_fun(states, t, parameters, dt):
-                    return pallas_step(states, t, dt)
+                def ode_apply(states, v, t, dt):  # noqa: F811
+                    return pallas_step(states, v, t, dt)
 
             except Exception as exc:  # Mosaic/lowering failure: degrade
                 logger.warning(
@@ -448,8 +458,6 @@ class FusedMonodomainSolver:
                 )
                 return x, info.iterations, info.residual_norm, info.converged
 
-        params_j = self._params_j
-
         @partial(jax.jit, static_argnames=("n_steps",))
         def run_chunk(states, act, t0, dt, amps, n_steps):
             # theta-system operators are dt-invariant within the chunk:
@@ -457,9 +465,12 @@ class FusedMonodomainSolver:
             ops = build_operators(dt)
 
             def one_step(carry, _):
-                states, act, t, dv = carry
+                # the PDE-updated voltage rides as a separate carry row and
+                # is injected inside the ionic kernel, skipping the
+                # full-state row update between PDE and ionic stages
+                states, act, t, dv, v_cur = carry
                 # tentative ODE step over theta*dt  (monodomain_solver.py:68)
-                states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
+                states = ode_apply(states, v_cur, t, theta * dt)
                 v = states[v_index]
                 # PDE theta-step over dt; stimulus evaluated at the PDE
                 # theta point (reference base_model.py:219); CG warm-started
@@ -469,24 +480,21 @@ class FusedMonodomainSolver:
                     ops, v, v + dv, t + pde_theta * dt, dt, amps
                 )
                 dv = v_new - v
-                states = states.at[v_index].set(v_new)
                 if not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
-                    states = ode_fun(
-                        states=states,
-                        t=t + theta * dt,
-                        parameters=params_j,
-                        dt=(1.0 - theta) * dt,
-                    )
+                    states = ode_apply(states, v_new, t + theta * dt, (1.0 - theta) * dt)
                     v_new = states[v_index]
                 t_next = t + dt
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
-                return (states, act, t_next, dv), (iters, rnorm, conv)
+                return (states, act, t_next, dv, v_new), (iters, rnorm, conv)
 
             dv0 = jnp.zeros_like(states[v_index])
-            (states, act, t, _), (iters, rnorms, convs) = jax.lax.scan(
-                one_step, (states, act, t0, dv0), None, length=n_steps
+            v0 = states[v_index]
+            (states, act, t, _, v_last), (iters, rnorms, convs) = jax.lax.scan(
+                one_step, (states, act, t0, dv0, v0), None, length=n_steps
             )
+            # one voltage-row write-back per chunk instead of per step
+            states = states.at[v_index].set(v_last)
             # real per-chunk linear-solver stats (reference records the KSP
             # converged_reason per solve, telemetry.py:67-76 there)
             return (

@@ -41,12 +41,20 @@ def build_pallas_ode_step(
     dtype,
     block_rows: int = 8,
     interpret: bool | None = None,
+    v_index: int | None = None,
 ):
     """Returns ``step(states, t, dt) -> new_states`` with states ``(S, n)``.
 
     ``fun`` is the model's ``generalized_rush_larsen``-style callable; it is
     traced into a single pallas kernel.  ``parameters`` are captured as
     host constants (numpy), so the kernel specializes on them.
+
+    With ``v_index`` given, the signature becomes ``step(states, v, t, dt)``
+    and the kernel substitutes row ``v_index`` with the separate ``v``
+    input before evaluating the model — this lets the splitting solver skip
+    the full-state ``states.at[v_index].set(v_pde)`` copy between the PDE
+    solve and the next ionic step (a ~35 MB round trip per step at 442k
+    nodes).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -71,40 +79,92 @@ def build_pallas_ode_step(
 
     params_np = None if parameters is None else np.asarray(parameters, dtype=np.float64)
 
-    def kernel(t_ref, dt_ref, s_ref, o_ref):
+    pad = n_pad - n_nodes
+
+    if v_index is None:
+
+        def kernel(t_ref, dt_ref, s_ref, o_ref):
+            s = s_ref[:]  # (S, Bm, LANE)
+            t = t_ref[0]
+            dt = dt_ref[0]
+            o_ref[:] = fun(states=s, t=t, parameters=params_np, dt=dt).astype(s.dtype)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
+            interpret=interpret,
+        )
+
+        @jax.jit
+        def step(states, t, dt):
+            if pad:
+                # replicate node 0 into the padding so model math stays finite
+                fill = jnp.broadcast_to(states[:, :1], (S, pad))
+                states_p = jnp.concatenate([states, fill], axis=1)
+            else:
+                states_p = states
+            blocks = states_p.reshape(S, m, LANE)
+            t_arr = jnp.reshape(t, (1,)).astype(dtype)
+            dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
+            out = call(t_arr, dt_arr, blocks)
+            out = out.reshape(S, n_pad)
+            return out[:, :n_nodes] if pad else out
+
+        return step
+
+    vi = int(v_index)
+
+    def kernel_v(t_ref, dt_ref, s_ref, v_ref, o_ref):
         s = s_ref[:]  # (S, Bm, LANE)
+        v = v_ref[:]  # (Bm, LANE) — the live (PDE-updated) voltage row
+        # Mosaic rejects zero-size slices: only emit non-empty parts
+        parts = []
+        if vi > 0:
+            parts.append(s[:vi])
+        parts.append(v[None])
+        if vi + 1 < S:
+            parts.append(s[vi + 1 :])
+        s = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         t = t_ref[0]
         dt = dt_ref[0]
         o_ref[:] = fun(states=s, t=t, parameters=params_np, dt=dt).astype(s.dtype)
 
-    call = pl.pallas_call(
-        kernel,
+    call_v = pl.pallas_call(
+        kernel_v,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
         interpret=interpret,
     )
 
-    pad = n_pad - n_nodes
-
     @jax.jit
-    def step(states, t, dt):
+    def step_v(states, v, t, dt):
         if pad:
-            # replicate node 0 into the padding so model math stays finite
             fill = jnp.broadcast_to(states[:, :1], (S, pad))
             states_p = jnp.concatenate([states, fill], axis=1)
+            v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
         else:
             states_p = states
+            v_p = v
         blocks = states_p.reshape(S, m, LANE)
+        vblocks = v_p.reshape(m, LANE)
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-        out = call(t_arr, dt_arr, blocks)
+        out = call_v(t_arr, dt_arr, blocks, vblocks)
         out = out.reshape(S, n_pad)
         return out[:, :n_nodes] if pad else out
 
-    return step
+    return step_v
