@@ -580,3 +580,52 @@ class ShardedMonodomainSolver:
         if self._iperm is not None:
             act = act[self._iperm]
         return act
+
+    # ------------------------------------------------------------------
+    # full-state checkpoint / resume (parity with FusedMonodomainSolver;
+    # arrays are stored in the mesh's ORIGINAL dof order so a checkpoint
+    # is portable across device counts and renumberings)
+    def save_state(self, path, t: float = 0.0):
+        from pathlib import Path
+
+        n = self.part.n_global
+        states = np.asarray(self.states)[:, :n]
+        act = np.asarray(self.activation_time)[:n]
+        if self._iperm is not None:
+            states = states[:, self._iperm]
+            act = act[self._iperm]
+        out = Path(path).with_suffix(".npz")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            out,
+            states=states,
+            activation_time=act,
+            t=float(t),
+            v_index=self.v_index,
+        )
+        return out
+
+    def load_state(self, path) -> float:
+        from pathlib import Path
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        with np.load(Path(path).with_suffix(".npz")) as f:
+            states = f["states"]
+            act = f["activation_time"]
+            t = float(f["t"])
+        n = self.part.n_global
+        if states.shape[1] != n:
+            raise ValueError(f"checkpoint has {states.shape[1]} nodes, mesh has {n}")
+        if self._perm is not None:
+            states = states[:, self._perm]
+            act = act[self._perm]
+        pad = self.part.n_pad - n
+        if pad:
+            states = np.concatenate([states, np.tile(states[:, :1], (1, pad))], axis=1)
+            act = np.concatenate([act, np.full(pad, -1.0)])
+        shard_nodes = NamedSharding(self.device_mesh, P(None, self.axis))
+        shard_vec = NamedSharding(self.device_mesh, P(self.axis))
+        self.states = jax.device_put(jnp.asarray(states, dtype=self.dtype), shard_nodes)
+        self.activation_time = jax.device_put(jnp.asarray(act, dtype=self.dtype), shard_vec)
+        return t

@@ -354,3 +354,38 @@ def test_ecg_recovery_from_sharded_solution():
         phies.append([fem.assemble_scalar(rec.eval(p)) for p in electrodes])
     assert abs(phies[0][0]) > 0  # non-trivial signal
     np.testing.assert_allclose(phies[1], phies[0], rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_checkpoint_roundtrip_cross_solver():
+    """Checkpoints are stored in original dof order: a sharded solver's
+    state restores into a fused solver (and back) with exact resume."""
+    dmesh = _device_mesh(8)
+    common = _niederer_setup(dx=1.0)
+
+    # reference: sharded run with the same two-segment chunking (resume
+    # resets the CG warm start, so chunk boundaries must match for
+    # exactness)
+    ref = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    ref.solve((0.0, 2.0), dt=0.05)
+    ref.solve((2.0, 4.0), dt=0.05)
+    v_ref = np.asarray(ref.v)
+
+    a = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+    a.solve((0.0, 2.0), dt=0.05)
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = a.save_state(pathlib.Path(d) / "mid", t=2.0)
+
+        # sharded -> sharded resume: exact
+        b = ShardedMonodomainSolver(device_mesh=dmesh, **common)
+        t0 = b.load_state(ckpt)
+        assert t0 == 2.0
+        b.solve((t0, 4.0), dt=0.05)
+        np.testing.assert_allclose(np.asarray(b.v), v_ref, atol=1e-12)
+
+        # sharded -> fused resume (original-order portability): within
+        # cross-solver CG reduction-order tolerance
+        c = FusedMonodomainSolver(**common)
+        t0 = c.load_state(ckpt)
+        c.solve((t0, 4.0), dt=0.05)
+        np.testing.assert_allclose(np.asarray(c.v), v_ref, rtol=1e-6, atol=2e-5)
