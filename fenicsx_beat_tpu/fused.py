@@ -169,14 +169,7 @@ class FusedMonodomainSolver:
 
         use_pallas = self.use_pallas_ode
         if use_pallas is None:
-            # the pallas ionic kernel bakes parameters as immediates; node-
-            # sized parameters (multi-marker masks, per-node vectors) stay
-            # on the plain jnp path
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and self._ode_masks is None
-                and np.ndim(self.parameters) < 2
-            )
+            use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
         if use_pallas and isinstance(self._mass, StencilMatrix):
             # large meshes round to 512-row kernel blocks (65536 nodes) so
@@ -262,27 +255,60 @@ class FusedMonodomainSolver:
         if use_pallas:
             from .ops.pallas_ode import build_pallas_ode_step
 
+            # node-aligned parameters (multi-marker masks, per-node fields)
+            # are streamed into the kernel per block; plain vectors are
+            # baked as immediates
+            node_aligned = (
+                self._params_j is not None
+                and getattr(self._params_j, "ndim", 0) == 2
+                and self._params_j.shape[-1] == self._n_pad
+            )
             try:
-                pallas_step = build_pallas_ode_step(
-                    self.ode_fun,
-                    num_states=self.states.shape[0],
-                    n_nodes=self._n_pad,  # already kernel-aligned: no wrappers
-                    parameters=self.parameters,
-                    dtype=self.dtype,
-                    v_index=v_index,
-                )
-                # Force Mosaic lowering now so a model the kernel language
-                # cannot express degrades to the plain jnp path instead of
-                # crashing on the first chunk.
-                jax.jit(pallas_step).lower(
-                    jax.ShapeDtypeStruct((self.states.shape[0], self._n_pad), self.dtype),
-                    jax.ShapeDtypeStruct((self._n_pad,), self.dtype),
-                    jax.ShapeDtypeStruct((), self.dtype),
-                    jax.ShapeDtypeStruct((), self.dtype),
-                ).compile()
+                S = self.states.shape[0]
+                if node_aligned:
+                    params_dev = self._params_j.astype(self.dtype)
+                    NP = params_dev.shape[0]
+                    pallas_step = build_pallas_ode_step(
+                        self.ode_fun,
+                        num_states=S,
+                        n_nodes=self._n_pad,
+                        parameters=None,
+                        dtype=self.dtype,
+                        v_index=v_index,
+                        node_params=NP,
+                    )
+                    # Force Mosaic lowering now so a model the kernel
+                    # language cannot express degrades to the plain jnp
+                    # path instead of crashing on the first chunk.
+                    jax.jit(pallas_step).lower(
+                        jax.ShapeDtypeStruct((S, self._n_pad), self.dtype),
+                        jax.ShapeDtypeStruct((self._n_pad,), self.dtype),
+                        jax.ShapeDtypeStruct((NP, self._n_pad), self.dtype),
+                        jax.ShapeDtypeStruct((), self.dtype),
+                        jax.ShapeDtypeStruct((), self.dtype),
+                    ).compile()
 
-                def ode_apply(states, v, t, dt):  # noqa: F811
-                    return pallas_step(states, v, t, dt)
+                    def ode_apply(states, v, t, dt):  # noqa: F811
+                        return pallas_step(states, v, params_dev, t, dt)
+
+                else:
+                    pallas_step = build_pallas_ode_step(
+                        self.ode_fun,
+                        num_states=S,
+                        n_nodes=self._n_pad,  # kernel-aligned: no wrappers
+                        parameters=self.parameters,
+                        dtype=self.dtype,
+                        v_index=v_index,
+                    )
+                    jax.jit(pallas_step).lower(
+                        jax.ShapeDtypeStruct((S, self._n_pad), self.dtype),
+                        jax.ShapeDtypeStruct((self._n_pad,), self.dtype),
+                        jax.ShapeDtypeStruct((), self.dtype),
+                        jax.ShapeDtypeStruct((), self.dtype),
+                    ).compile()
+
+                    def ode_apply(states, v, t, dt):  # noqa: F811
+                        return pallas_step(states, v, t, dt)
 
             except Exception as exc:  # Mosaic/lowering failure: degrade
                 logger.warning(

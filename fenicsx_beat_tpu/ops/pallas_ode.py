@@ -42,6 +42,7 @@ def build_pallas_ode_step(
     block_rows: int = 8,
     interpret: bool | None = None,
     v_index: int | None = None,
+    node_params: int | None = None,
 ):
     """Returns ``step(states, t, dt) -> new_states`` with states ``(S, n)``.
 
@@ -55,6 +56,13 @@ def build_pallas_ode_step(
     the full-state ``states.at[v_index].set(v_pde)`` copy between the PDE
     solve and the next ionic step (a ~35 MB round trip per step at 442k
     nodes).
+
+    With ``node_params`` given (requires ``v_index``), ``parameters`` is
+    instead a node-aligned ``[node_params, n]`` array streamed per block
+    and passed to the model as its ``parameters`` argument — this is how
+    multi-marker masks (:func:`~fenicsx_beat_tpu.odesolver.make_multi_ode`)
+    and per-node parameter fields reach the kernel.  Signature:
+    ``step(states, v, params_node, t, dt)``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -120,10 +128,9 @@ def build_pallas_ode_step(
         return step
 
     vi = int(v_index)
+    NP = node_params
 
-    def kernel_v(t_ref, dt_ref, s_ref, v_ref, o_ref):
-        s = s_ref[:]  # (S, Bm, LANE)
-        v = v_ref[:]  # (Bm, LANE) — the live (PDE-updated) voltage row
+    def _inject_v(s, v):
         # Mosaic rejects zero-size slices: only emit non-empty parts
         parts = []
         if vi > 0:
@@ -131,40 +138,78 @@ def build_pallas_ode_step(
         parts.append(v[None])
         if vi + 1 < S:
             parts.append(s[vi + 1 :])
-        s = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        t = t_ref[0]
-        dt = dt_ref[0]
-        o_ref[:] = fun(states=s, t=t, parameters=params_np, dt=dt).astype(s.dtype)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
-    call_v = pl.pallas_call(
-        kernel_v,
-        grid=grid,
-        in_specs=[
+    if NP is None:
+
+        def kernel_v(t_ref, dt_ref, s_ref, v_ref, o_ref):
+            s = _inject_v(s_ref[:], v_ref[:])
+            o_ref[:] = fun(
+                states=s, t=t_ref[0], parameters=params_np, dt=dt_ref[0]
+            ).astype(s.dtype)
+
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Bm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+    else:
+
+        def kernel_v(t_ref, dt_ref, s_ref, v_ref, p_ref, o_ref):
+            s = _inject_v(s_ref[:], v_ref[:])
+            o_ref[:] = fun(
+                states=s, t=t_ref[0], parameters=p_ref[:], dt=dt_ref[0]
+            ).astype(s.dtype)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ]
+
+    call_v = pl.pallas_call(
+        kernel_v,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
         interpret=interpret,
     )
 
-    @jax.jit
-    def step_v(states, v, t, dt):
+    def _padded(states, v):
         if pad:
             fill = jnp.broadcast_to(states[:, :1], (S, pad))
             states_p = jnp.concatenate([states, fill], axis=1)
             v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
         else:
-            states_p = states
-            v_p = v
-        blocks = states_p.reshape(S, m, LANE)
-        vblocks = v_p.reshape(m, LANE)
+            states_p, v_p = states, v
+        return states_p.reshape(S, m, LANE), v_p.reshape(m, LANE)
+
+    if NP is None:
+
+        @jax.jit
+        def step_v(states, v, t, dt):
+            blocks, vblocks = _padded(states, v)
+            t_arr = jnp.reshape(t, (1,)).astype(dtype)
+            dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
+            out = call_v(t_arr, dt_arr, blocks, vblocks).reshape(S, n_pad)
+            return out[:, :n_nodes] if pad else out
+
+        return step_v
+
+    @jax.jit
+    def step_vp(states, v, params_node, t, dt):
+        blocks, vblocks = _padded(states, v)
+        if pad:
+            pfill = jnp.broadcast_to(params_node[:, :1], (NP, pad))
+            params_node = jnp.concatenate([params_node, pfill], axis=1)
+        pblocks = params_node.reshape(NP, m, LANE)
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-        out = call_v(t_arr, dt_arr, blocks, vblocks)
-        out = out.reshape(S, n_pad)
+        out = call_v(t_arr, dt_arr, blocks, vblocks, pblocks).reshape(S, n_pad)
         return out[:, :n_nodes] if pad else out
 
-    return step_v
+    return step_vp

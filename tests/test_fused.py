@@ -237,3 +237,35 @@ def test_fused_multi_marker_matches_oo():
     )
     fused.solve((0.0, T), dt=dt)
     np.testing.assert_allclose(np.asarray(fused.v), v_oo, rtol=1e-6, atol=1e-4)
+
+
+def test_fused_multi_marker_pallas_matches_jnp():
+    """Multi-marker masks streamed into the pallas ionic kernel (interpret
+    mode on CPU) reproduce the plain jnp masked-composition path."""
+    mesh, I_s, dx = _setup(N=12)
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    V = fem.functionspace(mesh, ("P", 1))
+    coords = V.tabulate_dof_coordinates()
+    marker_arr = np.where(coords[:, 0] < 0.5, 1, 2)
+    common = dict(
+        mesh=mesh,
+        M=0.001,
+        ode_fun={1: tp06.generalized_rush_larsen, 2: tp06.generalized_rush_larsen},
+        init_states={
+            1: tp06.init_state_values(),
+            2: tp06.init_state_values(V=-60.0),
+        },
+        parameters={1: params, 2: params},
+        v_index={1: tp06.state_index("V"), 2: tp06.state_index("V")},
+        ode_markers=marker_arr,
+        I_s=I_s,
+        theta=1.0,
+    )
+    plain = FusedMonodomainSolver(use_pallas_ode=False, **common)
+    plain.solve((0.0, 1.5), dt=0.05)
+    pallas = FusedMonodomainSolver(use_pallas_ode=True, **common)
+    assert pallas._use_pallas
+    pallas.solve((0.0, 1.5), dt=0.05)
+    np.testing.assert_allclose(
+        np.asarray(pallas.v), np.asarray(plain.v), rtol=1e-10, atol=1e-10
+    )
