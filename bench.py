@@ -42,17 +42,12 @@ def _load_cpu_baseline():
 def _kernel_check(dt=0.05, n_steps=40):
     """Pallas-vs-XLA regression: identical dx=0.5 runs with the pallas
     kernels (ionic, stencil SpMV, fused PCG) on and off; returns max |dv|.
-    Meaningful on the TPU backend (CPU uses interpret mode)."""
-    import numpy as np
+    Meaningful on the TPU backend (CPU uses interpret mode).  See
+    ``fenicsx_beat_tpu/benchmarks/kernel_check.py`` for the committed
+    artifact variant."""
+    from fenicsx_beat_tpu.benchmarks.kernel_check import kernel_check
 
-    from fenicsx_beat_tpu.benchmarks.niederer import _build_solver
-
-    v = {}
-    for use_pallas in (True, False):
-        solver = _build_solver(dx=0.5, use_pallas_ode=use_pallas, pallas_spmv_min_nodes=1)
-        solver.solve((0.0, n_steps * dt), dt=dt)
-        v[use_pallas] = np.asarray(solver.v)
-    return float(np.max(np.abs(v[True] - v[False])))
+    return kernel_check(dt=dt, n_steps=n_steps)["max_abs_dev"]
 
 
 def main():
@@ -63,8 +58,23 @@ def main():
     parser.add_argument("--theta", type=float, default=1.0, help="splitting theta (0.5 = Strang)")
     parser.add_argument("--quick", action="store_true", help="short dx=0.5 run for smoke testing")
     parser.add_argument("--x64", action="store_true", help="force float64 (CPU validation)")
-    parser.add_argument("--skip-kernel-check", action="store_true")
+    parser.add_argument(
+        "--kernel-check",
+        action="store_true",
+        help="also run the pallas-vs-XLA regression check (extra solver "
+        "builds + compiles; see benchmarks/kernel_check.py for the "
+        "committed artifact)",
+    )
+    parser.add_argument(
+        "--budget",
+        type=float,
+        default=float(os.environ.get("FBTPU_BENCH_BUDGET", 360.0)),
+        help="soft wall-clock budget (s): once exceeded, remaining extra "
+        "configs are skipped so the primary metric still prints (the "
+        "remote-TPU tunnel has minutes-long latency phases)",
+    )
     args = parser.parse_args()
+    t_start = __import__("time").perf_counter()
 
     import jax
 
@@ -87,6 +97,10 @@ def main():
     extras = {}
     results = []
     for dx, dt, T in configs:
+        if results and __import__("time").perf_counter() - t_start > args.budget:
+            extras["skipped_configs"] = f"dx={dx:g} (over {args.budget:.0f}s budget)"
+            print(f"budget exceeded; skipping dx={dx:g}", file=sys.stderr)
+            break
         res = run_niederer_benchmark(dx=dx, dt=dt, T=T, theta=args.theta)
         print(res.summary(), file=sys.stderr)
         results.append(res)
@@ -101,7 +115,7 @@ def main():
     primary = results[0]
     vs_baseline = min(_fidelity(r.error_vs_published()) for r in results)
 
-    if not args.skip_kernel_check and not args.quick and jax.default_backend() == "tpu":
+    if args.kernel_check and not args.quick and jax.default_backend() == "tpu":
         try:
             extras["kernel_max_dev"] = _kernel_check()
         except Exception as exc:  # regression artifact must not kill the bench

@@ -10,7 +10,35 @@ Public surface mirrors the reference package
 (``src/beat/__init__.py:16-49``).
 """
 
-from . import (
+def _tune_numpy_page_faults():
+    """Disable numpy's MADV_HUGEPAGE on hosts where it is pathological.
+
+    With ``transparent_hugepage/defrag = madvise`` the kernel runs
+    *synchronous* compaction on every fault in a madvised VMA; on the
+    virtualized single-vCPU hosts this framework targets for setup work
+    that turns first-touch of large numpy buffers into a ~20 MB/s crawl
+    (measured: 512 MB ``np.empty`` + fill = 29 s with numpy's default
+    madvise, 0.3 s without — a 75x setup-time difference at the 442k-node
+    Niederer resolution).  Set ``FBTPU_NUMPY_HUGEPAGE=1`` to keep numpy's
+    default behavior.
+    """
+    import os
+
+    if os.environ.get("FBTPU_NUMPY_HUGEPAGE") == "1":
+        return
+    try:
+        try:
+            from numpy._core import multiarray as _ma
+        except ImportError:  # numpy < 2
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:
+        pass
+
+
+_tune_numpy_page_faults()
+
+from . import (  # noqa: E402
     base_model,
     conductivities,
     config,

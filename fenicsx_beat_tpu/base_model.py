@@ -210,6 +210,10 @@ class BaseModel(abc.ABC):
             stiff_st = ell_to_stencil(stiff) if mass_st is not None else None
             if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
                 mass, stiff = mass_st, stiff_st
+        # assembly is numpy-backed; the jitted step kernel embeds the host
+        # value arrays as module constants (a device-array closure constant
+        # would be pulled back to host at lowering — ruinously slow over a
+        # remote-TPU tunnel)
         self._mass = mass
         self._stiff = stiff
         self._C_m = float(C_m) if np.isscalar(C_m) or isinstance(C_m, (int, float)) else C_m

@@ -219,9 +219,14 @@ def run_niederer_benchmark(
     )
     warm[-1].block_until_ready()
 
+    # All chunks are dispatched asynchronously back-to-back and synced
+    # ONCE per horizon: over a remote-TPU tunnel every host<->device fetch
+    # costs a round trip (measured 0.2-2 s of pure latency), so a per-chunk
+    # early-stop probe fetch would dominate the wall clock.  The reference
+    # instead evaluates probes on host every loop iteration
+    # (demos/niederer_benchmark.py:256-262).
     t = 0.0
     n_steps = 0
-    pending = None  # lookahead probe values of the previous chunk
     probe_dev = None
     tic = _time.perf_counter()
     while t < T - 1e-9:
@@ -243,11 +248,21 @@ def run_niederer_benchmark(
         )
         t += n * dt
         n_steps += n
-        if pending is not None and (np.asarray(pending) >= 0).all():
-            break
-        pending = probe_dev
     probe_act = np.asarray(probe_dev)
     wall = _time.perf_counter() - tic
+    # horizon extension if the slab has not fully activated (same outcome
+    # as the reference's early-stopping loop, minus the per-chunk syncs)
+    while not (probe_act >= 0).all() and t < 10 * T:
+        tic2 = _time.perf_counter()
+        tj = jnp.asarray(t, dtype=solver.states.dtype)
+        out = solver._run_chunk_probed(
+            solver.states, solver.activation_time, tj, dtj, amps, chunk_steps
+        )
+        solver.states, solver.activation_time, probe_dev = out[0], out[1], out[-1]
+        t += chunk_steps * dt
+        n_steps += chunk_steps
+        probe_act = np.asarray(probe_dev)
+        wall += _time.perf_counter() - tic2
 
     activation = {name: float(a) for name, a in zip(points.keys(), probe_act)}
 

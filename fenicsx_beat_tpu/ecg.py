@@ -127,6 +127,7 @@ class ECGRecovery:
     def __post_init__(self):
         self.sol = fem.Function(self.V, name="Im")
         M_cells = as_cell_tensors(self.M, self.mesh)
+        # numpy-backed; the jitted kernel embeds them as module constants
         self._mass, self._stiff = fem.assemble_mass_stiffness(self.V, M_cells)
         self._diag = self._mass.diagonal()
         self._rtol = float(self.petsc_options.get("ksp_rtol", 1e-8))

@@ -189,10 +189,10 @@ class FusedMonodomainSolver:
             kvals = np.zeros_like(mvals)
             kvals[:n] = np.asarray(self._stiff.vals)
             self._mass = StencilMatrix(
-                offsets=self._mass.offsets, vals=jnp.asarray(mvals), shape=(self._n_pad, self._n_pad)
+                offsets=self._mass.offsets, vals=mvals, shape=(self._n_pad, self._n_pad)
             )
             self._stiff = StencilMatrix(
-                offsets=self._stiff.offsets, vals=jnp.asarray(kvals), shape=(self._n_pad, self._n_pad)
+                offsets=self._stiff.offsets, vals=kvals, shape=(self._n_pad, self._n_pad)
             )
 
         init = np.asarray(self.init_states, dtype=np.float64)
@@ -206,23 +206,26 @@ class FusedMonodomainSolver:
                 )
         self.states = jnp.asarray(states, dtype=self.dtype)
         self.activation_time = jnp.full((self._n_pad,), -1.0, dtype=self.dtype)
+        # numpy-backed closures throughout (device-array jit constants are
+        # pulled back to host at lowering; ruinous over a remote-TPU tunnel)
+        npdt = np.dtype(jnp.dtype(self.dtype).name)
         if self._ode_masks is not None:
             masks = self._ode_masks
             if pad:
                 masks = np.concatenate([masks, np.tile(masks[:, :1], (1, pad))], axis=1)
-            self._params_j = jnp.asarray(masks)
+            self._params_j = np.asarray(masks)
         elif self.parameters is not None and np.ndim(self.parameters) == 2:
             pvals = np.asarray(self.parameters, dtype=np.float64)
             if pad:
                 pvals = np.concatenate([pvals, np.tile(pvals[:, :1], (1, pad))], axis=1)
-            self._params_j = jnp.asarray(pvals, dtype=self.dtype)
+            self._params_j = pvals.astype(npdt)
         else:
             self._params_j = (
-                None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
+                None if self.parameters is None else np.asarray(self.parameters, dtype=npdt)
             )
         if self.probe_points is not None:
             pdofs, pw = fem.point_evaluation_tables(self.V, np.asarray(self.probe_points))
-            self._probe_tables = (jnp.asarray(pdofs), jnp.asarray(pw, dtype=self.dtype))
+            self._probe_tables = (np.asarray(pdofs), np.asarray(pw, dtype=npdt))
         else:
             self._probe_tables = None
         self._build_kernels()
@@ -246,7 +249,15 @@ class FusedMonodomainSolver:
         params_closure = self._params_j
         jnp_ode_fun = self.ode_fun
 
-        def ode_apply(states, v, t, dt):
+        # Device-resident operands, threaded through the jitted chunk as an
+        # ARGUMENT pytree.  Closure constants are wrong for both directions
+        # on a remote-TPU (axon) backend: device-array constants are pulled
+        # back to host at lowering (measured 0.1 MB/s), and large numpy
+        # constants embedded in the module are re-shipped per execution
+        # (measured ~22 s/chunk for the 33 MB dx=0.1 operator streams).
+        operands = {}
+
+        def ode_apply(op, states, v, t, dt):
             """Ionic step with the live voltage row injected — the jnp
             fallback pays the row update; the pallas kernel absorbs it."""
             states = states.at[v_index].set(v)
@@ -288,8 +299,12 @@ class FusedMonodomainSolver:
                         jax.ShapeDtypeStruct((), self.dtype),
                     ).compile()
 
-                    def ode_apply(states, v, t, dt):  # noqa: F811
-                        return pallas_step(states, v, params_dev, t, dt)
+                    operands["node_params"] = jax.device_put(
+                        jnp.asarray(params_dev)
+                    )
+
+                    def ode_apply(op, states, v, t, dt):  # noqa: F811
+                        return pallas_step(states, v, op["node_params"], t, dt)
 
                 else:
                     pallas_step = build_pallas_ode_step(
@@ -307,7 +322,7 @@ class FusedMonodomainSolver:
                         jax.ShapeDtypeStruct((), self.dtype),
                     ).compile()
 
-                    def ode_apply(states, v, t, dt):  # noqa: F811
+                    def ode_apply(op, states, v, t, dt):  # noqa: F811
                         return pallas_step(states, v, t, dt)
 
             except Exception as exc:  # Mosaic/lowering failure: degrade
@@ -352,12 +367,17 @@ class FusedMonodomainSolver:
                 k0 = mass.offsets.index(0)
             else:
                 k0 = _spmv.positive_offsets.index(0)
-            mT = _spmv.pack_values(np.asarray(mass.vals))
-            kT = _spmv.pack_values(np.asarray(stiff.vals))
+            # packed value streams ride in the operand pytree (device)
+            operands["mT"] = jax.device_put(
+                jnp.asarray(_spmv.pack_values(np.asarray(mass.vals)))
+            )
+            operands["kT"] = jax.device_put(
+                jnp.asarray(_spmv.pack_values(np.asarray(stiff.vals)))
+            )
 
-            def build_operators(dt):
-                A_T = C_m * mT + (pde_theta * dt) * kT
-                B_T = C_m * mT - ((1.0 - pde_theta) * dt) * kT
+            def build_operators(op, dt):
+                A_T = C_m * op["mT"] + (pde_theta * dt) * op["kT"]
+                B_T = C_m * op["mT"] - ((1.0 - pde_theta) * dt) * op["kT"]
                 diag = A_T[k0].reshape(-1)[:n_dofs]
                 return (A_T, B_T, diag)
 
@@ -368,10 +388,12 @@ class FusedMonodomainSolver:
                 return _spmv(ops[1], u)
 
         else:
+            operands["mass"] = mass.to_device()
+            operands["stiff"] = stiff.to_device()
 
-            def build_operators(dt):
-                A = mass.combine(C_m, stiff, pde_theta * dt)
-                B = mass.combine(C_m, stiff, -(1.0 - pde_theta) * dt)
+            def build_operators(op, dt):
+                A = op["mass"].combine(C_m, op["stiff"], pde_theta * dt)
+                B = op["mass"].combine(C_m, op["stiff"], -(1.0 - pde_theta) * dt)
                 return (A, B, A.diagonal())
 
             def apply_A(ops, u):
@@ -383,15 +405,10 @@ class FusedMonodomainSolver:
         n_pad_load = self._n_pad - self._n
         if n_pad_load:
             # padding rows are inert (residual 0 by construction) but must
-            # not inflate ||b|| and loosen the relative CG tolerance
-            _mask = jnp.concatenate(
-                [
-                    jnp.ones((self._n,), dtype=self.dtype),
-                    jnp.zeros((n_pad_load,), dtype=self.dtype),
-                ]
-            )
-
+            # not inflate ||b|| and loosen the relative CG tolerance; the
+            # mask is generated on device inside the trace (no constant)
             def cg_dot(a, b):
+                _mask = (jnp.arange(a.shape[0]) < self._n).astype(a.dtype)
                 return jnp.vdot(a * _mask, b)
 
         else:
@@ -402,25 +419,33 @@ class FusedMonodomainSolver:
         # per-step quadrature scatter-add it replaces measured ~570 us/step
         # at 442k nodes (scatters serialize on the VPU)
         stim_terms = []
+        b_units_np = []
         for i, (quad, expr, stim) in enumerate(stim_quads):
             if stim is not None:
-                b_unit = quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
+                # host-side assembly; the unit loads ride in the operand
+                # pytree as one stacked device array
+                b_unit = quad.assemble_load_host().astype(
+                    np.dtype(jnp.dtype(self.dtype).name)
+                )
                 if n_pad_load:
-                    b_unit = jnp.concatenate(
-                        [b_unit, jnp.zeros((n_pad_load,), dtype=b_unit.dtype)]
+                    b_unit = np.concatenate(
+                        [b_unit, np.zeros((n_pad_load,), dtype=b_unit.dtype)]
                     )
                 window = (float(stim.expr.start), float(stim.expr.duration))
-                stim_terms.append((i, None, None, b_unit, window))
+                stim_terms.append((i, None, None, len(b_units_np), window))
+                b_units_np.append(b_unit)
             else:
                 stim_terms.append((i, quad, expr, None, None))
+        if b_units_np:
+            operands["b_units"] = jax.device_put(jnp.asarray(np.stack(b_units_np)))
 
-        def _assemble_rhs(ops, v_prev, t, dt, amps):
+        def _assemble_rhs(op, ops, v_prev, t, dt, amps):
             b = apply_B(ops, v_prev)
-            for i, quad, expr, b_unit, window in stim_terms:
-                if b_unit is not None:
+            for i, quad, expr, b_idx, window in stim_terms:
+                if b_idx is not None:
                     start, dur = window
                     on = jnp.where((t >= start) & (t <= start + dur), 1.0, 0.0)
-                    b = b + (dt * amps[i] * on) * b_unit
+                    b = b + (dt * amps[i] * on) * op["b_units"][b_idx]
                 else:
                     load = quad.assemble_load(expr, t)
                     if n_pad_load:
@@ -440,10 +465,10 @@ class FusedMonodomainSolver:
             _axpy = build_pallas_axpy(n_dofs, self.dtype)
             _dot = cg_dot or (lambda a, b: jnp.vdot(a, b))
 
-            def pde_solve(ops, v_prev, x0, t, dt, amps):
+            def pde_solve(op, ops, v_prev, x0, t, dt, amps):
                 A_T = ops[0]
                 minv = 1.0 / ops[2]
-                b = _assemble_rhs(ops, v_prev, t, dt, amps)
+                b = _assemble_rhs(op, ops, v_prev, t, dt, amps)
                 r0 = b - _spmv(A_T, x0)
                 z0 = r0 * minv
                 rz0 = _dot(r0, z0)
@@ -470,8 +495,8 @@ class FusedMonodomainSolver:
 
         else:
 
-            def pde_solve(ops, v_prev, x0, t, dt, amps):
-                b = _assemble_rhs(ops, v_prev, t, dt, amps)
+            def pde_solve(op, ops, v_prev, x0, t, dt, amps):
+                b = _assemble_rhs(op, ops, v_prev, t, dt, amps)
                 x, info = cg(
                     lambda u: apply_A(ops, u),
                     b,
@@ -485,10 +510,10 @@ class FusedMonodomainSolver:
                 return x, info.iterations, info.residual_norm, info.converged
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(states, act, t0, dt, amps, n_steps):
+        def run_chunk_ops(op, states, act, t0, dt, amps, n_steps):
             # theta-system operators are dt-invariant within the chunk:
             # build once, outside the scan
-            ops = build_operators(dt)
+            ops = build_operators(op, dt)
 
             def one_step(carry, _):
                 # the PDE-updated voltage rides as a separate carry row and
@@ -496,19 +521,19 @@ class FusedMonodomainSolver:
                 # full-state row update between PDE and ionic stages
                 states, act, t, dv, v_cur = carry
                 # tentative ODE step over theta*dt  (monodomain_solver.py:68)
-                states = ode_apply(states, v_cur, t, theta * dt)
+                states = ode_apply(op, states, v_cur, t, theta * dt)
                 v = states[v_index]
                 # PDE theta-step over dt; stimulus evaluated at the PDE
                 # theta point (reference base_model.py:219); CG warm-started
                 # with the previous step's solve increment (the trajectory
                 # is smooth in time, so v + dv is a better x0 than v)
                 v_new, iters, rnorm, conv = pde_solve(
-                    ops, v, v + dv, t + pde_theta * dt, dt, amps
+                    op, ops, v, v + dv, t + pde_theta * dt, dt, amps
                 )
                 dv = v_new - v
                 if not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
-                    states = ode_apply(states, v_new, t + theta * dt, (1.0 - theta) * dt)
+                    states = ode_apply(op, states, v_new, t + theta * dt, (1.0 - theta) * dt)
                     v_new = states[v_index]
                 t_next = t + dt
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
@@ -533,19 +558,30 @@ class FusedMonodomainSolver:
                 jnp.all(convs),
             )
 
+        self._operands = operands
+
+        def run_chunk(states, act, t0, dt, amps, n_steps):
+            return run_chunk_ops(self._operands, states, act, t0, dt, amps, n_steps)
+
         self._run_chunk = run_chunk
+        self._run_chunk_ops = run_chunk_ops
         probe_tables = self._probe_tables
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk_probed(states, act, t0, dt, amps, n_steps):
+        def run_chunk_probed_ops(op, states, act, t0, dt, amps, n_steps):
             """One invocation returning probe activation values too — keeps
             host round-trips (the tunnel latency) to one per chunk."""
-            states, act, t, it_max, it_sum, rnorm, conv = run_chunk(
-                states, act, t0, dt, amps, n_steps
+            states, act, t, it_max, it_sum, rnorm, conv = run_chunk_ops(
+                op, states, act, t0, dt, amps, n_steps
             )
             pdofs, pw = probe_tables
             probes = jnp.sum(act[pdofs] * pw, axis=1)
             return states, act, t, it_max, it_sum, rnorm, conv, probes
+
+        def run_chunk_probed(states, act, t0, dt, amps, n_steps):
+            return run_chunk_probed_ops(
+                self._operands, states, act, t0, dt, amps, n_steps
+            )
 
         self._run_chunk_probed = run_chunk_probed if probe_tables is not None else None
 

@@ -159,7 +159,10 @@ def build_pallas_stencil_spmv(
         """[n, K] stencil values -> [K, R_pad, 128] device array."""
         v = np.zeros((K, R_pad * LANE), dtype=np.dtype(dtype))
         v[:, :n] = np.asarray(vals).T
-        return jnp.asarray(v.reshape(K, R_pad, LANE))
+        # numpy-backed: callers capture this as a jit-closure constant;
+        # host constants embed directly, device constants would be pulled
+        # back at lowering (ruinous over a remote-TPU tunnel)
+        return v.reshape(K, R_pad, LANE)
 
     spmv.pack_values = pack_values
     return spmv
@@ -341,7 +344,7 @@ def build_pallas_stencil_spmv_sym(
         v = np.zeros((Kp, R_pad * LANE), dtype=np.dtype(dtype))
         for kk, d in enumerate(pos):
             v[kk, :n] = vals[:, offsets.index(d)]
-        return jnp.asarray(v.reshape(Kp, R_pad, LANE))
+        return v.reshape(Kp, R_pad, LANE)  # numpy-backed, see above
 
     spmv.pack_values = pack_values
     spmv.positive_offsets = pos

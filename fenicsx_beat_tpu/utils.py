@@ -98,8 +98,9 @@ def laplace_solve(
     for bc in bcs:
         u_bc[bc.dofs] = bc.value
         free[bc.dofs] = False
-    freej = jnp.asarray(free)
-    u_bcj = jnp.asarray(u_bc)
+    # numpy closures: embedded at lowering without a device round trip
+    freej = free
+    u_bcj = u_bc
 
     def matvec(v):
         return jnp.where(freej, K @ jnp.where(freej, v, 0.0), 0.0)
