@@ -21,6 +21,7 @@ spaces — the set exercised by the reference's tests and demos
 from __future__ import annotations
 
 import itertools
+import os
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -744,6 +745,7 @@ def assemble_mass_stiffness(
     V: FunctionSpace,
     M_cells: np.ndarray | float,
     dtype=None,
+    cache_key: str | None = None,
 ) -> tuple[ELLMatrix, ELLMatrix]:
     """Assemble consistent mass and anisotropic stiffness with one shared
     ELL sparsity pattern, so ``A = a*Mass + b*Stiff`` is a pure value-level
@@ -757,10 +759,65 @@ def assemble_mass_stiffness(
     exact quadrature — the reference's ``degree`` parameter accepts the
     same, ``base_model.py:158-168``).
     """
+    if cache_key is not None:
+        cached = _operator_cache_load(cache_key, V, dtype)
+        if cached is not None:
+            return cached
     rows, cols, mvals, kvals, shape = assemble_mass_stiffness_coo(V, M_cells)
     mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
     stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
+    if cache_key is not None:
+        _operator_cache_store(cache_key, V, dtype, mass, stiff)
     return mass, stiff
+
+
+def _operator_cache_path(cache_key: str, V: FunctionSpace, dtype):
+    """Disk-cache slot for an assembled (mass, stiffness) pair.
+
+    Opt-in via ``cache_key`` (the caller owns key uniqueness, e.g. a
+    benchmark configuration string): the analogue of FFCx's JIT kernel
+    cache in the reference stack — assembly of the 442k-node Niederer
+    slab costs 1-2 min of host time per process without it."""
+    import hashlib
+    from pathlib import Path
+
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    d = Path(base) / "fenicsx_beat_tpu" / "operators"
+    tag = hashlib.sha256(
+        f"{cache_key}|{V.ndofs}|{V.mesh.num_cells}|{np.dtype(jnp.dtype(dtype).name) if dtype else 'f8'}".encode()
+    ).hexdigest()[:16]
+    return d / f"{tag}.npz"
+
+
+def _operator_cache_load(cache_key, V, dtype):
+    path = _operator_cache_path(cache_key, V, dtype)
+    if not path.is_file():
+        return None
+    try:
+        with np.load(path) as f:
+            shape = (int(f["n"]), int(f["n"]))
+            mass = ELLMatrix(cols=f["cols"], vals=f["mvals"], shape=shape)
+            stiff = ELLMatrix(cols=f["cols"], vals=f["kvals"], shape=shape)
+            return mass, stiff
+    except Exception:
+        return None
+
+
+def _operator_cache_store(cache_key, V, dtype, mass, stiff):
+    if mass.has_tail or not isinstance(mass.vals, np.ndarray):
+        return  # only the plain numpy-backed ELL form is cached
+    path = _operator_cache_path(cache_key, V, dtype)
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path,
+            n=mass.shape[0],
+            cols=np.asarray(mass.cols),
+            mvals=np.asarray(mass.vals),
+            kvals=np.asarray(stiff.vals),
+        )
+    except Exception:
+        pass
 
 
 # ---------------------------------------------------------------------------

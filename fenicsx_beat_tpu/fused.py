@@ -78,6 +78,7 @@ class FusedMonodomainSolver:
     ode_markers: Any = None  # per-node marker array/Function: multi-model
     use_pallas_ode: bool | None = None  # None = auto (TPU backend only)
     pallas_spmv_min_nodes: int = 4096  # below this the XLA stencil SpMV wins
+    operator_cache_key: str | None = None  # opt-in disk cache of assembly
 
     def __post_init__(self):
         self.monitor = self.monitor or NullMonitor()
@@ -129,7 +130,9 @@ class FusedMonodomainSolver:
             self.parameters = None  # masks travel as the traced parameters
 
         M_cells = as_cell_tensors(self.M, self.mesh)
-        self._mass, self._stiff = fem.assemble_mass_stiffness(self.V, M_cells, dtype=self.dtype)
+        self._mass, self._stiff = fem.assemble_mass_stiffness(
+            self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
+        )
         # stencil (fixed-offset) form: gather-free SpMV on structured meshes
         from .ops.sparse import ell_to_stencil
 
