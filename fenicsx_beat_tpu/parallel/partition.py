@@ -140,9 +140,12 @@ def partition_ell(
             tr3[d, :k] = (t_rows[sel] - d * n_local).astype(np.int32)
             tc3[d, :k] = (t_cols[sel] - d * n_local + halo).astype(np.int32)
             tv3[d, :k] = t_vals[sel]
-        tail3 = (jnp.asarray(tr3), jnp.asarray(tc3), jnp.asarray(tv3))
+        tail3 = (tr3, tc3, tv3)
 
-    return part, jnp.asarray(cols3), jnp.asarray(vals3), tail3
+    # numpy-backed: the solver device_puts these once with their final
+    # shardings (device round trips during setup are ruinously slow over
+    # a remote-TPU tunnel)
+    return part, cols3, vals3, tail3
 
 
 def partition_stencil(
@@ -177,7 +180,8 @@ def partition_stencil(
             pad_vals[:, k0] = diag_pad
         vals = np.concatenate([vals, pad_vals], axis=0)
     part = Partition1D(n_global=n, n_devices=n_devices, n_local=n_local, halo=halo)
-    return part, jnp.asarray(vals.reshape(n_devices, n_local, K))
+    # numpy-backed, see partition_ell
+    return part, vals.reshape(n_devices, n_local, K)
 
 
 def partition_quadrature(quad, part: Partition1D, iperm: np.ndarray | None = None):
@@ -220,10 +224,5 @@ def partition_quadrature(quad, part: Partition1D, iperm: np.ndarray | None = Non
         own = dev_of[sel] == d
         Ds[d, :k] = np.where(own, dofs[sel] - d * nl, 0).astype(np.int32)
         Os[d, :k] = own
-    return (
-        jnp.asarray(Xs),
-        jnp.asarray(Ws),
-        jnp.asarray(N),
-        jnp.asarray(Ds),
-        jnp.asarray(Os),
-    )
+    # numpy-backed, see partition_ell
+    return (Xs, Ws, N, Ds, Os)

@@ -203,9 +203,7 @@ class ShardedMonodomainSolver:
                 quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
             slot = len(self._stimuli)
             if isinstance(s.expr, TimeWindow):
-                b_unit = np.asarray(
-                    quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
-                )
+                b_unit = quad.assemble_load_host()
                 if self._perm is not None:
                     b_unit = b_unit[self._perm]
                 b_units.append(pad_global(b_unit, self.part))
@@ -219,10 +217,11 @@ class ShardedMonodomainSolver:
                 gen_exprs.append(_as_expr(s.expr))
                 gen_amp_idx.append(slot)
                 self._stimuli.append(None)
+        npdt = np.dtype(jnp.dtype(self.dtype).name)
         self._b_units = (
-            jnp.asarray(np.stack(b_units), dtype=self.dtype)
+            np.stack(b_units).astype(npdt)
             if b_units
-            else jnp.zeros((0, self.part.n_pad), dtype=self.dtype)
+            else np.zeros((0, self.part.n_pad), dtype=npdt)
         )
         self._windows = windows
         self._win_amp_idx = win_amp_idx
@@ -261,7 +260,7 @@ class ShardedMonodomainSolver:
                 masks = masks[:, self._perm]
             if pad:
                 masks = np.concatenate([masks, np.tile(masks[:, :1], (1, pad))], axis=1)
-            self._params_j = jnp.asarray(masks)
+            self._params_j = np.asarray(masks)
             self._params_sharded = True
         elif self.parameters is not None and np.ndim(self.parameters) == 2:
             pvals = np.asarray(self.parameters, dtype=np.float64)
@@ -269,11 +268,13 @@ class ShardedMonodomainSolver:
                 pvals = pvals[:, self._perm]
             if pad:
                 pvals = np.concatenate([pvals, np.tile(pvals[:, :1], (1, pad))], axis=1)
-            self._params_j = jnp.asarray(pvals, dtype=self.dtype)
+            self._params_j = pvals.astype(npdt)
             self._params_sharded = True
         else:
             self._params_j = (
-                None if self.parameters is None else jnp.asarray(self.parameters, dtype=self.dtype)
+                None
+                if self.parameters is None
+                else np.asarray(self.parameters, dtype=npdt)
             )
         self._build_kernels()
 
@@ -460,8 +461,63 @@ class ShardedMonodomainSolver:
 
         mesh = self.device_mesh
 
+        # Device-resident operands pushed ONCE with their final shardings
+        # and threaded through the jitted chunk as ARGUMENTS (closure
+        # constants are pulled back at lowering / re-shipped per execution
+        # on remote-TPU backends; see FusedMonodomainSolver._build_kernels).
+        def put(x, spec):
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+        cols_arg = (
+            self._cols
+            if self._cols is not None
+            else np.zeros((nd, 1, 1), dtype=np.int32)
+        )
+        if self._tail is not None:
+            tr3, tc3, tvm3, tvk3 = self._tail
+        else:
+            tr3 = tc3 = np.zeros((nd, 0), dtype=np.int32)
+            tvm3 = tvk3 = np.zeros((nd, 0), dtype=np.asarray(self._vals_mass).dtype)
+        pnode_arg = (
+            self._params_j
+            if params_sharded
+            else np.zeros((0,), dtype=np.dtype(jnp.dtype(self.dtype).name))
+        )
+        self._operands = (
+            put(cols_arg, P(axis, None, None)),
+            put(self._vals_mass, P(axis, None, None)),
+            put(self._vals_stiff, P(axis, None, None)),
+            put(tr3, P(axis, None)),
+            put(tc3, P(axis, None)),
+            put(tvm3, P(axis, None)),
+            put(tvk3, P(axis, None)),
+            put(self._b_units, P(None, axis)),
+            tuple(
+                (
+                    put(X4, P(axis, None, None, None)),
+                    put(W4, P(axis, None, None)),
+                    put(D4, P(axis, None, None)),
+                    put(O4, P(axis, None, None)),
+                )
+                for (X4, W4, D4, O4) in self._gen_tables
+            ),
+            put(pnode_arg, P(None, axis) if params_sharded else P()),
+        )
+
         @partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(states, act, t0, dt, amps, n_steps):
+        def run_chunk_ops(operands, states, act, t0, dt, amps, n_steps):
+            (
+                cols_arg,
+                vals_mass,
+                vals_stiff,
+                tr3,
+                tc3,
+                tvm3,
+                tvk3,
+                b_units,
+                gen_tables,
+                pnode_arg,
+            ) = operands
             fn = shard_map(
                 partial(local_chunk, n_steps=n_steps),
                 mesh=mesh,
@@ -496,26 +552,15 @@ class ShardedMonodomainSolver:
                 out_specs=(P(None, axis), P(axis), P(), P(), P(), P()),
                 **_replication_check,
             )
-            cols_arg = (
-                self._cols
-                if self._cols is not None
-                else jnp.zeros((nd, 1, 1), dtype=jnp.int32)
-            )
-            if self._tail is not None:
-                tr3, tc3, tvm3, tvk3 = self._tail
-            else:
-                tr3 = tc3 = jnp.zeros((nd, 0), dtype=jnp.int32)
-                tvm3 = tvk3 = jnp.zeros((nd, 0), dtype=self._vals_mass.dtype)
-            pnode_arg = (
-                self._params_j
-                if params_sharded
-                else jnp.zeros((0,), dtype=self.dtype)
-            )
-            return fn(states, act, cols_arg, self._vals_mass, self._vals_stiff,
-                      tr3, tc3, tvm3, tvk3, self._b_units, self._gen_tables,
+            return fn(states, act, cols_arg, vals_mass, vals_stiff,
+                      tr3, tc3, tvm3, tvk3, b_units, gen_tables,
                       pnode_arg, t0, dt, amps)
 
+        def run_chunk(states, act, t0, dt, amps, n_steps):
+            return run_chunk_ops(self._operands, states, act, t0, dt, amps, n_steps)
+
         self._run_chunk = run_chunk
+        self._run_chunk_ops = run_chunk_ops
 
     def stimulus_amplitudes(self) -> jnp.ndarray:
         """Live amplitude vector (read each chunk; 1.0 for non-TimeWindow
