@@ -20,6 +20,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -74,7 +75,7 @@ def main():
         "remote-TPU tunnel has minutes-long latency phases)",
     )
     args = parser.parse_args()
-    t_start = __import__("time").perf_counter()
+    t_start = time.perf_counter()
 
     import jax
 
@@ -91,13 +92,16 @@ def main():
         configs = [(args.dx, args.dt, args.T)]
     else:
         # north star first (dx=0.1 is the BASELINE.md target config);
-        # dx=0.5 kept for round-over-round continuity
-        configs = [(0.1, args.dt, min(args.T, 60.0)), (0.5, args.dt, args.T)]
+        # dx=0.5 kept for round-over-round continuity.  Horizons end right
+        # at full activation (P8 ~39.3 / ~56.1 ms) so the timed window is
+        # all active propagation — the same workload mix the CPU baseline
+        # timed (20 active steps), not cheap post-activation quiescence.
+        configs = [(0.1, args.dt, min(args.T, 40.0)), (0.5, args.dt, min(args.T, 60.0))]
 
     extras = {}
     results = []
     for dx, dt, T in configs:
-        if results and __import__("time").perf_counter() - t_start > args.budget:
+        if results and time.perf_counter() - t_start > args.budget:
             extras["skipped_configs"] = f"dx={dx:g} (over {args.budget:.0f}s budget)"
             print(f"budget exceeded; skipping dx={dx:g}", file=sys.stderr)
             break

@@ -47,7 +47,7 @@ def kernel_check(dx: float = 0.5, dt: float = 0.05, n_steps: int = 40) -> dict:
 
 def main() -> int:
     out = kernel_check()
-    path = Path(__file__).resolve().parents[2] / "KERNEL_CHECK.json"
+    path = Path.cwd() / "KERNEL_CHECK.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
     return 0 if out["max_abs_dev"] < out["threshold"] else 1

@@ -264,6 +264,7 @@ def run_niederer_benchmark(
         return t, n_steps, probe_act, probe_dev, wall
 
     t, n_steps, probe_act, probe_dev, wall = run_horizon()
+    t_horizon = t  # what run_horizon() reproduces (repeat-timing guard)
     # horizon extension if the slab has not fully activated (same outcome
     # as the reference's early-stopping loop, minus the per-chunk syncs)
     while not (probe_act >= 0).all() and t < 10 * T:
@@ -282,7 +283,7 @@ def run_niederer_benchmark(
     # inflate a single measurement 10-30x; re-time the identical horizon
     # from the same initial state and keep the best wall clock (standard
     # min-over-repeats timing).  Physics results come from the first pass.
-    if repeats > 1 and (probe_act >= 0).all() and t <= T + 0.5 * dt:
+    if repeats > 1 and (probe_act >= 0).all() and t == t_horizon:
         final_states, final_act = solver.states, solver.activation_time
         rep_tic = _time.perf_counter()
         for _ in range(repeats - 1):

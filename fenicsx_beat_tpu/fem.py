@@ -604,15 +604,24 @@ def _batched_det_inv(E: np.ndarray):
     is the dominant setup cost at production mesh sizes (measured 110 s
     for 2.65M tets at dx=0.1 on one vCPU); the closed-form d<=3 cofactor
     path below is pure vectorized arithmetic (~1 s)."""
+    def _check(det):
+        if np.any(det == 0):
+            raise np.linalg.LinAlgError(
+                "singular cell Jacobian: mesh contains degenerate "
+                "(zero-volume) cells"
+            )
+
     d = E.shape[-1]
     if d == 1:
         det = E[:, 0, 0]
+        _check(det)
         inv = (1.0 / det)[:, None, None]
         return det, inv
     if d == 2:
         a, b = E[:, 0, 0], E[:, 0, 1]
         c, dd = E[:, 1, 0], E[:, 1, 1]
         det = a * dd - b * c
+        _check(det)
         inv = np.empty_like(E)
         r = 1.0 / det
         inv[:, 0, 0] = dd * r
@@ -628,6 +637,7 @@ def _batched_det_inv(E: np.ndarray):
         B = r * u - p * w
         C = p * v - q * u
         det = a * A + b * B + c * C
+        _check(det)
         inv = np.empty_like(E)
         s = 1.0 / det
         inv[:, 0, 0] = A * s
@@ -760,37 +770,50 @@ def assemble_mass_stiffness(
     same, ``base_model.py:158-168``).
     """
     if cache_key is not None:
-        cached = _operator_cache_load(cache_key, V, dtype)
+        cached = _operator_cache_load(cache_key, V, M_cells, dtype)
         if cached is not None:
             return cached
     rows, cols, mvals, kvals, shape = assemble_mass_stiffness_coo(V, M_cells)
     mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
     stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
     if cache_key is not None:
-        _operator_cache_store(cache_key, V, dtype, mass, stiff)
+        _operator_cache_store(cache_key, V, M_cells, dtype, mass, stiff)
     return mass, stiff
 
 
-def _operator_cache_path(cache_key: str, V: FunctionSpace, dtype):
+# bump when assembly/packing semantics change: invalidates all cached
+# operator files (they are keyed by this constant)
+_OPERATOR_CACHE_SCHEMA = 2
+
+
+def _operator_cache_path(cache_key: str, V: FunctionSpace, M_cells, dtype):
     """Disk-cache slot for an assembled (mass, stiffness) pair.
 
-    Opt-in via ``cache_key`` (the caller owns key uniqueness, e.g. a
-    benchmark configuration string): the analogue of FFCx's JIT kernel
-    cache in the reference stack — assembly of the 442k-node Niederer
-    slab costs 1-2 min of host time per process without it."""
+    Opt-in via ``cache_key``: the analogue of FFCx's JIT kernel cache in
+    the reference stack — assembly of the 442k-node Niederer slab costs
+    1-2 min of host time per process without it.  The fingerprint covers
+    the mesh (coords+cells digests), the conductivity tensor bytes, the
+    dtype, and a schema constant bumped on assembly-code changes, so a
+    stale file is never served for different physics or a fixed bug."""
     import hashlib
     from pathlib import Path
 
     base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
     d = Path(base) / "fenicsx_beat_tpu" / "operators"
-    tag = hashlib.sha256(
-        f"{cache_key}|{V.ndofs}|{V.mesh.num_cells}|{np.dtype(jnp.dtype(dtype).name) if dtype else 'f8'}".encode()
-    ).hexdigest()[:16]
-    return d / f"{tag}.npz"
+    h = hashlib.sha256()
+    h.update(
+        f"{_OPERATOR_CACHE_SCHEMA}|{cache_key}|{V.ndofs}|{V.mesh.num_cells}|"
+        f"{V.element.family}{V.element.degree}|"
+        f"{np.dtype(jnp.dtype(dtype).name) if dtype else 'f8'}".encode()
+    )
+    h.update(np.ascontiguousarray(V.mesh.coords))
+    h.update(np.ascontiguousarray(V.mesh.cells))
+    h.update(np.ascontiguousarray(np.asarray(M_cells, dtype=np.float64)))
+    return d / f"{h.hexdigest()[:16]}.npz"
 
 
-def _operator_cache_load(cache_key, V, dtype):
-    path = _operator_cache_path(cache_key, V, dtype)
+def _operator_cache_load(cache_key, V, M_cells, dtype):
+    path = _operator_cache_path(cache_key, V, M_cells, dtype)
     if not path.is_file():
         return None
     try:
@@ -803,10 +826,10 @@ def _operator_cache_load(cache_key, V, dtype):
         return None
 
 
-def _operator_cache_store(cache_key, V, dtype, mass, stiff):
+def _operator_cache_store(cache_key, V, M_cells, dtype, mass, stiff):
     if mass.has_tail or not isinstance(mass.vals, np.ndarray):
         return  # only the plain numpy-backed ELL form is cached
-    path = _operator_cache_path(cache_key, V, dtype)
+    path = _operator_cache_path(cache_key, V, M_cells, dtype)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(

@@ -466,7 +466,10 @@ class ShardedMonodomainSolver:
         # constants are pulled back at lowering / re-shipped per execution
         # on remote-TPU backends; see FusedMonodomainSolver._build_kernels).
         def put(x, spec):
-            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+            # device_put directly from the host array: splits on host and
+            # ships each shard once (jnp.asarray first would transfer the
+            # whole array to device 0 and then redistribute)
+            return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
 
         cols_arg = (
             self._cols
