@@ -125,3 +125,44 @@ def test_locate_entities_and_facets():
     assert len(left) == 4
     ext = mesh.exterior_facets()
     assert len(ext) == 16
+
+
+def test_batched_det_inv_matches_lapack():
+    """Closed-form cofactor det/inv (the LAPACK-batch replacement,
+    fem.py::_batched_det_inv) must agree with np.linalg to fp accuracy."""
+    rng = np.random.default_rng(7)
+    for d in (1, 2, 3):
+        E = rng.uniform(-2, 2, (50, d, d)) + 3 * np.eye(d)
+        det, inv = fem._batched_det_inv(E)
+        np.testing.assert_allclose(det, np.linalg.det(E), rtol=1e-10)
+        np.testing.assert_allclose(inv, np.linalg.inv(E), rtol=1e-9, atol=1e-12)
+
+
+def test_degenerate_cell_raises():
+    """A zero-volume cell must fail loudly at setup (not NaN-poison the
+    operators), matching the LinAlgError the LAPACK path raised."""
+    from fenicsx_beat_tpu.geometry import get_2D_slab_mesh
+
+    mesh = get_2D_slab_mesh(None, dx=0.5, Lx=2.0, Ly=2.0)
+    coords = mesh.coords.copy()
+    cells = mesh.cells
+    coords[cells[0, 1]] = coords[cells[0, 0]]  # collapse one edge
+    bad = meshmod.Mesh(coords=coords, cells=cells, cell_type=mesh.cell_type)
+    with pytest.raises(np.linalg.LinAlgError):
+        fem.cell_geometry(bad)
+
+
+def test_operator_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """Opt-in assembly cache: exact round trip, and the fingerprint must
+    distinguish conductivity tensors of identical shape."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    from fenicsx_beat_tpu.geometry import get_2D_slab_mesh
+
+    mesh = get_2D_slab_mesh(None, dx=0.5, Lx=3.0, Ly=3.0)
+    V = fem.functionspace(mesh, ("P", 1))
+    m1, k1 = fem.assemble_mass_stiffness(V, 1.0, cache_key="t")
+    m1b, k1b = fem.assemble_mass_stiffness(V, 1.0, cache_key="t")  # hit
+    np.testing.assert_array_equal(np.asarray(k1.vals), np.asarray(k1b.vals))
+    np.testing.assert_array_equal(np.asarray(m1.cols), np.asarray(m1b.cols))
+    _, k2 = fem.assemble_mass_stiffness(V, 2.0, cache_key="t")  # miss
+    assert not np.allclose(np.asarray(k1.vals), np.asarray(k2.vals))
