@@ -10,4 +10,9 @@ communication, exactly like the reference's.
 """
 
 from . import partition  # noqa: F401
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    is_coordinator,
+    make_device_mesh,
+)
 from .solver import ShardedMonodomainSolver  # noqa: F401

@@ -389,3 +389,19 @@ def test_sharded_checkpoint_roundtrip_cross_solver():
         t0 = c.load_state(ckpt)
         c.solve((t0, 4.0), dt=0.05)
         np.testing.assert_allclose(np.asarray(c.v), v_ref, rtol=1e-6, atol=2e-5)
+
+
+def test_make_device_mesh_and_coordinator():
+    """Multi-host helpers: mesh over the virtual-CPU devices, coordinator
+    gate (the reference's comm.rank==0), over-subscription error."""
+    import pytest
+
+    from fenicsx_beat_tpu.parallel import is_coordinator, make_device_mesh
+
+    mesh = make_device_mesh(4)
+    assert mesh.devices.shape == (4,) and mesh.axis_names == ("x",)
+    full = make_device_mesh()
+    assert full.devices.size >= 4
+    assert is_coordinator() is True  # single-process test environment
+    with pytest.raises(ValueError):
+        make_device_mesh(10_000)
