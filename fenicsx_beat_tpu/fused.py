@@ -79,7 +79,6 @@ class FusedMonodomainSolver:
     use_pallas_ode: bool | None = None  # None = auto (TPU backend only)
     pallas_spmv_min_nodes: int = 4096  # below this the XLA stencil SpMV wins
     operator_cache_key: str | None = None  # opt-in disk cache of assembly
-    warm_start_order: int = 1  # CG x0 extrapolation: 1 = v+dv, 2 = v+2dv-dv_prev
 
     def __post_init__(self):
         self.monitor = self.monitor or NullMonitor()
@@ -240,7 +239,6 @@ class FusedMonodomainSolver:
         theta = float(self.theta)
         pde_theta = float(self.pde_theta)
         C_m = float(self.C_m)
-        warm_order = int(self.warm_start_order)
         rtol = float(self._opts["ksp_rtol"])
         atol = float(self._opts["ksp_atol"])
         maxiter = int(self._opts["ksp_max_it"])
@@ -524,23 +522,17 @@ class FusedMonodomainSolver:
                 # the PDE-updated voltage rides as a separate carry row and
                 # is injected inside the ionic kernel, skipping the
                 # full-state row update between PDE and ionic stages
-                states, act, t, dv, dv_prev, v_cur = carry
+                states, act, t, dv, v_cur = carry
                 # tentative ODE step over theta*dt  (monodomain_solver.py:68)
                 states = ode_apply(op, states, v_cur, t, theta * dt)
                 v = states[v_index]
                 # PDE theta-step over dt; stimulus evaluated at the PDE
                 # theta point (reference base_model.py:219); CG warm-started
-                # by extrapolating the previous solve increments (the
-                # trajectory is smooth in time, so v + dv — or the
-                # second-order 2dv - dv_prev — beats x0 = v)
-                if warm_order >= 2:
-                    x0 = v + 2.0 * dv - dv_prev
-                else:
-                    x0 = v + dv
+                # with the previous step's solve increment (the trajectory
+                # is smooth in time, so v + dv is a better x0 than v)
                 v_new, iters, rnorm, conv = pde_solve(
-                    op, ops, v, x0, t + pde_theta * dt, dt, amps
+                    op, ops, v, v + dv, t + pde_theta * dt, dt, amps
                 )
-                dv_prev = dv
                 dv = v_new - v
                 if not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
@@ -548,12 +540,12 @@ class FusedMonodomainSolver:
                     v_new = states[v_index]
                 t_next = t + dt
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
-                return (states, act, t_next, dv, dv_prev, v_new), (iters, rnorm, conv)
+                return (states, act, t_next, dv, v_new), (iters, rnorm, conv)
 
             dv0 = jnp.zeros_like(states[v_index])
             v0 = states[v_index]
-            (states, act, t, _, _, v_last), (iters, rnorms, convs) = jax.lax.scan(
-                one_step, (states, act, t0, dv0, dv0, v0), None, length=n_steps
+            (states, act, t, _, v_last), (iters, rnorms, convs) = jax.lax.scan(
+                one_step, (states, act, t0, dv0, v0), None, length=n_steps
             )
             # one voltage-row write-back per chunk instead of per step
             states = states.at[v_index].set(v_last)
