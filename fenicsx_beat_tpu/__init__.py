@@ -32,6 +32,12 @@ def _tune_numpy_page_faults():
         except ImportError:  # numpy < 2
             from numpy.core import multiarray as _ma
         _ma._set_madvise_hugepage(False)
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "disabled numpy MADV_HUGEPAGE (set FBTPU_NUMPY_HUGEPAGE=1 to keep "
+            "numpy's default)"
+        )
     except Exception:
         pass
 

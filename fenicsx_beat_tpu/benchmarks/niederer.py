@@ -191,9 +191,18 @@ def run_niederer_benchmark(
     dtype=None,
     repeats: int = 3,
 ) -> NiedererResult:
-    """Run the benchmark on the fused solver; early-stops once all nine
-    probe points have activated (mirroring the reference's loop condition,
-    ``demos/niederer_benchmark.py:256``)."""
+    """Run the benchmark on the fused solver.
+
+    The horizon is the FULL ``T`` (chunks dispatched asynchronously, one
+    host sync at the end) and extends in whole chunks until all nine
+    probe points have activated — the same outcome as the reference's
+    early-stopping loop (``demos/niederer_benchmark.py:256``) without its
+    per-iteration host probes, which cost a round trip each on tunneled
+    TPUs.  When the first pass activates fully within ``T``, the same
+    horizon is re-timed from the identical initial state up to
+    ``repeats``-1 more times (bounded to 60 s total) and the BEST wall
+    clock is reported (min-over-repeats; the tunnel has 10-30x latency
+    phases).  Physics results always come from the first pass."""
     points = benchmark_points()
     pcoords = np.array(list(points.values()))
     solver = _build_solver(

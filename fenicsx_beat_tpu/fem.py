@@ -832,13 +832,18 @@ def _operator_cache_store(cache_key, V, M_cells, dtype, mass, stiff):
     path = _operator_cache_path(cache_key, V, M_cells, dtype)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
+        # atomic publish: write to a private temp file, then rename — a
+        # concurrent writer or a kill mid-savez must never leave a torn
+        # file at the final path
+        tmp = path.with_name(f"{path.stem}.tmp-{os.getpid()}.npz")
         np.savez(
-            path,
+            tmp,
             n=mass.shape[0],
             cols=np.asarray(mass.cols),
             mvals=np.asarray(mass.vals),
             kvals=np.asarray(stiff.vals),
         )
+        os.replace(tmp, path)
     except Exception:
         pass
 

@@ -36,9 +36,14 @@ def initialize_distributed(
     """
     import jax
 
-    if getattr(jax.distributed.global_state, "client", None) is not None:
-        logger.debug("jax.distributed already initialized")
-        return
+    try:  # idempotence probe; the state module moved across jax versions
+        from jax._src.distributed import global_state as _gs
+
+        if getattr(_gs, "client", None) is not None:
+            logger.debug("jax.distributed already initialized")
+            return
+    except Exception:
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -46,7 +51,15 @@ def initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError as exc:
+        # No cluster environment to auto-detect: stay single-process, the
+        # way a reference script runs identically with and without mpirun
+        if kwargs:
+            raise
+        logger.info("no cluster environment detected (%s); single-process", exc)
+        return
     logger.info(
         "jax.distributed: process %d/%d, %d local / %d global devices",
         jax.process_index(),
