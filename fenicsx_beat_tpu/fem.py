@@ -786,6 +786,126 @@ def assemble_mass_stiffness(
 _OPERATOR_CACHE_SCHEMA = 2
 
 
+def assemble_mass_stiffness_stencil(
+    V: FunctionSpace,
+    M_cells: np.ndarray | float,
+    dtype=None,
+    max_offsets: int = 64,
+    cache_key: str | None = None,
+):
+    """Direct stencil-form assembly for P1 spaces whose operator has a
+    small global column-offset set (lexicographically-ordered structured
+    meshes).  Returns ``(mass, stiff)`` as
+    :class:`~fenicsx_beat_tpu.ops.sparse.StencilMatrix`, or ``None`` when
+    the offset set exceeds ``max_offsets`` (unstructured meshes).
+
+    Scalability: the generic pipeline materializes ``nnz = 16 * num_cells``
+    COO triplets and sorts them (~10 GB and >30 min of host time for the
+    20M-cell dx=0.05 Niederer slab on one vCPU); here each of the 16
+    element-matrix (i, j) slots scatters straight into the ``[n, K]``
+    stencil table via ``np.bincount`` — no sort, no [nc, 4, 4] element
+    tensor, peak extra memory a few ``[nc]`` vectors.
+    """
+    from .ops.sparse import StencilMatrix
+
+    if V.element.family != "P" or V.element.degree != 1:
+        return None
+    mesh = V.mesh
+    nd = V.ndofs_per_cell
+    n = V.ndofs
+    cd = V.cell_dofs.astype(np.int64)
+
+    if cache_key is not None:
+        cached = _stencil_cache_load(cache_key, V, M_cells, dtype)
+        if cached is not None:
+            return cached
+
+    # global offset set from per-pair unique diffs (cheap: K distinct
+    # values per pair on structured meshes; explodes immediately -> None)
+    offsets: set[int] = set()
+    for i in range(nd):
+        for j in range(nd):
+            u = np.unique(cd[:, j] - cd[:, i])
+            offsets.update(int(v) for v in u)
+            if len(offsets) > max_offsets:
+                return None
+    offs = np.array(sorted(offsets), dtype=np.int64)
+    K = offs.size
+
+    geom = cell_geometry(mesh)
+    d, g = mesh.tdim, mesh.gdim
+    Mc = np.asarray(M_cells, dtype=np.float64)
+    if Mc.ndim == 0:
+        Mc = np.broadcast_to(np.eye(g) * Mc, (mesh.num_cells, g, g))
+    elif Mc.ndim == 2:
+        Mc = np.broadcast_to(Mc, (mesh.num_cells, g, g))
+    base = (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
+    vol = geom.volume
+
+    mst = np.zeros(n * K)
+    kst = np.zeros(n * K)
+    for j in range(nd):
+        # M . grad(phi_j), one [nc, g] vector at a time
+        MGj = np.einsum("cgh,ch->cg", Mc, geom.grads[:, j, :])
+        for i in range(nd):
+            dij = cd[:, j] - cd[:, i]
+            kk = np.searchsorted(offs, dij)
+            lin = cd[:, i] * K + kk
+            mst += np.bincount(lin, weights=vol * base[i, j], minlength=n * K)
+            ke_ij = vol * np.einsum("cg,cg->c", geom.grads[:, i, :], MGj)
+            kst += np.bincount(lin, weights=ke_ij, minlength=n * K)
+
+    npdt = np.dtype(jnp.dtype(dtype).name) if dtype is not None else np.float64
+    mass = StencilMatrix(
+        offsets=tuple(int(v) for v in offs),
+        vals=mst.reshape(n, K).astype(npdt),
+        shape=(n, n),
+    )
+    stiff = StencilMatrix(
+        offsets=mass.offsets,
+        vals=kst.reshape(n, K).astype(npdt),
+        shape=(n, n),
+    )
+    if cache_key is not None:
+        _stencil_cache_store(cache_key, V, M_cells, dtype, mass, stiff)
+    return mass, stiff
+
+
+def _stencil_cache_load(cache_key, V, M_cells, dtype):
+    path = _operator_cache_path("stencil|" + cache_key, V, M_cells, dtype)
+    if not path.is_file():
+        return None
+    try:
+        from .ops.sparse import StencilMatrix
+
+        with np.load(path) as f:
+            offs = tuple(int(v) for v in f["offsets"])
+            shape = (int(f["n"]), int(f["n"]))
+            return (
+                StencilMatrix(offsets=offs, vals=f["mvals"], shape=shape),
+                StencilMatrix(offsets=offs, vals=f["kvals"], shape=shape),
+            )
+    except Exception:
+        return None
+
+
+def _stencil_cache_store(cache_key, V, M_cells, dtype, mass, stiff):
+    path = _operator_cache_path("stencil|" + cache_key, V, M_cells, dtype)
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_name(f"{path.stem}.tmp-{os.getpid()}.npz")
+        np.savez(
+            tmp,
+            n=mass.shape[0],
+            offsets=np.asarray(mass.offsets, dtype=np.int64),
+            mvals=np.asarray(mass.vals),
+            kvals=np.asarray(stiff.vals),
+        )
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def _operator_cache_path(cache_key: str, V: FunctionSpace, M_cells, dtype):
     """Disk-cache slot for an assembled (mass, stiffness) pair.
 

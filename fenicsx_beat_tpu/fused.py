@@ -130,17 +130,27 @@ class FusedMonodomainSolver:
             self.parameters = None  # masks travel as the traced parameters
 
         M_cells = as_cell_tensors(self.M, self.mesh)
-        self._mass, self._stiff = fem.assemble_mass_stiffness(
+        # direct stencil assembly on structured meshes: no COO sort, no
+        # [nc,4,4] element tensor — the generic pipeline needs >30 min of
+        # host time at the 20M-cell dx=0.05 resolution
+        st = fem.assemble_mass_stiffness_stencil(
             self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
         )
-        # stencil (fixed-offset) form: gather-free SpMV on structured meshes
-        from .ops.sparse import ell_to_stencil
+        if st is not None:
+            self._mass, self._stiff = st
+        else:
+            self._mass, self._stiff = fem.assemble_mass_stiffness(
+                self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
+            )
+            # stencil (fixed-offset) form: gather-free SpMV when the ELL
+            # pattern happens to be a global stencil
+            from .ops.sparse import ell_to_stencil
 
-        mass_st = ell_to_stencil(self._mass)
-        if mass_st is not None:
-            stiff_st = ell_to_stencil(self._stiff)
-            if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
-                self._mass, self._stiff = mass_st, stiff_st
+            mass_st = ell_to_stencil(self._mass)
+            if mass_st is not None:
+                stiff_st = ell_to_stencil(self._stiff)
+                if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
+                    self._mass, self._stiff = mass_st, stiff_st
 
         from .stimulation import TimeWindow
 
@@ -346,19 +356,27 @@ class FusedMonodomainSolver:
         )
         if use_pallas_spmv:
             from .ops.pallas_spmv import (
+                LANE,
                 build_pallas_stencil_spmv,
+                build_pallas_stencil_spmv_streamed,
                 build_pallas_stencil_spmv_sym,
                 stencil_is_symmetric,
             )
 
             n_dofs = mass.shape[0]  # padded size; pad rows are inert
-            # FEM mass/stiffness are symmetric: stream only the d >= 0
-            # value columns (the dominant HBM traffic of the PCG) and
-            # derive sub-diagonal terms from shifted products
+            # The VMEM-resident kernels pin the whole padded operand in
+            # VMEM; beyond ~2M nodes that exceeds the 16 MB scoped budget,
+            # so large meshes use the HBM-streamed window variant (same
+            # math, bit-identical, DMA per block).
+            operand_bytes = (-(-n_dofs // LANE)) * LANE * jnp.dtype(self.dtype).itemsize
+            streamed = operand_bytes > 8 * 1024 * 1024
             _spmv = None
-            if stencil_is_symmetric(
+            if not streamed and stencil_is_symmetric(
                 mass.offsets, np.asarray(mass.vals)
             ) and stencil_is_symmetric(stiff.offsets, np.asarray(stiff.vals)):
+                # FEM mass/stiffness are symmetric: stream only the d >= 0
+                # value columns (the dominant HBM traffic of the PCG) and
+                # derive sub-diagonal terms from shifted products
                 try:
                     _spmv = build_pallas_stencil_spmv_sym(
                         mass.offsets, n_dofs, self.dtype
@@ -366,7 +384,12 @@ class FusedMonodomainSolver:
                 except ValueError:
                     _spmv = None
             if _spmv is None:
-                _spmv = build_pallas_stencil_spmv(mass.offsets, n_dofs, self.dtype)
+                builder = (
+                    build_pallas_stencil_spmv_streamed
+                    if streamed
+                    else build_pallas_stencil_spmv
+                )
+                _spmv = builder(mass.offsets, n_dofs, self.dtype)
                 k0 = mass.offsets.index(0)
             else:
                 k0 = _spmv.positive_offsets.index(0)

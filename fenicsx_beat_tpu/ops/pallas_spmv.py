@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_pallas_stencil_spmv", "build_pallas_stencil_spmv_sym"]
+__all__ = [
+    "build_pallas_stencil_spmv",
+    "build_pallas_stencil_spmv_sym",
+    "build_pallas_stencil_spmv_streamed",
+]
 
 LANE = 128
 
@@ -348,6 +352,154 @@ def build_pallas_stencil_spmv_sym(
 
     spmv.pack_values = pack_values
     spmv.positive_offsets = pos
+    return spmv
+
+
+def build_pallas_stencil_spmv_streamed(
+    offsets: Sequence[int],
+    n: int,
+    dtype,
+    block_rows: int = 512,
+    interpret: bool | None = None,
+):
+    """Stencil SpMV for operands LARGER than VMEM.
+
+    The base kernel (:func:`build_pallas_stencil_spmv`) pins the whole
+    padded operand in VMEM (constant-index-map block), which caps the
+    node count at ~3M on a 16 MB-scoped-VMEM v5e.  Here the operand stays
+    in HBM (``memory_space=ANY``) and each grid step DMAs its
+    ``Br + 2G + 24``-row window into a VMEM scratch buffer — halo
+    amplification is only ``2G/Br`` (a few %%), so the HBM traffic stays
+    one effective pass over x plus the value stream.  Same shift/roll
+    math and bit-identical results; interface matches the base builder
+    (``spmv``, ``spmv.spmv_dot``, ``spmv.pack_values``).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    offsets = tuple(int(d) for d in offsets)
+    K = len(offsets)
+    R = _round_up(n, LANE) // LANE
+    Br = min(block_rows, _round_up(R, 8))
+    R_pad = _round_up(R, Br)
+    grid = (R_pad // Br,)
+
+    dr_max = max(abs((d - (d % LANE)) // LANE) for d in offsets) + 1
+    G = _round_up(dr_max + 8, 8)
+    WIN = Br + 2 * G + 24  # VMEM window rows per block (local row 0 = i*Br)
+    rows_total = R_pad + 2 * G + 24  # extended operand rows in HBM
+
+    def body_local(xw, v_ref):
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (Br, LANE), 1)
+        acc = jnp.zeros((Br, LANE), dtype=xw.dtype)
+        for k, d in enumerate(offsets):
+            dm = d % LANE
+            dr = (d - dm) // LANE
+            c = G + dr
+            c8 = (c // 8) * 8
+            rem = c - c8
+            WR = Br + 16
+            W = xw[pl.ds(c8, WR), :]
+            if rem:
+                W = pltpu.roll(W, WR - rem, axis=0)
+            if dm == 0:
+                shifted = W[:Br, :]
+            else:
+                A = pltpu.roll(W, LANE - dm, axis=1)
+                B = pltpu.roll(pltpu.roll(W, WR - 1, axis=0), LANE - dm, axis=1)
+                shifted = jnp.where(lane_ids < LANE - dm, A[:Br, :], B[:Br, :])
+            acc = acc + v_ref[k] * shifted
+        return acc
+
+    def _fetch(x_hbm, xw, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * Br, WIN), :], xw, sem
+        )
+        dma.start()
+        dma.wait()
+
+    def kernel(x_hbm, v_ref, o_ref, xw, sem):
+        _fetch(x_hbm, xw, sem)
+        o_ref[:] = body_local(xw, v_ref)
+
+    def kernel_dot(x_hbm, v_ref, o_ref, dot_ref, xw, sem):
+        i = pl.program_id(0)
+        _fetch(x_hbm, xw, sem)
+        acc = body_local(xw, v_ref)
+        o_ref[:] = acc
+        xb = xw[pl.ds(G, Br), :]
+        partial = jnp.sum(xb * acc)
+
+        @pl.when(i == 0)
+        def _():
+            dot_ref[0] = partial
+
+        @pl.when(i > 0)
+        def _():
+            dot_ref[0] = dot_ref[0] + partial
+
+    any_space = getattr(pltpu, "ANY", getattr(pl, "ANY", None))
+    scratch = [
+        pltpu.VMEM((WIN, LANE), jnp.dtype(dtype)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=any_space),
+        pl.BlockSpec((K, Br, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, LANE), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+    call_dot = pl.pallas_call(
+        kernel_dot,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((Br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, LANE), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+    def _extend(x):
+        x_ext = jnp.zeros((rows_total * LANE,), dtype=dtype)
+        x_ext = jax.lax.dynamic_update_slice(x_ext, x.astype(dtype), (G * LANE,))
+        return x_ext.reshape(rows_total, LANE)
+
+    def spmv(vals3, x):
+        y = call(_extend(x), vals3)
+        return y.reshape(R_pad * LANE)[:n]
+
+    def spmv_dot(vals3, x):
+        y, d = call_dot(_extend(x), vals3)
+        return y.reshape(R_pad * LANE)[:n], d[0]
+
+    spmv.spmv_dot = spmv_dot
+
+    def pack_values(vals):
+        """[n, K] stencil values -> [K, R_pad, 128] (numpy-backed)."""
+        v = np.zeros((K, R_pad * LANE), dtype=np.dtype(dtype))
+        v[:, :n] = np.asarray(vals).T
+        return v.reshape(K, R_pad, LANE)
+
+    spmv.pack_values = pack_values
     return spmv
 
 

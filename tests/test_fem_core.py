@@ -166,3 +166,36 @@ def test_operator_disk_cache_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(m1.cols), np.asarray(m1b.cols))
     _, k2 = fem.assemble_mass_stiffness(V, 2.0, cache_key="t")  # miss
     assert not np.allclose(np.asarray(k1.vals), np.asarray(k2.vals))
+
+
+def test_direct_stencil_assembly_matches_coo_pipeline():
+    """assemble_mass_stiffness_stencil (sort-free, scalable path) must
+    reproduce the generic COO->ELL->stencil pipeline exactly."""
+    from fenicsx_beat_tpu.geometry import get_3D_slab_mesh
+    from fenicsx_beat_tpu.ops.sparse import ell_to_stencil
+
+    mesh = get_3D_slab_mesh(None, dx=0.5, Lx=4.0, Ly=3.0, Lz=2.0)
+    V = fem.functionspace(mesh, ("P", 1))
+    M = np.array([[0.3, 0.05, 0.0], [0.05, 0.2, 0.01], [0.0, 0.01, 0.1]])
+    st = fem.assemble_mass_stiffness_stencil(V, M)
+    assert st is not None
+    mass_d, stiff_d = st
+    mass_e, stiff_e = fem.assemble_mass_stiffness(V, M)
+    mass_c, stiff_c = ell_to_stencil(mass_e), ell_to_stencil(stiff_e)
+    assert mass_d.offsets == mass_c.offsets
+    np.testing.assert_allclose(
+        np.asarray(mass_d.vals), np.asarray(mass_c.vals), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(stiff_d.vals), np.asarray(stiff_c.vals), rtol=1e-12, atol=1e-14
+    )
+
+
+def test_direct_stencil_assembly_declines_unstructured():
+    """On meshes without a small global offset set it must return None
+    (the generic pipeline then handles them)."""
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=3.0)
+    V = fem.functionspace(geo.mesh, ("P", 1))
+    assert fem.assemble_mass_stiffness_stencil(V, 1.0, max_offsets=24) is None

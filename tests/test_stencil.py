@@ -140,3 +140,41 @@ def test_pallas_symmetric_spmv_fuzz():
         y2, dot = sym.spmv_dot(packed, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y2), y_ref, rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(float(dot), float(x @ y_ref), rtol=1e-10)
+
+
+def test_streamed_spmv_matches_base():
+    """HBM-streamed windowed SpMV (for operands beyond VMEM) must be
+    bit-compatible with the VMEM-resident kernel and the dense result."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu.ops.pallas_spmv import (
+        build_pallas_stencil_spmv,
+        build_pallas_stencil_spmv_streamed,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 2500
+    offsets = (-130, -129, -128, -1, 0, 1, 128, 129, 130)
+    vals = rng.normal(size=(n, len(offsets)))
+    rows = np.arange(n)
+    for k, d in enumerate(offsets):
+        vals[(rows + d < 0) | (rows + d >= n), k] = 0.0
+    x = rng.normal(size=n)
+    y_ref = np.zeros(n)
+    for k, d in enumerate(offsets):
+        idx = rows + d
+        ok = (idx >= 0) & (idx < n)
+        y_ref[ok] += vals[ok, k] * x[idx[ok]]
+    ys = {}
+    for name, builder in (
+        ("base", build_pallas_stencil_spmv),
+        ("streamed", build_pallas_stencil_spmv_streamed),
+    ):
+        spmv = builder(offsets, n, np.float64, block_rows=64, interpret=True)
+        packed = jnp.asarray(spmv.pack_values(vals))
+        ys[name] = np.asarray(spmv(packed, jnp.asarray(x)))
+        np.testing.assert_allclose(ys[name], y_ref, rtol=1e-12, atol=1e-12)
+        y2, dot = spmv.spmv_dot(packed, jnp.asarray(x))
+        assert abs(float(dot) - float(x @ y_ref)) < 1e-8
+    np.testing.assert_array_equal(ys["base"], ys["streamed"])
