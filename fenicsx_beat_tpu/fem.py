@@ -690,6 +690,23 @@ def cell_geometry(mesh: Mesh) -> CellGeometry:
 # Matrix assembly (P1)
 
 
+def _broadcast_cell_tensor(M_cells, nc: int, g: int) -> np.ndarray:
+    """Conductivity spec -> per-cell [nc, g, g] tensor (shared by the COO
+    and direct-stencil assembly pipelines, which must stay bit-equal)."""
+    Mc = np.asarray(M_cells, dtype=np.float64)
+    if Mc.ndim == 0:
+        Mc = np.broadcast_to(np.eye(g) * Mc, (nc, g, g))
+    elif Mc.ndim == 2:
+        Mc = np.broadcast_to(Mc, (nc, g, g))
+    return Mc
+
+
+def _p1_mass_base(d: int) -> np.ndarray:
+    """Closed-form P1 simplex mass matrix / volume:
+    ``(1 + delta_ij) / ((d+1)(d+2))``."""
+    return (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
+
+
 def _element_matrices_to_coo(V: FunctionSpace, Ke: np.ndarray):
     """Scatter per-cell dense matrices [nc, ndpc, ndpc] to COO triplets."""
     nd = V.ndofs_per_cell
@@ -715,17 +732,12 @@ def assemble_mass_stiffness_coo(
     nc, d = mesh.num_cells, mesh.tdim
     g = mesh.gdim
 
-    Mc = np.asarray(M_cells, dtype=np.float64)
-    if Mc.ndim == 0:
-        Mc = np.broadcast_to(np.eye(g) * Mc, (nc, g, g))
-    elif Mc.ndim == 2:
-        Mc = np.broadcast_to(Mc, (nc, g, g))
+    Mc = _broadcast_cell_tensor(M_cells, nc, g)
 
     deg = V.element.degree
     if V.element.family == "P" and deg == 1:
         # closed-form fast path
-        # mass: vol/((d+1)(d+2)) * (1 + delta_ij)
-        base = (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
+        base = _p1_mass_base(d)
         Me = geom.volume[:, None, None] * base[None]
         # stiffness: vol * G_i . M . G_j
         MG = np.einsum("cgh,cjh->cjg", Mc, geom.grads)
@@ -816,16 +828,21 @@ def assemble_mass_stiffness_stencil(
     cd = V.cell_dofs.astype(np.int64)
 
     if cache_key is not None:
-        cached = _stencil_cache_load(cache_key, V, M_cells, dtype)
+        # max_offsets participates in the key: a warm cache must never
+        # hand back a wider stencil than the caller's bound allows
+        cached = _stencil_cache_load(f"{cache_key}|mo{max_offsets}", V, M_cells, dtype)
         if cached is not None:
             return cached
 
-    # global offset set from per-pair unique diffs (cheap: K distinct
-    # values per pair on structured meshes; explodes immediately -> None)
+    # global offset set from per-pair unique diffs; the size check runs
+    # BEFORE any Python-set materialization so unstructured meshes
+    # decline after one vectorized unique, not after O(n) set inserts
     offsets: set[int] = set()
     for i in range(nd):
         for j in range(nd):
             u = np.unique(cd[:, j] - cd[:, i])
+            if u.size > max_offsets:
+                return None
             offsets.update(int(v) for v in u)
             if len(offsets) > max_offsets:
                 return None
@@ -834,12 +851,8 @@ def assemble_mass_stiffness_stencil(
 
     geom = cell_geometry(mesh)
     d, g = mesh.tdim, mesh.gdim
-    Mc = np.asarray(M_cells, dtype=np.float64)
-    if Mc.ndim == 0:
-        Mc = np.broadcast_to(np.eye(g) * Mc, (mesh.num_cells, g, g))
-    elif Mc.ndim == 2:
-        Mc = np.broadcast_to(Mc, (mesh.num_cells, g, g))
-    base = (np.ones((d + 1, d + 1)) + np.eye(d + 1)) / ((d + 1) * (d + 2))
+    Mc = _broadcast_cell_tensor(M_cells, mesh.num_cells, g)
+    base = _p1_mass_base(d)
     vol = geom.volume
 
     mst = np.zeros(n * K)
@@ -867,7 +880,9 @@ def assemble_mass_stiffness_stencil(
         shape=(n, n),
     )
     if cache_key is not None:
-        _stencil_cache_store(cache_key, V, M_cells, dtype, mass, stiff)
+        _stencil_cache_store(
+            f"{cache_key}|mo{max_offsets}", V, M_cells, dtype, mass, stiff
+        )
     return mass, stiff
 
 

@@ -442,7 +442,7 @@ def build_pallas_stencil_spmv_streamed(
         def _():
             dot_ref[0] = dot_ref[0] + partial
 
-    any_space = getattr(pltpu, "ANY", getattr(pl, "ANY", None))
+    any_space = pl.ANY  # documented spelling; hard error if ever removed
     scratch = [
         pltpu.VMEM((WIN, LANE), jnp.dtype(dtype)),
         pltpu.SemaphoreType.DMA,

@@ -154,7 +154,10 @@ def test_streamed_spmv_matches_base():
     )
 
     rng = np.random.default_rng(11)
-    n = 2500
+    # n/block_rows chosen so the streamed kernel runs a MULTI-block grid
+    # (grid >= 4): the per-block DMA window offset arithmetic (i > 0) is
+    # exactly what differs from the VMEM-resident kernel
+    n = 40_000
     offsets = (-130, -129, -128, -1, 0, 1, 128, 129, 130)
     vals = rng.normal(size=(n, len(offsets)))
     rows = np.arange(n)
