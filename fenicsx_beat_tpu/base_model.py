@@ -222,27 +222,40 @@ class BaseModel(abc.ABC):
         rtol, atol, maxiter = self._solver_tolerances()
         theta = float(self.parameters["theta"])
 
-        # TimeWindow stimuli: precompute the fixed spatial load once; the
-        # per-step quadrature scatter-add it replaces serializes on the
-        # TPU VPU (~570 us/step at 442k nodes, see fused.py)
+        # TimeWindow stimuli: precompute the fixed spatial load once (host
+        # side); the per-step quadrature scatter-add it replaces serializes
+        # on the TPU VPU (~570 us/step at 442k nodes, see fused.py)
         stim_terms = []
+        b_units_np = []
         for i, (quad, expr, stim) in enumerate(stim_quads):
             if stim is not None:
-                b_unit = quad.assemble_load(lambda x, t: jnp.ones_like(x[0]), 0.0)
                 window = (float(stim.expr.start), float(stim.expr.duration))
-                stim_terms.append((i, None, None, b_unit, window))
+                stim_terms.append((i, None, None, len(b_units_np), window))
+                b_units_np.append(np.asarray(quad.assemble_load_host()))
             else:
                 stim_terms.append((i, quad, expr, None, None))
 
-        def step_kernel(v_prev, t, dt, amps):
+        # device-resident operands threaded as jit ARGUMENTS (large
+        # closure constants are re-shipped per execution on remote-TPU
+        # backends; device-array closures are pulled at lowering)
+        operands = {
+            "mass": mass.to_device(),
+            "stiff": stiff.to_device(),
+        }
+        if b_units_np:
+            operands["b_units"] = jax.device_put(jnp.asarray(np.stack(b_units_np)))
+        self._operands = operands
+
+        def step_kernel(op, v_prev, t, dt, amps):
             C_m = jnp.asarray(float(self._C_m), dtype=v_prev.dtype)
+            mass, stiff = op["mass"], op["stiff"]
             A = mass.combine(C_m, stiff, theta * dt)
             b = mass.combine(C_m, stiff, -(1.0 - theta) * dt) @ v_prev
-            for i, quad, expr, b_unit, window in stim_terms:
-                if b_unit is not None:
+            for i, quad, expr, b_idx, window in stim_terms:
+                if b_idx is not None:
                     start, dur = window
                     on = jnp.where((t >= start) & (t <= start + dur), 1.0, 0.0)
-                    b = b + (dt * amps[i] * on) * b_unit
+                    b = b + (dt * amps[i] * on) * op["b_units"][b_idx].astype(b.dtype)
                 else:
                     b = b + (dt * amps[i]) * quad.assemble_load(expr, t)
             diag = A.diagonal()
@@ -257,7 +270,12 @@ class BaseModel(abc.ABC):
             )
             return x, info
 
-        self._step_kernel = jax.jit(step_kernel)
+        jitted = jax.jit(step_kernel)
+
+        def _step(v_prev, t, dt, amps):
+            return jitted(self._operands, v_prev, t, dt, amps)
+
+        self._step_kernel = _step
 
     def _update_matrices(self) -> None:
         """No-op: dt is a traced argument of the jitted step (the reference

@@ -134,26 +134,32 @@ class ECGRecovery:
         self._atol = float(self.petsc_options.get("ksp_atol", 1e-8))
 
         import jax
+        import numpy as _np
 
         C_m = float(self.C_m)
-        mass, stiff = self._mass, self._stiff
-        diag = self._diag
         rtol, atol = self._rtol, self._atol
+        # device-resident operands as jit arguments (large closure
+        # constants are re-shipped per execution on remote-TPU backends)
+        self._operands = {
+            "mass": self._mass.to_device(),
+            "stiff": self._stiff.to_device(),
+            "diag": jax.device_put(jnp.asarray(_np.asarray(self._diag))),
+        }
 
         @jax.jit
-        def solve_kernel(v_arr):
+        def solve_kernel(op, v_arr):
             # -C_m Mass Im = K v  =>  (C_m Mass) Im = -(K v)
-            b = -(stiff @ v_arr)
+            b = -(op["stiff"] @ v_arr)
             x, info = cg(
-                lambda u: C_m * (mass @ u),
+                lambda u: C_m * (op["mass"] @ u),
                 b,
-                precond_diag=C_m * diag,
+                precond_diag=C_m * op["diag"].astype(b.dtype),
                 rtol=rtol,
                 atol=atol,
             )
             return x, info
 
-        self._solve_kernel = solve_kernel
+        self._solve_kernel = lambda v_arr: solve_kernel(self._operands, v_arr)
 
     @property
     def V(self) -> fem.FunctionSpace:
