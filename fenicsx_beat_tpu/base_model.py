@@ -222,18 +222,11 @@ class BaseModel(abc.ABC):
         rtol, atol, maxiter = self._solver_tolerances()
         theta = float(self.parameters["theta"])
 
-        # TimeWindow stimuli: precompute the fixed spatial load once (host
-        # side); the per-step quadrature scatter-add it replaces serializes
-        # on the TPU VPU (~570 us/step at 442k nodes, see fused.py)
-        stim_terms = []
-        b_units_np = []
-        for i, (quad, expr, stim) in enumerate(stim_quads):
-            if stim is not None:
-                window = (float(stim.expr.start), float(stim.expr.duration))
-                stim_terms.append((i, None, None, len(b_units_np), window))
-                b_units_np.append(np.asarray(quad.assemble_load_host()))
-            else:
-                stim_terms.append((i, quad, expr, None, None))
+        # separable TimeWindow loads precomputed host-side (shared helper,
+        # see stimulation.separable_stimulus_terms)
+        from .stimulation import separable_stimulus_terms
+
+        stim_terms, b_units_np = separable_stimulus_terms(stim_quads)
 
         # device-resident operands threaded as jit ARGUMENTS (large
         # closure constants are re-shipped per execution on remote-TPU

@@ -444,26 +444,16 @@ class FusedMonodomainSolver:
         # spatial load): precompute the unit load vector once — the
         # per-step quadrature scatter-add it replaces measured ~570 us/step
         # at 442k nodes (scatters serialize on the VPU)
-        stim_terms = []
-        b_units_np = []
-        for i, (quad, expr, stim) in enumerate(stim_quads):
-            if stim is not None:
-                # host-side assembly; the unit loads ride in the operand
-                # pytree as one stacked device array
-                b_unit = quad.assemble_load_host().astype(
-                    np.dtype(jnp.dtype(self.dtype).name)
-                )
-                if n_pad_load:
-                    b_unit = np.concatenate(
-                        [b_unit, np.zeros((n_pad_load,), dtype=b_unit.dtype)]
-                    )
-                window = (float(stim.expr.start), float(stim.expr.duration))
-                stim_terms.append((i, None, None, len(b_units_np), window))
-                b_units_np.append(b_unit)
-            else:
-                stim_terms.append((i, quad, expr, None, None))
+        from .stimulation import separable_stimulus_terms
+
+        stim_terms, b_units_np = separable_stimulus_terms(stim_quads)
         if b_units_np:
-            operands["b_units"] = jax.device_put(jnp.asarray(np.stack(b_units_np)))
+            npdt = np.dtype(jnp.dtype(self.dtype).name)
+            stack = np.stack(b_units_np).astype(npdt)
+            if n_pad_load:
+                stack = np.pad(stack, ((0, 0), (0, n_pad_load)))
+            # unit loads ride in the operand pytree as one device array
+            operands["b_units"] = jax.device_put(jnp.asarray(stack))
 
         def _assemble_rhs(op, ops, v_prev, t, dt, amps):
             b = apply_B(ops, v_prev)
@@ -695,15 +685,19 @@ class FusedMonodomainSolver:
     # ADIOS2 checkpoints, demos/pace_train.py:179-189)
     def save_state(self, path, t: float = 0.0):
         """Write the complete solver state (all ionic states, activation
-        times, simulation time) to one npz for exact resume."""
+        times, simulation time) to one npz for exact resume.
+
+        The padded kernel-alignment rows are trimmed so checkpoints are
+        portable across solvers and backends (the sharded solver and a
+        CPU fused solver use different pad sizes)."""
         from pathlib import Path
 
         out = Path(path).with_suffix(".npz")
         out.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
             out,
-            states=np.asarray(self.states),
-            activation_time=np.asarray(self.activation_time),
+            states=np.asarray(self.states)[:, : self._n],
+            activation_time=np.asarray(self.activation_time)[: self._n],
             t=float(t),
             v_index=self.v_index,
         )
@@ -714,12 +708,24 @@ class FusedMonodomainSolver:
         from pathlib import Path
 
         with np.load(Path(path).with_suffix(".npz")) as f:
-            states = f["states"]
-            act = f["activation_time"]
-            if states.shape != self.states.shape:
+            states = f["states"][:, : self._n]  # tolerate legacy padded files
+            act = f["activation_time"][: self._n]
+            if states.shape != (self.states.shape[0], self._n):
                 raise ValueError(
-                    f"checkpoint shape {states.shape} != solver {self.states.shape}"
+                    f"checkpoint shape {f['states'].shape} incompatible with "
+                    f"solver ({self.states.shape[0]} states, {self._n} nodes)"
                 )
+            if int(f["v_index"]) != int(self.v_index):
+                raise ValueError(
+                    f"checkpoint v_index {int(f['v_index'])} != solver "
+                    f"{self.v_index} (different ionic model?)"
+                )
+            pad = self._n_pad - self._n
+            if pad:
+                states = np.concatenate(
+                    [states, np.tile(states[:, :1], (1, pad))], axis=1
+                )
+                act = np.concatenate([act, np.full(pad, -1.0)])
             self.states = jnp.asarray(states, dtype=self.dtype)
             self.activation_time = jnp.asarray(act, dtype=self.dtype)
             return float(f["t"])

@@ -189,10 +189,10 @@ class ShardedMonodomainSolver:
         # else gets per-device quadrature tables and is assembled inside
         # the sharded step at the traced time t (the reference assembles
         # these over each MPI rank's cells via DOLFINx).
+        from ..stimulation import separable_stimulus_terms
+
         stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
-        b_units, windows, win_amp_idx = [], [], []
-        gen_tables, gen_exprs, gen_Ns, gen_amp_idx = [], [], [], []
-        self._stimuli = []  # amps-slot-aligned: Stimulus or None (general)
+        stim_quads = []
         for s in stimuli:
             ents = s.dz.entities()
             if len(ents) == 0:
@@ -201,22 +201,29 @@ class ShardedMonodomainSolver:
                 quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
             else:
                 quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
-            slot = len(self._stimuli)
             if isinstance(s.expr, TimeWindow):
-                b_unit = quad.assemble_load_host()
+                stim_quads.append((quad, s.expr.indicator, s))
+            else:
+                stim_quads.append((quad, _as_expr(s.expr), None))
+        terms, b_units_host = separable_stimulus_terms(stim_quads)
+        b_units, windows, win_amp_idx = [], [], []
+        gen_tables, gen_exprs, gen_Ns, gen_amp_idx = [], [], [], []
+        # amps-slot-aligned: Stimulus or None (general)
+        self._stimuli = [sq[2] for sq in stim_quads]
+        for slot, quad, expr, b_idx, window in terms:
+            if b_idx is not None:
+                b_unit = b_units_host[b_idx]
                 if self._perm is not None:
                     b_unit = b_unit[self._perm]
                 b_units.append(pad_global(b_unit, self.part))
-                windows.append((float(s.expr.start), float(s.expr.duration)))
+                windows.append(window)
                 win_amp_idx.append(slot)
-                self._stimuli.append(s)
             else:
                 X3, W3, N, D3, O3 = partition_quadrature(quad, self.part, self._iperm)
                 gen_tables.append((X3, W3, D3, O3))
                 gen_Ns.append(N)
-                gen_exprs.append(_as_expr(s.expr))
+                gen_exprs.append(expr)
                 gen_amp_idx.append(slot)
-                self._stimuli.append(None)
         npdt = np.dtype(jnp.dtype(self.dtype).name)
         self._b_units = (
             np.stack(b_units).astype(npdt)
@@ -662,9 +669,20 @@ class ShardedMonodomainSolver:
             states = f["states"]
             act = f["activation_time"]
             t = float(f["t"])
+            ck_vi = int(f["v_index"])
         n = self.part.n_global
         if states.shape[1] != n:
             raise ValueError(f"checkpoint has {states.shape[1]} nodes, mesh has {n}")
+        if states.shape[0] != self.states.shape[0]:
+            raise ValueError(
+                f"checkpoint has {states.shape[0]} ionic states, solver has "
+                f"{self.states.shape[0]} (different model?)"
+            )
+        if ck_vi != int(self.v_index):
+            raise ValueError(
+                f"checkpoint v_index {ck_vi} != solver {self.v_index} "
+                "(different ionic model?)"
+            )
         if self._perm is not None:
             states = states[:, self._perm]
             act = act[self._perm]

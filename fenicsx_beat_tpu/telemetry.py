@@ -174,7 +174,7 @@ class PerformanceMonitor(BaseMonitor):
             f"ksp_converged_reason={self.ksp_last_converged_reason}",
         ]
         parts.extend(f"{name}={value:.6f}s" for name, value in self.timings.items())
-        logger.info(", ".join(parts) + ",")
+        logger.info(", ".join(parts))
 
     # -- aggregate rendering -------------------------------------------------
 

@@ -40,3 +40,38 @@ def test_vtu_writer_produces_readable_xml(tmp_path):
 
     root = ET.parse(vtus[0]).getroot()
     assert root.tag == "VTKFile"
+
+
+def test_checkpoint_portable_across_padding():
+    """Checkpoints must be written UNPADDED so a padded (TPU kernel
+    alignment) fused solver and an unpadded CPU solver can exchange them
+    (regression: save_state used to write the padded state and load_state
+    demanded exact padded-shape equality)."""
+    import numpy as np
+
+    from fenicsx_beat_tpu.benchmarks.niederer import _build_solver
+
+    padded = _build_solver(dx=0.5, use_pallas_ode=True)  # interpret mode pads
+    plain = _build_solver(dx=0.5, use_pallas_ode=False)
+    assert padded._n_pad > padded._n, "test needs a padded solver"
+    assert plain._n_pad == plain._n
+
+    padded.solve((0.0, 0.5), dt=0.05)
+    path = padded.save_state("/tmp/ckpt-pad-roundtrip", t=0.5)
+    t = plain.load_state(path)
+    assert t == 0.5
+    np.testing.assert_allclose(
+        np.asarray(plain.states[:, : plain._n]),
+        np.asarray(padded.states[:, : padded._n]),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    # and back: unpadded checkpoint into the padded solver
+    path2 = plain.save_state("/tmp/ckpt-plain-roundtrip", t=1.0)
+    assert padded.load_state(path2) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(padded.states[:, : padded._n]),
+        np.asarray(plain.states[:, : plain._n]),
+        rtol=1e-6,
+        atol=1e-7,
+    )
