@@ -405,3 +405,14 @@ def test_make_device_mesh_and_coordinator():
     assert is_coordinator() is True  # single-process test environment
     with pytest.raises(ValueError):
         make_device_mesh(10_000)
+
+
+def test_initialize_distributed_single_process_graceful():
+    """With no cluster environment, initialize_distributed must degrade to
+    single-process (and stay idempotent) rather than raise — the same
+    script runs serial and under a launcher, like the reference with and
+    without mpirun."""
+    from fenicsx_beat_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
+    initialize_distributed()  # idempotent second call
