@@ -939,7 +939,7 @@ def _operator_cache_path(cache_key: str, V: FunctionSpace, M_cells, dtype):
     h.update(
         f"{_OPERATOR_CACHE_SCHEMA}|{cache_key}|{V.ndofs}|{V.mesh.num_cells}|"
         f"{V.element.family}{V.element.degree}|"
-        f"{np.dtype(jnp.dtype(dtype).name) if dtype else 'f8'}".encode()
+        f"{np.dtype(jnp.dtype(dtype).name) if dtype is not None else np.dtype(np.float64)}".encode()
     )
     h.update(np.ascontiguousarray(V.mesh.coords))
     h.update(np.ascontiguousarray(V.mesh.cells))

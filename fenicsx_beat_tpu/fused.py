@@ -708,7 +708,17 @@ class FusedMonodomainSolver:
         from pathlib import Path
 
         with np.load(Path(path).with_suffix(".npz")) as f:
-            states = f["states"][:, : self._n]  # tolerate legacy padded files
+            n_file = f["states"].shape[1]
+            # Tolerate legacy files that saved kernel-alignment padding, but
+            # no more than one 1024-granule beyond our node count — anything
+            # larger is a checkpoint from a genuinely different mesh and
+            # must not load silently truncated.
+            if n_file != self._n and not (self._n < n_file <= -(-self._n // 1024) * 1024):
+                raise ValueError(
+                    f"checkpoint has {n_file} nodes, solver has {self._n} "
+                    "(different mesh?)"
+                )
+            states = f["states"][:, : self._n]
             act = f["activation_time"][: self._n]
             if states.shape != (self.states.shape[0], self._n):
                 raise ValueError(

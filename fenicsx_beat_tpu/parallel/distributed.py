@@ -53,12 +53,17 @@ def initialize_distributed(
         kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
-    except ValueError as exc:
-        # No cluster environment to auto-detect: stay single-process, the
-        # way a reference script runs identically with and without mpirun
+    except (ValueError, RuntimeError) as exc:
+        # Stay single-process when no explicit cluster was requested, the
+        # way a reference script runs identically with and without mpirun.
+        # ValueError: no cluster environment to auto-detect.  RuntimeError:
+        # the XLA backend already exists (any prior jax call in the script)
+        # — too late to go multi-process, but single-process still works.
         if kwargs:
             raise
-        logger.info("no cluster environment detected (%s); single-process", exc)
+        logger.info(
+            "single-process fallback (%s: %s)", type(exc).__name__, exc
+        )
         return
     logger.info(
         "jax.distributed: process %d/%d, %d local / %d global devices",
