@@ -7,10 +7,16 @@ TPU-native counterpart of reference ``src/beat/ecg.py``:
   with the in-repo jitted Jacobi-CG instead of PETSc CG/SOR, then evaluates
   the infinite-homogeneous-conductor integral
   ``phi_e(p) = 1/(4 pi sigma_b) ∫ Im / |r - p| dx`` (``ecg.py:295-298``).
+  Production meshes ride the same operator machinery as the solvers:
+  stencil assembly + opt-in disk cache, pallas stencil SpMV (HBM-streamed
+  beyond the VMEM budget), CG warm-started from the previous frame's Im,
+  and device-resident electrode weight vectors so a frame's 12-lead ECG is
+  one small matvec with no host transfer of Im.
 * :class:`Leads12` implements the Einthoven / Wilson / Goldberger lead
   algebra (``ecg.py:307-396``; definitions per the standard 12-lead ECG).
 * ``detect_r_peaks`` / ``detect_t_end`` / ``qt_interval`` implement
-  derivative-based QT detection (``ecg.py:20-226``).
+  derivative-based QT detection (behavioral match of reference
+  ``ecg.py:20-226``).
 """
 
 from __future__ import annotations
@@ -41,9 +47,13 @@ __all__ = [
 
 
 def detect_r_peaks(ecg_signal: np.ndarray, min_distance: float = 20) -> np.ndarray:
-    """R-peak indices (height-thresholded), reference ``ecg.py:20-42``."""
-    height_threshold = 0.5 * np.max(ecg_signal) if np.max(ecg_signal) > 0 else None
-    peaks, _ = find_peaks(ecg_signal, distance=min_distance, height=height_threshold)
+    """R-peak indices (height-thresholded), behavioral match of reference
+    ``ecg.py:20-42``: peaks at least ``min_distance`` samples apart and, when
+    the signal goes positive, at least half the global maximum tall."""
+    top = np.max(ecg_signal)
+    peaks, _ = find_peaks(
+        ecg_signal, distance=min_distance, height=0.5 * top if top > 0 else None
+    )
     return peaks
 
 
@@ -53,31 +63,35 @@ def detect_t_end(
     window_start_offset: int = 50,
     window_end_offset: int = 400,
 ) -> int:
-    """T-wave end via the minimum-derivative-after-T-peak method
-    (reference ``ecg.py:45-130``)."""
+    """T-wave end by the steepest-descent criterion.
+
+    Within the search window ``[r_peak + start_offset, r_peak +
+    end_offset)`` the T peak is the sample of largest magnitude; T-end is
+    where the first derivative is most negative after that peak
+    (behavioral match of reference ``ecg.py:45-130``).  Degenerate
+    geometry (window off the end of the signal, T peak on the window
+    edge, T-end not after the R peak) is warned about, not fatal.
+    """
     if averaged_rr is None or len(averaged_rr) == 0:
-        raise RuntimeError("Cannot detect T-end on empty or None averaged RR interval.")
+        raise RuntimeError("detect_t_end needs a non-empty signal")
 
-    search_start = max(0, r_peak_index + window_start_offset)
-    search_end = min(len(averaged_rr), r_peak_index + window_end_offset)
-    if search_start >= search_end or search_end - search_start < 2:
-        logger.warning("Invalid or too short search window for T-end detection.")
+    lo = max(0, r_peak_index + window_start_offset)
+    hi = min(len(averaged_rr), r_peak_index + window_end_offset)
+    window = np.asarray(averaged_rr[lo:hi])
+    if window.size < 2:
+        logger.warning("T-end search window [%d, %d) holds fewer than 2 samples", lo, hi)
+    slope = np.diff(window)
+    if slope.size == 0:
+        logger.warning("T-end search window too short to differentiate")
 
-    signal_segment = averaged_rr[search_start:search_end]
-    derivative = np.diff(signal_segment)
-    if len(derivative) == 0:
-        logger.warning("Could not compute derivative for T-end detection.")
+    t_peak = int(np.argmax(np.abs(window)))
+    if t_peak >= slope.size:
+        logger.warning("T peak sits on the edge of the search window")
 
-    t_peak_rel = int(np.argmax(np.abs(signal_segment)))
-    start_tend = max(0, t_peak_rel)
-    if start_tend >= len(derivative):
-        logger.warning("T-peak is too close to the end of the search window.")
-
-    min_deriv_after = int(np.argmin(derivative[start_tend:]))
-    t_end_abs = search_start + start_tend + min_deriv_after
-    if t_end_abs <= r_peak_index:
-        logger.warning("Detected T-end is before or at the R-peak index.")
-    return int(t_end_abs)
+    t_end = lo + t_peak + int(np.argmin(slope[t_peak:]))
+    if t_end <= r_peak_index:
+        logger.warning("detected T-end (index %d) does not follow the R peak", t_end)
+    return int(t_end)
 
 
 class QTIntervalResult(NamedTuple):
@@ -93,27 +107,38 @@ def qt_interval(
     window_start_offset: int = 50,
     window_end_offset: int = 400,
 ) -> QTIntervalResult:
-    """QT interval from first R-peak to T-end (reference ``ecg.py:180-226``)."""
+    """QT interval: first R peak to the T-end that follows it (behavioral
+    match of reference ``ecg.py:180-226``)."""
     r_peaks = detect_r_peaks(ecg_signal=ecg_signal, min_distance=min_distance)
-    assert len(r_peaks) > 0, "No R-peaks detected. Check signal quality and detection parameters."
-    r_peak_index = int(r_peaks[0])
-    t_end_index = detect_t_end(
+    if len(r_peaks) == 0:
+        raise RuntimeError("no R peaks found; cannot measure a QT interval")
+    r0 = int(r_peaks[0])
+    t_end = detect_t_end(
         ecg_signal,
-        r_peak_index,
+        r0,
         window_start_offset=window_start_offset,
         window_end_offset=window_end_offset,
     )
-    return QTIntervalResult(
-        start_index=r_peak_index,
-        end_index=t_end_index,
-        qt_interval=t[t_end_index] - t[r_peak_index],
-    )
+    return QTIntervalResult(qt_interval=t[t_end] - t[r0], start_index=r0, end_index=t_end)
 
 
 @dataclass
 class ECGRecovery:
     """Recover Im = -(1/C_m) Mass^{-1} K v and expose electrode-potential
-    forms (reference ``ecg.py:229-298``)."""
+    evaluation (reference ``ecg.py:229-298``).
+
+    Two electrode paths:
+
+    * :meth:`eval` returns a lazy :class:`~fenicsx_beat_tpu.fem.ScalarForm`
+      (the reference's dolfinx-form API; host quadrature assembly) — right
+      for small meshes and API parity.
+    * :meth:`register_electrodes` + :meth:`electrode_potentials` precompute
+      a device-resident ``[n_electrodes, n]`` weight matrix with the SAME
+      quadrature rule, chunk-wise on device — per frame the ECG is one
+      small matvec and only ``n_electrodes`` scalars cross the host link.
+      This is the production path: at dx=0.05 (3.45M nodes) pulling Im to
+      host per frame would cost minutes over a remote-TPU tunnel.
+    """
 
     v: fem.Function
     sigma_b: float = 1.0
@@ -123,43 +148,154 @@ class ECGRecovery:
     petsc_options: dict[str, Any] = field(
         default_factory=lambda: {"ksp_type": "cg", "ksp_rtol": 1.0e-8, "ksp_atol": 1.0e-8}
     )
+    operator_cache_key: str | None = None  # opt-in disk cache of assembly
+    use_pallas: bool | None = None  # None = auto (TPU backend + stencil operator)
 
     def __post_init__(self):
+        import jax
+
+        from .ops.sparse import StencilMatrix, ell_to_stencil
+
+        from .config import default_dtype
+
         self.sol = fem.Function(self.V, name="Im")
+        n = self._n = self.V.ndofs
         M_cells = as_cell_tensors(self.M, self.mesh)
-        # numpy-backed; the jitted kernel embeds them as module constants
-        self._mass, self._stiff = fem.assemble_mass_stiffness(self.V, M_cells)
-        self._diag = self._mass.diagonal()
+        self.dtype = default_dtype()
+
+        # Same operator path as the PDE solvers (fused.py:132-153): direct
+        # stencil assembly where the mesh structure allows (no COO sort, no
+        # per-cell host tensors), generic ELL otherwise, with the opt-in
+        # operator disk cache in both branches.
+        pair = fem.assemble_mass_stiffness_stencil(
+            self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
+        )
+        if pair is not None:
+            mass, stiff = pair
+        else:
+            mass, stiff = fem.assemble_mass_stiffness(
+                self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
+            )
+            mst = ell_to_stencil(mass)
+            if mst is not None:
+                kst = ell_to_stencil(stiff)
+                if kst is not None and kst.offsets == mst.offsets:
+                    mass, stiff = mst, kst
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and isinstance(mass, StencilMatrix)
+                and n >= 4096
+            )
+        self._use_pallas = use_pallas = use_pallas and isinstance(mass, StencilMatrix)
+
+        # Kernel-aligned padding (fused.py:174-209): inert zero rows with a
+        # unit mass diagonal so no per-solve pad/slice wrappers are traced
+        if use_pallas:
+            gran = 65536 if n >= 262144 else 1024
+            n_pad = -(-n // gran) * gran
+        else:
+            n_pad = n
+        self._n_pad = n_pad
+        pad = n_pad - n
+        if pad:
+            k0 = mass.offsets.index(0)
+            mv = np.zeros((n_pad, mass.width), dtype=np.asarray(mass.vals).dtype)
+            mv[:n] = np.asarray(mass.vals)
+            mv[n:, k0] = 1.0
+            kv = np.zeros_like(mv)
+            kv[:n] = np.asarray(stiff.vals)
+            mass = StencilMatrix(offsets=mass.offsets, vals=mv, shape=(n_pad, n_pad))
+            stiff = StencilMatrix(offsets=stiff.offsets, vals=kv, shape=(n_pad, n_pad))
+        self._mass, self._stiff = mass, stiff
+
         self._rtol = float(self.petsc_options.get("ksp_rtol", 1e-8))
         self._atol = float(self.petsc_options.get("ksp_atol", 1e-8))
-
-        import jax
-        import numpy as _np
-
-        C_m = float(self.C_m)
         rtol, atol = self._rtol, self._atol
-        # device-resident operands as jit arguments (large closure
-        # constants are re-shipped per execution on remote-TPU backends)
-        self._operands = {
-            "mass": self._mass.to_device(),
-            "stiff": self._stiff.to_device(),
-            "diag": jax.device_put(jnp.asarray(_np.asarray(self._diag))),
-        }
+        C_m = float(self.C_m)
+
+        # Device-resident operands threaded as jit ARGUMENTS (closure
+        # constants are pulled back to host at lowering on remote-TPU
+        # backends; see docs/DESIGN.md §9)
+        operands = {}
+        if use_pallas:
+            from .ops.pallas_spmv import (
+                LANE,
+                build_pallas_stencil_spmv,
+                build_pallas_stencil_spmv_streamed,
+            )
+
+            operand_bytes = (
+                (-(-n_pad // LANE)) * LANE * jnp.dtype(np.asarray(mass.vals).dtype).itemsize
+            )
+            builder = (
+                build_pallas_stencil_spmv_streamed
+                if operand_bytes > 8 * 1024 * 1024
+                else build_pallas_stencil_spmv
+            )
+            npdt = np.asarray(mass.vals).dtype
+            spmv = builder(mass.offsets, n_pad, npdt)
+            k0 = mass.offsets.index(0)
+            operands["mT"] = jax.device_put(jnp.asarray(spmv.pack_values(np.asarray(mass.vals))))
+            operands["kT"] = jax.device_put(jnp.asarray(spmv.pack_values(np.asarray(stiff.vals))))
+
+            def apply_mass(op, u):
+                return spmv(op["mT"], u)
+
+            def apply_stiff(op, u):
+                return spmv(op["kT"], u)
+
+            def mass_diag(op):
+                return op["mT"][k0].reshape(-1)[:n_pad]
+
+        else:
+            operands["mass"] = mass.to_device()
+            operands["stiff"] = stiff.to_device()
+
+            def apply_mass(op, u):
+                return op["mass"] @ u
+
+            def apply_stiff(op, u):
+                return op["stiff"] @ u
+
+            def mass_diag(op):
+                return op["mass"].diagonal()
+
+        if pad:
+            # padding rows must not inflate norms and loosen the tolerance
+            def cg_dot(a, b):
+                live = (jnp.arange(a.shape[0]) < n).astype(a.dtype)
+                return jnp.vdot(a * live, b)
+
+        else:
+            cg_dot = None
 
         @jax.jit
-        def solve_kernel(op, v_arr):
+        def recover(op, v_arr, x0):
             # -C_m Mass Im = K v  =>  (C_m Mass) Im = -(K v)
-            b = -(op["stiff"] @ v_arr)
-            x, info = cg(
-                lambda u: C_m * (op["mass"] @ u),
+            b = -apply_stiff(op, v_arr)
+            return cg(
+                lambda u: C_m * apply_mass(op, u),
                 b,
-                precond_diag=C_m * op["diag"].astype(b.dtype),
+                x0=x0,
+                precond_diag=C_m * mass_diag(op).astype(b.dtype),
                 rtol=rtol,
                 atol=atol,
+                dot=cg_dot,
             )
-            return x, info
 
-        self._solve_kernel = lambda v_arr: solve_kernel(self._operands, v_arr)
+        self._operands = operands
+        self._recover = recover
+        self._npdt = np.asarray(mass.vals).dtype
+        # warm start: consecutive frames of a propagating wave are close,
+        # so the previous Im is an excellent initial iterate
+        self._x0 = jnp.zeros(n_pad, dtype=self._npdt)
+        self._im_device = None
+        self.last_info = None
+        self._electrode_W = None
+        self._phi = jax.jit(lambda W, im: W @ im)
 
     @property
     def V(self) -> fem.FunctionSpace:
@@ -169,10 +305,25 @@ class ECGRecovery:
     def mesh(self):
         return self.v.function_space.mesh
 
+    def solve_device(self):
+        """Recover Im on device; returns ``(im, CGInfo)`` without pulling
+        the solution to host.  Production loops pair this with
+        :meth:`electrode_potentials`."""
+        vfull = np.zeros(self._n_pad, dtype=self._npdt)
+        vfull[: self._n] = self.v.x.array
+        x, info = self._recover(self._operands, jnp.asarray(vfull), self._x0)
+        self._x0 = x
+        self._im_device = x
+        self.last_info = info
+        return x, info
+
     def solve(self) -> None:
+        """Recover Im and sync it into ``self.sol`` (host) for the lazy
+        :meth:`eval` forms.  Pulls n floats device->host — fine at demo
+        scale; use :meth:`solve_device` in production loops."""
         logger.debug("Solving ECG recovery")
-        x, info = self._solve_kernel(jnp.asarray(self.v.x.array))
-        self.sol.x.array[:] = np.asarray(x)
+        im, _ = self.solve_device()
+        self.sol.x.array[:] = np.asarray(im)[: self._n]
 
     def eval(self, point) -> fem.ScalarForm:
         """Electrode potential form: assembles to
@@ -190,6 +341,108 @@ class ECGRecovery:
             return (1.0 / (4 * jnp.pi * sigma_b)) * u / dist
 
         return fem.function_integral(self.sol, integrand, degree=4)
+
+    # -- production electrode path --------------------------------------
+    def electrode_weights(
+        self, points, degree: int = 4, cells_per_chunk: int = 1 << 20
+    ) -> jnp.ndarray:
+        """Device-resident ``[n_electrodes, n_pad]`` weight matrix W with
+        ``phi_e = W @ Im``.
+
+        The electrode integral is linear in Im, so its quadrature
+        (identical rule + basis tabulation to :meth:`eval`) collapses into
+        per-dof weights ``W[e, j] = Σ_cells Σ_q w_q N_j(q) / (4 pi sigma_b
+        |x_q - p_e|)``.  Computed chunk-wise ON DEVICE from the mesh arrays
+        — no [nc, nq, gdim] host tables, no per-cell host loop — which is
+        what makes dx=0.05 (20.6M cells) ECG recovery minutes-scale
+        instead of hours (reference ``ecg.py:295-298`` re-assembles the
+        form per frame under MPI)."""
+        import jax
+
+        from .ops.quadrature import simplex_rule
+
+        mesh = self.mesh
+        tdim, gdim = mesh.tdim, mesh.gdim
+        pts, wts = simplex_rule(tdim, degree)  # [nq, tdim], [nq]
+        N = self.V.element.tabulate(tdim, pts)  # [nq, nd]
+        P = np.zeros((len(points), gdim))
+        for e, p in enumerate(points):
+            P[e, : min(len(p), gdim)] = np.asarray(p, dtype=np.float64)[:gdim]
+        sigma_b = float(self.sigma_b)
+        npdt = self._npdt
+
+        # coords as an explicit jit ARGUMENT, device_put once — a device
+        # closure constant would be pulled back to host at lowering
+        coords_d = jax.device_put(jnp.asarray(mesh.coords.astype(npdt)))
+        nq, nd = N.shape
+
+        @jax.jit
+        def chunk_weights(coords, cells_chunk, dofs_chunk, live, w_acc):
+            verts = coords[cells_chunk]  # [B, tdim+1, gdim]
+            edges = verts[:, 1:, :] - verts[:, :1, :]  # [B, tdim, gdim]
+            # Gram-determinant volume: covers gdim == tdim and embedded cells
+            G = jnp.einsum("cik,cjk->cij", edges, edges)
+            if tdim == 1:
+                detG = G[:, 0, 0]
+            elif tdim == 2:
+                detG = G[:, 0, 0] * G[:, 1, 1] - G[:, 0, 1] * G[:, 1, 0]
+            else:
+                detG = (
+                    G[:, 0, 0] * (G[:, 1, 1] * G[:, 2, 2] - G[:, 1, 2] * G[:, 2, 1])
+                    - G[:, 0, 1] * (G[:, 1, 0] * G[:, 2, 2] - G[:, 1, 2] * G[:, 2, 0])
+                    + G[:, 0, 2] * (G[:, 1, 0] * G[:, 2, 1] - G[:, 1, 1] * G[:, 2, 0])
+                )
+            # rule weights sum to the REFERENCE simplex volume 1/tdim!, so
+            # the physical quadrature weight is sqrt(det G) * w_q (the
+            # Jacobian norm), matching fem.cell_quadrature's volume*tdim!*w
+            jac = jnp.sqrt(jnp.abs(detG)) * live  # [B]
+            xq = verts[:, :1, :] + jnp.einsum("qd,cdg->cqg", jnp.asarray(pts, dtype=npdt), edges)
+            # [n_e, B, nq] inverse distances
+            diff = xq[None] - jnp.asarray(P, dtype=npdt)[:, None, None, :]
+            inv_r = 1.0 / jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            wq = jac[:, None] * jnp.asarray(wts, dtype=npdt)[None, :]  # [B, nq]
+            scale = 1.0 / (4.0 * np.pi * sigma_b)
+            # [n_e, B, nd] per-cell dof contributions
+            contrib = scale * jnp.einsum("ebq,bq,qd->ebd", inv_r, wq, jnp.asarray(N, dtype=npdt))
+            for e in range(P.shape[0]):
+                w_acc = w_acc.at[e].set(
+                    w_acc[e].at[dofs_chunk.reshape(-1)].add(contrib[e].reshape(-1))
+                )
+            return w_acc
+
+        W = jnp.zeros((P.shape[0], self._n_pad), dtype=npdt)
+        nc = mesh.num_cells
+        B = min(cells_per_chunk, nc)
+        cell_dofs = self.V.cell_dofs
+        for c0 in range(0, nc, B):
+            c1 = min(c0 + B, nc)
+            idx = np.zeros(B, dtype=np.int64)
+            idx[: c1 - c0] = np.arange(c0, c1)
+            dofs = np.zeros((B, nd), dtype=np.int32)
+            dofs[: c1 - c0] = cell_dofs[c0:c1]
+            live = np.zeros(B, dtype=npdt)
+            live[: c1 - c0] = 1.0
+            W = chunk_weights(
+                coords_d, jnp.asarray(mesh.cells[idx]), jnp.asarray(dofs), jnp.asarray(live), W
+            )
+        return W
+
+    def register_electrodes(self, points, degree: int = 4) -> None:
+        """Precompute and hold device electrode weights for
+        :meth:`electrode_potentials`."""
+        self._electrode_W = self.electrode_weights(points, degree=degree)
+
+    def electrode_potentials(self, im: jnp.ndarray | None = None) -> np.ndarray:
+        """``[n_electrodes]`` potentials from the device-resident Im of the
+        last :meth:`solve_device`/:meth:`solve` (or an explicit ``im``).
+        Only these scalars cross the host link."""
+        if self._electrode_W is None:
+            raise RuntimeError("call register_electrodes(points) first")
+        if im is None:
+            if self._im_device is None:
+                raise RuntimeError("no recovered Im yet; call solve_device() first")
+            im = self._im_device
+        return np.asarray(self._phi(self._electrode_W, im))
 
 
 def _check_attr(attr) -> None:
@@ -292,34 +545,30 @@ def example(
     wander_freq_hz: float = 0.2,
     wander_amplitude: float = 0.1,
 ):
-    """Synthetic Gaussian-wave ECG generator (reference ``ecg.py:399-499``).
+    """Synthetic Gaussian-wave ECG (behavioral match of reference
+    ``ecg.py:399-499``): each beat is four Gaussian deflections — Q, R, S,
+    T — placed relative to its R peak, vectorized over a ``[beat, wave,
+    time]`` broadcast instead of a per-beat accumulation loop.  Optional
+    white noise and sinusoidal baseline wander on top.
 
-    Returns (t_ms, signal): each beat is a sum of Gaussian Q/R/S/T bumps
-    at offsets from the R peak, plus optional noise and baseline wander.
+    Returns ``(t_ms, signal)``.
     """
-    duration_ms = duration_s * 1000
-    rr_interval_s = 60.0 / heart_rate_bpm
-    rr_interval_ms = rr_interval_s * 1000
-    num_beats = int(duration_s / rr_interval_s)
+    rr_ms = 60_000.0 / heart_rate_bpm
+    n_beats = int(duration_s * heart_rate_bpm / 60.0)
+    t_ms = np.arange(int(duration_s * sampling_rate_hz)) * (1000.0 / sampling_rate_hz)
 
-    num_samples = int(duration_s * sampling_rate_hz)
-    t_ms = np.linspace(0, duration_ms, num_samples, endpoint=False)
-    ecg_signal = np.zeros_like(t_ms)
+    # per-wave (amplitude, offset-from-R, width) rows: Q, R, S, T
+    amp = np.array([-0.2, 1.0, -0.3, 0.4])
+    off = np.array([-q_offset_ms, 0.0, s_offset_ms, t_peak_offset_ms])
+    wid = np.array([q_width_ms, r_width_ms, s_width_ms, t_width_ms])
 
-    for i in range(num_beats):
-        r_peak_time_ms = (i + qrs_peak_time / 1000) * rr_interval_ms
-        q_time_ms = r_peak_time_ms - q_offset_ms
-        s_time_ms = r_peak_time_ms + s_offset_ms
-        t_peak_time_ms = r_peak_time_ms + t_peak_offset_ms
-
-        ecg_signal += 1.0 * np.exp(-(((t_ms - r_peak_time_ms) / r_width_ms) ** 2))
-        ecg_signal -= 0.2 * np.exp(-(((t_ms - q_time_ms) / q_width_ms) ** 2))
-        ecg_signal -= 0.3 * np.exp(-(((t_ms - s_time_ms) / s_width_ms) ** 2))
-        ecg_signal += 0.4 * np.exp(-(((t_ms - t_peak_time_ms) / t_width_ms) ** 2))
+    r_times = (np.arange(n_beats) + qrs_peak_time / 1000.0) * rr_ms  # [beat]
+    z = (t_ms[None, None, :] - (r_times[:, None] + off[None, :])[..., None]) / wid[
+        None, :, None
+    ]
+    signal = np.einsum("w,bwt->t", amp, np.exp(-z * z))
 
     if noise_amplitude > 0:
-        ecg_signal += noise_amplitude * np.random.randn(len(t_ms))
-
-    wander_freq_per_ms = wander_freq_hz / 1000.0
-    ecg_signal += wander_amplitude * np.sin(2 * np.pi * wander_freq_per_ms * t_ms)
-    return t_ms, ecg_signal
+        signal = signal + noise_amplitude * np.random.randn(t_ms.size)
+    signal = signal + wander_amplitude * np.sin(2e-3 * np.pi * wander_freq_hz * t_ms)
+    return t_ms, signal

@@ -54,84 +54,99 @@ def solve(
     t0: float = 0.0,
     extra: dict | None = None,
 ):
-    """Free-function driver mirroring reference ``odesolver.py:24-43``."""
-    if extra is None:
-        extra = {}
-    i = 0
-    t = t0
+    """Step ``fun`` in place from ``t0`` until ``t_bound``, recording the
+    voltage row into successive rows of ``V`` after each step (behavioral
+    match of reference ``odesolver.py:24-43``; a step is taken only while
+    the *next* time still lies strictly inside the horizon)."""
+    kwargs = dict(extra) if extra else {}
+    t, row = t0, 0
     while t + dt < t_bound:
-        fun(states=states, t=t, parameters=parameters, dt=dt, **extra)
-        V[i, :] = states[V_index, :]
-        i += 1
+        fun(states=states, t=t, parameters=parameters, dt=dt, **kwargs)
+        V[row, :] = states[V_index, :]
+        row += 1
         t += dt
 
 
-@dataclass
 class ODESystemSolver:
-    """Steps a batched ODE system over all points at once
-    (reference ``odesolver.py:46-79``)."""
+    """Vectorized pointwise ODE stepper over a ``[S, n]`` state array.
 
-    fun: Callable
-    states: np.ndarray
-    parameters: np.ndarray | None
-    missing_variables: np.ndarray | None = None
-    _kwargs: dict[str, np.ndarray] = field(default_factory=dict)
-    monitor: BaseMonitor = field(default_factory=NullMonitor)
+    Thin host-side driver around a user stepper callable with the
+    gotranx calling convention ``fun(states, t, parameters, dt[,
+    missing_variables]) -> new_states`` (behavioral match of reference
+    ``odesolver.py:46-79``).  The callable owns the integration scheme;
+    this class owns the array and writes each result back in place so
+    external views of ``states`` stay valid.
+    """
 
-    def __post_init__(self):
-        if self.missing_variables is not None:
-            self._kwargs["missing_variables"] = self.missing_variables
-
-    @property
-    def num_points(self) -> int:
-        return self.states.shape[1]
+    def __init__(
+        self,
+        fun: Callable,
+        states: np.ndarray,
+        parameters: np.ndarray | None,
+        missing_variables: np.ndarray | None = None,
+        monitor: BaseMonitor | None = None,
+    ):
+        self.fun = fun
+        self.states = states
+        self.parameters = parameters
+        self.missing_variables = missing_variables
+        self.monitor = monitor or NullMonitor()
 
     @property
     def num_states(self) -> int:
-        return self.states.shape[0]
+        return int(self.states.shape[0])
+
+    @property
+    def num_points(self) -> int:
+        return int(self.states.shape[1])
 
     def step(self, t0: float, dt: float) -> None:
+        opt = {}
+        if self.missing_variables is not None:
+            opt["missing_variables"] = self.missing_variables
         with self.monitor.track_time("ode_total_step"):
             with self.monitor.track_time("ode_function_call"):
-                updated = self.fun(
-                    states=self.states,
-                    t=t0,
-                    parameters=self.parameters,
-                    dt=dt,
-                    **self._kwargs,
+                advanced = self.fun(
+                    states=self.states, t=t0, parameters=self.parameters, dt=dt, **opt
                 )
             with self.monitor.track_time("ode_state_update"):
-                self.states[:] = np.asarray(updated)
+                # in-place so views handed out via .values stay live
+                np.copyto(self.states, np.asarray(advanced))
 
 
 class BaseDolfinODESolver(abc.ABC):
-    """Transfer adapter between raw state arrays and FE functions
-    (reference ``odesolver.py:82-132``; name kept for API parity)."""
+    """Transfer adapter between raw ``[S, n]`` state arrays and FE
+    functions (name kept for API parity with reference
+    ``odesolver.py:82-132``; the four-transfer contract —
+    ``to_dolfin``/``from_dolfin`` between states and v_ode,
+    ``ode_to_pde``/``pde_to_ode`` between spaces — is the spec)."""
 
     v_ode: fem.Function
     v_pde: fem.Function
-    _metadata: dict[str, Any] | None = None
 
-    def _initialize_metadata(self):
-        if self.v_ode.function_space.element.family == "Quadrature":
-            self._metadata = {"quadrature_degree": self.v_ode.function_space.element.degree}
-        else:
-            self._metadata = None
-
-    @abc.abstractmethod
-    def to_dolfin(self) -> None: ...
+    @property
+    def _metadata(self) -> dict[str, Any] | None:
+        """Assembly metadata for the ODE space (quadrature degree when the
+        ODE lives at quadrature points, else None)."""
+        el = self.v_ode.function_space.element
+        return {"quadrature_degree": el.degree} if el.family == "Quadrature" else None
 
     @abc.abstractmethod
-    def from_dolfin(self) -> None: ...
+    def to_dolfin(self) -> None:
+        """states[v_index] -> v_ode"""
+
+    @abc.abstractmethod
+    def from_dolfin(self) -> None:
+        """v_ode -> states[v_index]"""
 
     def ode_to_pde(self) -> None:
-        """Project v_ode (P2/DG/quadrature...) into the PDE space."""
+        """v_ode -> v_pde (projection when the spaces differ)."""
         from .utils import local_project
 
         local_project(self.v_ode, self.v_pde.function_space, self.v_pde)
 
     def pde_to_ode(self) -> None:
-        """Project v_pde into the ODE space."""
+        """v_pde -> v_ode (projection when the spaces differ)."""
         from .utils import local_project
 
         local_project(self.v_pde, self.v_ode.function_space, self.v_ode)
@@ -146,13 +161,36 @@ class BaseDolfinODESolver(abc.ABC):
     @abc.abstractmethod
     def assign_all_states(self, functions: list[fem.Function]) -> None: ...
 
+    def states_to_dolfin(self, names: list[str] | None = None) -> list[fem.Function]:
+        """Materialize every state row as a named FE function in the ODE
+        space (for IO/postprocessing)."""
+        S = self._n_state_rows()
+        if names is None:
+            names = [f"state_{i}" for i in range(S)]
+        elif len(names) != S:
+            raise ValueError(f"got {len(names)} names for {S} state rows")
+        out = [fem.Function(self.v_ode.function_space, name=nm) for nm in names]
+        self.assign_all_states(out)
+        return out
+
     @abc.abstractmethod
-    def states_to_dolfin(self, names: list[str] | None = None) -> list[fem.Function]: ...
+    def _n_state_rows(self) -> int:
+        """Number of state rows (uniform across markers where applicable)."""
+
+
+def _tile_initial_states(init, shape: tuple[int, int]) -> np.ndarray:
+    """``[S, n]`` working array from either a single ``[S]`` state vector
+    (broadcast to every node) or an already-full ``[S, n]`` array."""
+    init = np.asarray(init, dtype=np.float64)
+    if init.shape == shape:
+        return init.copy()
+    return np.ascontiguousarray(np.broadcast_to(init[:, None], shape))
 
 
 @dataclass
 class DolfinODESolver(BaseDolfinODESolver):
-    """Single-model adapter (reference ``odesolver.py:135-225``)."""
+    """Single-ionic-model adapter: one stepper over every node
+    (behavioral match of reference ``odesolver.py:135-225``)."""
 
     v_ode: fem.Function
     v_pde: fem.Function
@@ -166,12 +204,7 @@ class DolfinODESolver(BaseDolfinODESolver):
     monitor: BaseMonitor = field(default_factory=NullMonitor)
 
     def __post_init__(self):
-        if np.shape(self.init_states) == self.shape:
-            self._values = np.copy(self.init_states)
-        else:
-            self._values = np.zeros(self.shape)
-            self._values.T[:] = self.init_states
-
+        self._values = _tile_initial_states(self.init_states, self.shape)
         self._ode = ODESystemSolver(
             fun=self.fun,
             states=self._values,
@@ -179,17 +212,11 @@ class DolfinODESolver(BaseDolfinODESolver):
             missing_variables=self.missing_variables,
             monitor=self.monitor,
         )
-        self._initialize_metadata()
 
-    def to_dolfin(self) -> None:
-        self.v_ode.x.array[:] = self._values[self.v_index, :]
-
-    def from_dolfin(self) -> None:
-        self._values[self.v_index, :] = self.v_ode.x.array
-
+    # -- sizes ----------------------------------------------------------
     @property
-    def values(self) -> np.ndarray:
-        return self._values
+    def num_points(self) -> int:
+        return self.v_ode.x.array.size
 
     @property
     def num_parameters(self) -> int:
@@ -203,44 +230,53 @@ class DolfinODESolver(BaseDolfinODESolver):
     def shape_missing_values(self) -> tuple[int, int]:
         return (self.num_missing_variables, self.num_points)
 
-    @property
-    def num_points(self) -> int:
-        return self.v_ode.x.array.size
+    def _n_state_rows(self) -> int:
+        return self._values.shape[0]
 
-    def step(self, t0: float, dt: float):
-        self._ode.step(t0=t0, dt=dt)
+    # -- state access ---------------------------------------------------
+    @property
+    def values(self) -> np.ndarray:
+        return self._values
 
     @property
     def full_values(self) -> np.ndarray:
         return self._values
 
-    def assign_all_states(self, functions: list[fem.Function]) -> None:
-        num_states = self._values.shape[0]
-        assert len(functions) == num_states, "Number of functions must match number of states"
-        for index, f in enumerate(functions):
-            f.x.array[:] = self._values[index, :]
+    # -- stepping & transfer --------------------------------------------
+    def step(self, t0: float, dt: float):
+        self._ode.step(t0=t0, dt=dt)
 
-    def states_to_dolfin(self, names: list[str] | None = None) -> list[fem.Function]:
-        V = self.v_ode.function_space
-        num_states = self._values.shape[0]
-        if names is not None:
-            msg = (
-                "Number of names must match number of states, got "
-                f"{len(names)} names, but number of states is {num_states}"
+    def to_dolfin(self) -> None:
+        self.v_ode.x.array[:] = self._values[self.v_index]
+
+    def from_dolfin(self) -> None:
+        self._values[self.v_index] = self.v_ode.x.array
+
+    def assign_all_states(self, functions: list[fem.Function]) -> None:
+        if len(functions) != self._values.shape[0]:
+            raise ValueError(
+                f"got {len(functions)} functions for {self._values.shape[0]} state rows"
             )
-            assert len(names) == num_states, msg
-        else:
-            names = [f"state_{i}" for i in range(num_states)]
-        functions = [fem.Function(V, name=name) for name in names]
-        self.assign_all_states(functions)
-        return functions
+        for row, f in zip(self._values, functions):
+            f.x.array[:] = row
+
+
+class _MarkerBlock(NamedTuple):
+    """One marker's slice of a multi-model system: the nodes it labels,
+    its own ``[S_m, n_m]`` state array, and the stepper bound to it."""
+
+    nodes: np.ndarray  # bool mask over the ODE-space dofs
+    states: np.ndarray
+    stepper: ODESystemSolver
 
 
 @dataclass
 class DolfinMultiODESolver(BaseDolfinODESolver):
-    """Marker-partitioned multi-model adapter
-    (reference ``odesolver.py:228-354``): each marker value selects its own
-    ionic model / parameters / initial states over the nodes it labels."""
+    """Heterogeneous-tissue adapter: the ``markers`` function partitions
+    the nodes, and each marker value runs its own ionic model / parameters
+    / initial states on its partition (behavioral match of reference
+    ``odesolver.py:228-354``; the fused/sharded solvers get the same
+    semantics compiler-friendly via :func:`make_multi_ode`)."""
 
     v_ode: fem.Function
     v_pde: fem.Function
@@ -253,104 +289,90 @@ class DolfinMultiODESolver(BaseDolfinODESolver):
     monitor: BaseMonitor = field(default_factory=NullMonitor)
 
     def __post_init__(self):
-        if self.v_ode.x.array.size != self.markers.x.array.size:
+        labels = self.markers.x.array
+        if labels.size != self.v_ode.x.array.size:
             raise RuntimeError("Marker and voltage need to be in the same function space")
 
-        self._marker_values = tuple(self.init_states.keys())
-        self._num_points = {}
-        self._odes = {}
-        self._values = {}
-        self._inds = {}
-
-        self._initialize_full_values()
-
-        for marker in self._marker_values:
-            where = self.markers.x.array == marker
-            self._num_points[marker] = int(where.sum())
-            self._inds[marker] = where
-
-            if np.shape(self.init_states[marker]) == self.shape(marker):
-                self._values[marker] = np.copy(self.init_states[marker])
-            else:
-                self._values[marker] = np.zeros(self.shape(marker))
-                self._values[marker].T[:] = self.init_states[marker]
-
-            self._odes[marker] = ODESystemSolver(
-                fun=self.fun[marker],
-                states=self._values[marker],
-                parameters=self.parameters[marker],
-                monitor=self.monitor,
+        self._blocks: dict[int, _MarkerBlock] = {}
+        for m in self.init_states:
+            nodes = labels == m
+            states = _tile_initial_states(
+                self.init_states[m], (self.num_states[m], int(nodes.sum()))
             )
-        self._initialize_metadata()
+            self._blocks[m] = _MarkerBlock(
+                nodes=nodes,
+                states=states,
+                stepper=ODESystemSolver(
+                    fun=self.fun[m],
+                    states=states,
+                    parameters=self.parameters[m],
+                    monitor=self.monitor,
+                ),
+            )
 
-    def _initialize_full_values(self):
-        sizes = tuple(self.num_states.values())
-        self._all_states_equal_size = all(s == sizes[0] for s in sizes)
-        if self._all_states_equal_size:
-            self._full_values = np.zeros((sizes[0], self.markers.x.array.size))
+        rows = set(self.num_states.values())
+        self._uniform_rows = rows.pop() if len(rows) == 1 else None
+        if self._uniform_rows is not None:
+            self._union = np.zeros((self._uniform_rows, labels.size))
 
-    def to_dolfin(self) -> None:
-        arr = self.v_ode.x.array.copy()
-        for marker in self._marker_values:
-            arr[self._inds[marker]] = self._values[marker][self.v_index[marker], :]
-        self.v_ode.x.array[:] = arr
-
-    def from_dolfin(self) -> None:
-        arr = self.v_ode.x.array
-        for marker in self._marker_values:
-            self._values[marker][self.v_index[marker], :] = arr[self._inds[marker]]
-
-    def values(self, marker: int) -> np.ndarray:
-        return self._values[marker]
+    # -- sizes ----------------------------------------------------------
+    def num_points(self, marker: int) -> int:
+        return self._blocks[marker].states.shape[1]
 
     def num_parameters(self, marker: int) -> int:
         return len(self.parameters[marker])
 
     def shape(self, marker: int) -> tuple[int, int]:
-        return (self.num_states[marker], self._num_points[marker])
+        return self._blocks[marker].states.shape
 
-    def num_points(self, marker: int) -> int:
-        return self._num_points[marker]
-
-    def step(self, t0: float, dt: float):
-        with self.monitor.track_time("total_ode_step"):
-            for marker, ode in self._odes.items():
-                with self.monitor.track_time(f"marker_{marker}_ode_step"):
-                    ode.step(t0=t0, dt=dt)
-
-    def assign_all_states(self, functions: list[fem.Function]) -> None:
-        num_states = self._values[self._marker_values[0]].shape[0]
-        assert len(functions) == num_states, "Number of functions must match number of states"
-        for index, f in enumerate(functions):
-            for marker in self._marker_values:
-                f.x.array[self._inds[marker]] = self._values[marker][index, :]
-
-    def states_to_dolfin(self, names: list[str] | None = None) -> list[fem.Function]:
-        V = self.v_ode.function_space
-        num_states = self._values[self._marker_values[0]].shape[0]
-        if names is not None:
-            msg = (
-                "Number of names must match number of states, got "
-                f"{len(names)} names, but number of states is {num_states}"
+    def _n_state_rows(self) -> int:
+        if self._uniform_rows is None:
+            raise RuntimeError(
+                f"state counts differ across markers ({self.num_states}); "
+                "materialize per marker via .values(marker)"
             )
-            assert len(names) == num_states, msg
-        else:
-            names = [f"state_{i}" for i in range(num_states)]
-        functions = [fem.Function(V, name=name) for name in names]
-        self.assign_all_states(functions)
-        return functions
+        return self._uniform_rows
+
+    # -- state access ---------------------------------------------------
+    def values(self, marker: int) -> np.ndarray:
+        return self._blocks[marker].states
 
     @property
     def full_values(self) -> np.ndarray:
-        if not self._all_states_equal_size:
-            msg = (
-                "Cannot get full values size states are not of equal size. "
-                f"Have {self.num_states=}, use .values(marker) instead"
+        if self._uniform_rows is None:
+            raise RuntimeError(
+                f"state counts differ across markers ({self.num_states}); "
+                "no single full array exists — use .values(marker)"
             )
-            raise RuntimeError(msg)
-        for marker in self._marker_values:
-            self._full_values[:, self._inds[marker]] = self._values[marker]
-        return self._full_values
+        for blk in self._blocks.values():
+            self._union[:, blk.nodes] = blk.states
+        return self._union
+
+    # -- stepping & transfer --------------------------------------------
+    def step(self, t0: float, dt: float):
+        with self.monitor.track_time("total_ode_step"):
+            for m, blk in self._blocks.items():
+                with self.monitor.track_time(f"marker_{m}_ode_step"):
+                    blk.stepper.step(t0=t0, dt=dt)
+
+    def to_dolfin(self) -> None:
+        v = self.v_ode.x.array
+        for m, blk in self._blocks.items():
+            v[blk.nodes] = blk.states[self.v_index[m]]
+
+    def from_dolfin(self) -> None:
+        v = self.v_ode.x.array
+        for m, blk in self._blocks.items():
+            blk.states[self.v_index[m]] = v[blk.nodes]
+
+    def assign_all_states(self, functions: list[fem.Function]) -> None:
+        if len(functions) != self._n_state_rows():
+            raise ValueError(
+                f"got {len(functions)} functions for {self._n_state_rows()} state rows"
+            )
+        for i, f in enumerate(functions):
+            for blk in self._blocks.values():
+                f.x.array[blk.nodes] = blk.states[i]
 
 
 def make_multi_ode(

@@ -40,6 +40,30 @@ def test_ecg():
     assert abs(value_p2) < abs(value_p1)
 
 
+def test_ecg_device_electrode_path_matches_lazy_forms():
+    """The production path (device-computed electrode weights + warm-started
+    solve_device) reproduces the lazy ScalarForm evaluation to roundoff —
+    same quadrature rule, same basis tabulation, linearity of the integral."""
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    V = fem.functionspace(mesh, ("P", 1))
+    v = fem.Function(V)
+    v.interpolate(lambda x: np.sin(np.pi * x[0]) * x[1])
+
+    ecg = beat.ECGRecovery(v=v, M=1.0)
+    points = [(1.5, 0.5), (-0.5, 0.25), (0.5, 2.0)]
+    forms = [ecg.eval(p) for p in points]
+    ecg.register_electrodes(points)
+
+    ecg.solve()  # syncs host sol for the forms AND keeps the device Im
+    expected = np.array([fem.assemble_scalar(f) for f in forms])
+    got = ecg.electrode_potentials()
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-12)
+
+    # warm start: second solve from the first solution converges instantly
+    ecg.solve_device()
+    assert int(ecg.last_info.iterations) <= 1
+
+
 def test_12_leads_ecg():
     N = 10
     x = np.ones(N)
