@@ -5,8 +5,10 @@ Prints ONE JSON line:
 
 Primary metric: simulated milliseconds per wall-clock second on the
 north-star Niederer configuration (dx=0.1 mm, 442k nodes, dt=0.05 ms,
-TP06, to full activation — BASELINE.md:45-49).  Extras report the easy
-dx=0.5 configuration, the measured-CPU speedup (vs the committed
+TP06, to full activation — BASELINE.md:45-49) under the PRODUCTION
+recommendation, Strang splitting (theta=0.5; README's accuracy table).
+Extras report Godunov dx=0.1 and dx=0.5 rows for round-over-round
+continuity, the measured-CPU speedup (vs the committed
 ``BASELINE_CPU.json``, see ``fenicsx_beat_tpu/benchmarks/cpu_baseline.py``),
 and a pallas-vs-XLA kernel regression deviation when running on TPU.
 
@@ -87,28 +89,34 @@ def main():
     cpu_base = _load_cpu_baseline()
 
     if args.quick:
-        configs = [(0.5, args.dt, 20.0)]
+        configs = [(0.5, args.dt, 20.0, args.theta)]
     elif args.dx is not None:
-        configs = [(args.dx, args.dt, args.T)]
+        configs = [(args.dx, args.dt, args.T, args.theta)]
     else:
-        # north star first (dx=0.1 is the BASELINE.md target config);
-        # dx=0.5 kept for round-over-round continuity.  Horizons end right
-        # at full activation (P8 ~39.3 / ~56.1 ms) so the timed window is
-        # all active propagation — the same workload mix the CPU baseline
-        # timed (20 active steps), not cheap post-activation quiescence.
-        configs = [(0.1, args.dt, min(args.T, 40.0)), (0.5, args.dt, min(args.T, 60.0))]
+        # The PRIMARY config is the production recommendation (README:
+        # Strang theta=0.5 at the dx=0.1 north-star resolution); Godunov
+        # dx=0.1 and dx=0.5 rows keep round-over-round continuity.
+        # Horizons end right at full activation (P8 ~39.3 / ~56.1 ms) so
+        # the timed window is all active propagation — the same workload
+        # mix the CPU baseline timed, not cheap post-activation
+        # quiescence.
+        configs = [
+            (0.1, args.dt, min(args.T, 40.0), 0.5),
+            (0.1, args.dt, min(args.T, 40.0), 1.0),
+            (0.5, args.dt, min(args.T, 60.0), 1.0),
+        ]
 
     extras = {}
     results = []
-    for dx, dt, T in configs:
+    for dx, dt, T, theta in configs:
         if results and time.perf_counter() - t_start > args.budget:
-            extras["skipped_configs"] = f"dx={dx:g} (over {args.budget:.0f}s budget)"
-            print(f"budget exceeded; skipping dx={dx:g}", file=sys.stderr)
+            extras["skipped_configs"] = f"dx={dx:g} theta={theta:g} (over {args.budget:.0f}s budget)"
+            print(f"budget exceeded; skipping dx={dx:g} theta={theta:g}", file=sys.stderr)
             break
-        res = run_niederer_benchmark(dx=dx, dt=dt, T=T, theta=args.theta)
-        print(res.summary(), file=sys.stderr)
+        res = run_niederer_benchmark(dx=dx, dt=dt, T=T, theta=theta)
+        print(f"[theta={theta:g}] {res.summary()}", file=sys.stderr)
         results.append(res)
-        key = f"dx{dx:g}"
+        key = f"dx{dx:g}" + ("_strang" if theta == 0.5 else "")
         extras[f"{key}_ms_per_s"] = round(res.ms_per_second, 2)
         err = res.error_vs_published()
         if err is not None and err != float("inf"):
@@ -117,6 +125,7 @@ def main():
             extras[f"{key}_speedup_vs_cpu"] = round(res.ms_per_second / cpu_base[(dx, dt)], 1)
 
     primary = results[0]
+    primary_theta = configs[0][3]
     vs_baseline = min(_fidelity(r.error_vs_published()) for r in results)
 
     if args.kernel_check and not args.quick and jax.default_backend() == "tpu":
@@ -131,7 +140,7 @@ def main():
         "value": round(primary.ms_per_second, 2),
         "unit": "ms/s",
         "vs_baseline": vs_baseline,
-        "config": f"dx={primary.dx} dt={primary.dt} theta={args.theta}",
+        "config": f"dx={primary.dx} dt={primary.dt} theta={primary_theta}",
     }
     out.update(extras)
     print(json.dumps(out))

@@ -74,7 +74,10 @@ def main(argv=None, geometry=None, endo_lv_marker=ENDO_LV, endo_rv_marker=ENDO_R
     parser.add_argument("--nbeats", type=int, default=1)
     parser.add_argument("--n-activation-points", type=int, default=20)
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-biv"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke: coarse mesh, short horizon")
     args = parser.parse_args(argv)
+    if args.quick:
+        args.T, args.psize, args.n_activation_points = 3.0, 0.7, 5
     args.outdir.mkdir(parents=True, exist_ok=True)
 
     if geometry is None:

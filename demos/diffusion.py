@@ -44,4 +44,9 @@ def main(N: int = 32, T: float = 2.0, dt: float = 0.01):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--quick" in sys.argv:  # CI smoke (ci.sh)
+        main(N=12, T=0.5)
+    else:
+        main()

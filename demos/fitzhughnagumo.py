@@ -68,4 +68,7 @@ def main(T: float = 50.0, dt: float = 0.05, N: int = 32, verbose: bool = True):
 
 
 if __name__ == "__main__":
-    main()
+    if "--quick" in _sys.argv:  # CI smoke (ci.sh): tiny mesh, short horizon
+        main(T=3.0, N=12)
+    else:
+        main()

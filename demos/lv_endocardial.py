@@ -41,7 +41,10 @@ def main(argv=None):
     )
     parser.add_argument("--nbeats", type=int, default=2, help="0-D pre-pacing beats")
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-lv-endocardial"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke: coarse mesh, short horizon")
     args = parser.parse_args(argv)
+    if args.quick:
+        args.T, args.psize, args.nbeats = 3.0, 0.6, 1
     args.outdir.mkdir(parents=True, exist_ok=True)
 
     geo = get_lv_ellipsoid_geometry(psize_ref=args.psize)

@@ -43,15 +43,17 @@ def solve_mms(N: int, dt: float, T: float = 1.0) -> float:
     return float(np.sqrt(fem.assemble_scalar(form)))
 
 
-def main():
+def main(quick: bool = False):
+    spatial_Ns = (4, 8, 16) if quick else (4, 8, 16, 32)
     print("Spatial convergence (dt=1e-3, T=1):")
-    errors = [solve_mms(N, dt=1e-3) for N in (4, 8, 16, 32)]
+    errors = [solve_mms(N, dt=1e-3) for N in spatial_Ns]
     rates = [np.log2(e1 / e2) for e1, e2 in zip(errors[:-1], errors[1:])]
     print(f"  errors: {errors}")
     print(f"  rates:  {rates} (expected ~2)")
 
-    print("Temporal convergence (N=128, Crank-Nicolson):")
-    errors_t = [solve_mms(128, dt=1 / (2**k)) for k in (2, 3, 4)]
+    N_t = 64 if quick else 128
+    print(f"Temporal convergence (N={N_t}, Crank-Nicolson):")
+    errors_t = [solve_mms(N_t, dt=1 / (2**k)) for k in (2, 3, 4)]
     rates_t = [np.log2(e1 / e2) for e1, e2 in zip(errors_t[:-1], errors_t[1:])]
     print(f"  errors: {errors_t}")
     print(f"  rates:  {rates_t} (expected ~2)")
@@ -59,4 +61,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(quick="--quick" in _sys.argv)

@@ -36,7 +36,10 @@ def main(argv=None):
         "(reference demos/niederer_benchmark.py:301-311) and print it",
     )
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-niederer"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke: dx=0.5, short horizon")
     args = parser.parse_args(argv)
+    if args.quick:
+        args.dx, args.T = 0.5, 5.0
 
     if args.all:
         rows = []
@@ -60,6 +63,20 @@ def main(argv=None):
             table_lines.append(line)
         args.outdir.mkdir(parents=True, exist_ok=True)
         (args.outdir / "table.md").write_text("\n".join(table_lines))
+        payload = [
+            {
+                "dx": dx,
+                "dt": dt,
+                "theta": args.theta,
+                "activation_times": r.activation_times,
+                "published": PUBLISHED_ACTIVATION_TIMES.get((dx, dt)),
+                "max_rel_err": r.error_vs_published(),
+                "ms_per_second": round(r.ms_per_second, 2),
+                "n_nodes": r.n_nodes,
+            }
+            for dx, dt, r in rows
+        ]
+        (args.outdir / "table.json").write_text(json.dumps(payload, indent=2) + "\n")
         return rows
 
     monitor = PerformanceMonitor(log_frequency=0)

@@ -35,7 +35,10 @@ def main(argv=None):
     parser.add_argument("--nbeats", type=int, default=2, help="0-D pre-pacing beats")
     parser.add_argument("--BCL", type=int, default=1000, help="basic cycle length (ms)")
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-pace-train"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke: short horizon, 1 beat")
     args = parser.parse_args(argv)
+    if args.quick:
+        args.T, args.nbeats = 5.0, 1
     args.outdir.mkdir(parents=True, exist_ok=True)
 
     # --- 0-D pre-pacing to a paced limit cycle (hash-cached) -------------

@@ -29,7 +29,10 @@ def main(argv=None):
     parser.add_argument("--dt", type=float, default=0.05)
     parser.add_argument("--s2-start", type=float, default=30.0)
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-pvc"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke: early S2, short horizon")
     args = parser.parse_args(argv)
+    if args.quick:
+        args.T, args.s2_start = 8.0, 3.0
 
     num_cells = 200
     h = 0.015

@@ -23,7 +23,7 @@ def simple_ode_forward_euler(states, t, dt, parameters):
     states[1] = s + v * dt
 
 
-def main():
+def main(quick: bool = False):  # noqa: ARG001 - already seconds-fast
     num_points = 5
     num_states = 2
     states = np.zeros((num_states, num_points))
@@ -71,4 +71,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(quick="--quick" in _sys.argv)

@@ -30,7 +30,10 @@ def main(argv=None):
     parser.add_argument("--dt", type=float, default=0.05)
     parser.add_argument("--dx", type=float, default=0.05, help="bar thickness (cm)")
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-slab"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke: coarse bar, short horizon")
     args = parser.parse_args(argv)
+    if args.quick:
+        args.T, args.dx = 3.0, 0.1
 
     mesh_unit = "cm"
     L = 1.0

@@ -50,7 +50,10 @@ def main(argv=None):
     parser.add_argument("-T", type=float, default=20.0)
     parser.add_argument("--dt", type=float, default=0.05)
     parser.add_argument("-o", "--outdir", type=Path, default=Path("results-ukb"))
+    parser.add_argument("--quick", action="store_true", help="CI smoke (forwarded to the BiV pipeline)")
     args, extra = parser.parse_known_args(argv)
+    if args.quick:
+        extra = [*extra, "--quick"]
 
     if args.geodir is not None and (
         args.geodir.is_file() or (args.geodir / "mesh.npz").is_file()

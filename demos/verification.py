@@ -58,11 +58,13 @@ def run(mesh, theta: float, dt: float, T: float = 1.0) -> np.ndarray:
     return np.array(pde.state.x.array)
 
 
-def main(N: int = 64):
+def main(N: int = 64, quick: bool = False):
+    if quick:  # CI smoke: coarser mesh, two dts (rates still visible)
+        N = 24
     mesh = meshmod.create_unit_square(None, N, N)
-    dts = [1 / 8, 1 / 16, 1 / 32]
+    dts = [1 / 8, 1 / 16] if quick else [1 / 8, 1 / 16, 1 / 32]
     for theta, name, expected in [(1.0, "Godunov", 1.0), (0.5, "Strang", 2.0)]:
-        ref = run(mesh, theta, dt=1 / 256)
+        ref = run(mesh, theta, dt=1 / 128 if quick else 1 / 256)
         errors = []
         for dt in dts:
             diff = run(mesh, theta, dt=dt) - ref
@@ -74,4 +76,4 @@ def main(N: int = 64):
 
 
 if __name__ == "__main__":
-    main()
+    main(quick="--quick" in _sys.argv)

@@ -1,0 +1,235 @@
+"""Per-kernel roofline: how far each hot kernel sits from the hardware.
+
+For the Niederer configuration this times every kernel on the production
+step's critical path — the pallas ionic step, the stencil SpMV (plain and
+fused-dot), the PCG vector kernels, and the full fused step — and reports
+bytes moved, effective GB/s, and % of the TPU v5e HBM roofline
+(819 GB/s).  The ionic kernel is additionally positioned against its
+*compute* ceiling: a VPU slot model from the measured exp cost (~13
+op-slots vs 1 for add/mul — docs/DESIGN.md §8), since TP06's ~69 exps
+make it exp-bound, not HBM-bound.
+
+Timing discipline for the tunneled-TPU host (docs/DESIGN.md §9): each
+kernel is iterated with a data dependency inside ONE jitted
+``lax.fori_loop`` (one invocation, one sync), and the per-iteration time
+is min-over-repeats.
+
+Artifact: ``python -m fenicsx_beat_tpu.benchmarks.roofline`` writes
+``ROOFLINE.json`` at the CWD.  The reference has no analogue (PETSc's
+``-log_view`` is the closest); this pins the "how far from
+speed-of-light" question VERDICT r02 asked.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time as _time
+from pathlib import Path
+
+import numpy as np
+
+HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth
+EXP_SLOTS = 13.0  # measured VPU op-slots per exp (DESIGN.md §8 microbench)
+
+
+def _timed_loop(fn, args, iters: int, repeats: int = 5) -> float:
+    """Best per-iteration seconds of ``fn`` chained ``iters`` times inside
+    one jit (data-dependent, so iterations cannot be elided)."""
+    import jax
+
+    lowered = fn.lower(*args) if hasattr(fn, "lower") else None
+    compiled = lowered.compile() if lowered is not None else fn
+    out = compiled(*args)  # warm-up
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    best = float("inf")
+    for _ in range(repeats):
+        tic = _time.perf_counter()
+        out = compiled(*args)
+        # fetch one scalar: block_until_ready returns early over the tunnel
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
+        best = min(best, _time.perf_counter() - tic)
+    return best / iters
+
+
+def run_roofline(dx: float = 0.1, dt: float = 0.05, iters: int = 200) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .niederer import _build_solver
+
+    solver = _build_solver(dx=dx, probe_points=np.zeros((1, 3)))
+    n_pad = solver._n_pad
+    S = int(solver.states.shape[0])
+    dtype = solver.states.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    op = solver._operands
+    kernels = []
+
+    def record(name, sec, nbytes, note=""):
+        gbps = nbytes / sec / 1e9
+        kernels.append(
+            {
+                "name": name,
+                "us": round(sec * 1e6, 2),
+                "MB_moved": round(nbytes / 1e6, 2),
+                "GBps": round(gbps, 1),
+                "pct_hbm_peak": round(100.0 * gbps / HBM_PEAK_GBPS, 1),
+                "note": note,
+            }
+        )
+
+    # -- full fused step (the end-to-end unit everything else explains) --
+    # device scalars ride as ARGUMENTS: jit lowering pulls device-array
+    # closure constants back through the tunnel (DESIGN.md §9 rule 2)
+    amps = solver.stimulus_amplitudes()
+    t0 = jnp.asarray(0.0, dtype=dtype)
+    dtj = jnp.asarray(dt, dtype=dtype)
+
+    def full_chunk(states, act, t0, dtj, amps):
+        out = solver._run_chunk(states, act, t0, dtj, amps, iters)
+        return out[0], out[1]
+
+    sec = _timed_loop(
+        jax.jit(full_chunk),
+        (solver.states, solver.activation_time, t0, dtj, amps),
+        iters,
+    )
+    # per step: ionic r/w states + v row, A/B SpMV streams, CG vectors
+    record(
+        "full_step",
+        sec,
+        (2 * S + 2) * n_pad * itemsize,  # ionic traffic only (lower bound)
+        note="whole fused theta-step incl. PCG; bytes column counts the ionic floor",
+    )
+    step_us = sec * 1e6
+
+    # -- ionic pallas kernel ---------------------------------------------
+    ionic_us = None
+    if solver._use_pallas:
+        from ..ops.pallas_ode import build_pallas_ode_step
+
+        try:
+            step = build_pallas_ode_step(
+                solver.ode_fun,
+                num_states=S,
+                n_nodes=n_pad,
+                parameters=solver.parameters,
+                dtype=dtype,
+                v_index=solver.v_index,
+            )
+
+            @jax.jit
+            def ionic_loop(states, v, t0, dtj):
+                def body(_, s):
+                    return step(s, v, t0, dtj)
+
+                return jax.lax.fori_loop(0, iters, body, states)
+
+            sec = _timed_loop(
+                ionic_loop, (solver.states, solver.states[0], t0, dtj), iters
+            )
+            ionic_us = sec * 1e6
+            nbytes = (2 * S + 1) * n_pad * itemsize
+            gbps = nbytes / sec / 1e9
+            # exp-slot compute model: ~69 exps x 13 slots + ~250 1-slot ops
+            # per node per step, 8x128 f32 VPU lanes at ~940 MHz
+            vpu_slots_per_s = 8 * 128 * 0.94e9
+            model_sec = n_pad * (69 * EXP_SLOTS + 250) / vpu_slots_per_s
+            record(
+                "ionic_tp06_pallas",
+                sec,
+                nbytes,
+                note=(
+                    f"exp-bound, not HBM-bound: VPU slot model predicts "
+                    f"{model_sec * 1e6:.0f} us ({100 * model_sec / sec:.0f}% of measured); "
+                    f"HBM floor alone would be {nbytes / HBM_PEAK_GBPS / 1e9 * 1e6:.0f} us"
+                ),
+            )
+        except Exception as exc:  # pragma: no cover - depends on backend
+            kernels.append({"name": "ionic_tp06_pallas", "error": str(exc)[:200]})
+
+    # -- stencil SpMV (PCG head) ----------------------------------------
+    if solver._use_pallas and "mT" in op:
+        from ..ops.pallas_spmv import build_pallas_stencil_spmv
+
+        offsets = solver._mass.offsets
+        K = len(offsets)
+        spmv = build_pallas_stencil_spmv(offsets, n_pad, dtype)
+
+        @jax.jit
+        def spmv_loop(mT, x):
+            def body(_, y):
+                return spmv(mT, y)
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        x0 = jnp.ones(n_pad, dtype=dtype)
+        sec = _timed_loop(spmv_loop, (op["mT"], x0), iters)
+        record("stencil_spmv", sec, (K + 2) * n_pad * itemsize, note=f"K={K} offsets")
+
+        @jax.jit
+        def spmv_dot_loop(mT, x):
+            def body(_, y):
+                z, d = spmv.spmv_dot(mT, y)
+                return z + d  # keep the dot live
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        sec = _timed_loop(spmv_dot_loop, (op["mT"], x0), iters)
+        record("stencil_spmv_fused_dot", sec, (K + 2) * n_pad * itemsize, note="A@p with <p, Ap>")
+
+        from ..ops.pallas_cg import build_pallas_axpy, build_pallas_cg_update
+
+        upd = build_pallas_cg_update(n_pad, dtype)
+        axpy = build_pallas_axpy(n_pad, dtype)
+
+        @jax.jit
+        def update_loop(x, r, p, Ap, minv):
+            def body(_, carry):
+                x, r = carry
+                x2, r2, z, rz, rr = upd(x, r, p, Ap, minv, jnp.asarray(0.5, dtype=dtype))
+                return (x2, r2 + z * rz)
+
+            return jax.lax.fori_loop(0, iters, body, (x, r))
+
+        sec = _timed_loop(update_loop, (x0, x0, x0, x0, x0), iters)
+        record("pcg_update", sec, 8 * n_pad * itemsize, note="x,r,z update + <r,z>,<r,r>")
+
+        @jax.jit
+        def axpy_loop(z, p):
+            def body(_, p):
+                return axpy(z, p, jnp.asarray(0.5, dtype=dtype))
+
+            return jax.lax.fori_loop(0, iters, body, p)
+
+        sec = _timed_loop(axpy_loop, (x0, x0), iters)
+        record("pcg_axpy", sec, 3 * n_pad * itemsize, note="p = z + beta p")
+
+    out = {
+        "backend": __import__("jax").default_backend(),
+        "device": str(__import__("jax").devices()[0]),
+        "dx": dx,
+        "dt": dt,
+        "n_nodes": solver._n,
+        "n_pad": n_pad,
+        "num_states": S,
+        "dtype": str(dtype),
+        "hbm_peak_GBps": HBM_PEAK_GBPS,
+        "step_us": round(step_us, 2),
+        "ionic_us": None if ionic_us is None else round(ionic_us, 2),
+        "kernels": kernels,
+    }
+    return out
+
+
+def main() -> int:
+    dx = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    out = run_roofline(dx=dx)
+    Path("ROOFLINE.json").write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

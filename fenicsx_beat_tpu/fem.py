@@ -277,10 +277,24 @@ class FunctionSpace:
     ndofs: int
     dof_coords: np.ndarray  # [ndofs, gdim]
     dof_owner_cell: np.ndarray  # [ndofs] int32 (max adjacent cell id)
+    # Blocked (vector-valued) spaces use the dolfinx interleaved layout:
+    # global dof = scalar_dof * block_size + component (reference builds
+    # these via basix blocked elements, utils.py:87-112 there)
+    block_size: int = 1
+    scalar_base: "FunctionSpace | None" = None
 
     @property
     def ndofs_per_cell(self) -> int:
         return self.cell_dofs.shape[1]
+
+    @property
+    def value_shape(self) -> tuple:
+        return () if self.block_size == 1 else (self.block_size,)
+
+    @property
+    def scalar_space(self) -> "FunctionSpace":
+        """The scalar component space (self when already scalar)."""
+        return self.scalar_base if self.scalar_base is not None else self
 
     # dolfinx-ish compat
     @property
@@ -465,16 +479,42 @@ def _generic_lagrange_dofmap(mesh: Mesh, p: int):
     return cell_dofs.astype(np.int32), int(offset), dof_coords
 
 
-def functionspace(mesh: Mesh, element) -> FunctionSpace:
+def functionspace(mesh: Mesh, element, shape: tuple | None = None) -> FunctionSpace:
     """Create a function space.
 
-    ``element`` may be an Element, or a ("family", degree) tuple mirroring
-    ``dolfinx.fem.functionspace(mesh, ("P", 1))``.
+    ``element`` may be an Element, a ("family", degree) tuple, or a
+    ("family", degree, (dim,)) tuple mirroring
+    ``dolfinx.fem.functionspace(mesh, ("P", 1, (3,)))`` for vector-valued
+    (blocked) spaces; ``shape`` may also be given separately.
     """
     if isinstance(element, tuple):
-        family, degree = element
+        if len(element) == 3:
+            family, degree, shape = element
+        else:
+            family, degree = element
         element = Element(_FAMILY_ALIASES[family], int(degree))
-    return _space_from_element(mesh, element)
+    V = _space_from_element(mesh, element)
+    bs = int(np.prod(shape)) if shape else 1
+    return _blocked_space(V, bs) if bs > 1 else V
+
+
+def _blocked_space(V: FunctionSpace, bs: int) -> FunctionSpace:
+    """Vector-valued space over ``V`` with ``bs`` interleaved components
+    (dolfinx blocked layout: dof = scalar_dof * bs + component)."""
+    nc = V.cell_dofs.shape[0]
+    cell_dofs = (
+        V.cell_dofs[:, :, None].astype(np.int64) * bs + np.arange(bs)[None, None, :]
+    ).reshape(nc, -1)
+    return FunctionSpace(
+        mesh=V.mesh,
+        element=V.element,
+        cell_dofs=cell_dofs.astype(np.int32),
+        ndofs=V.ndofs * bs,
+        dof_coords=np.repeat(V.dof_coords, bs, axis=0),
+        dof_owner_cell=np.repeat(V.dof_owner_cell, bs),
+        block_size=bs,
+        scalar_base=V,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -528,17 +568,35 @@ class Function:
 
     def interpolate(self, source) -> None:
         V = self._V
+        bs = V.block_size
         if isinstance(source, Expression):
             source = source.source
         if isinstance(source, Function):
-            T = build_transfer_matrix(source.function_space, V)
-            self.x.array[:] = np.asarray(T @ jnp.asarray(source.x.array))
+            Vs = source.function_space
+            if Vs.block_size != bs:
+                raise ValueError(
+                    f"cannot interpolate a {Vs.block_size}-component function "
+                    f"into a {bs}-component space"
+                )
+            T = build_transfer_matrix(Vs.scalar_space, V.scalar_space)
+            if bs == 1:
+                self.x.array[:] = np.asarray(T @ jnp.asarray(source.x.array))
+            else:
+                # component-wise scalar transfer on the interleaved layout
+                src = jnp.asarray(source.x.array.reshape(-1, bs))
+                out = np.stack([np.asarray(T @ src[:, c]) for c in range(bs)], axis=1)
+                self.x.array[:] = out.reshape(-1)
             return
         if callable(source):
-            x = np.zeros((3, V.ndofs))
-            x[: V.mesh.gdim, :] = V.dof_coords.T
+            ns = V.ndofs // bs
+            x = np.zeros((3, ns))
+            x[: V.mesh.gdim, :] = V.scalar_space.dof_coords.T
             vals = np.asarray(source(x))
-            self.x.array[:] = np.broadcast_to(vals, (V.ndofs,))
+            if bs == 1:
+                self.x.array[:] = np.broadcast_to(vals, (ns,))
+            else:
+                # callable returns [bs, n_scalar_dofs] (dolfinx convention)
+                self.x.array[:] = np.broadcast_to(vals, (bs, ns)).T.reshape(-1)
             return
         raise TypeError(f"Cannot interpolate from {type(source)}")
 
@@ -727,6 +785,11 @@ def assemble_mass_stiffness_coo(
     there)."""
     if V.element.family == "Quadrature":
         raise NotImplementedError("PDE assembly on Quadrature spaces")
+    if V.block_size != 1:
+        raise NotImplementedError(
+            "PDE assembly on blocked (vector) spaces — the monodomain "
+            "voltage is scalar; vector spaces carry data fields (fibers)"
+        )
     mesh = V.mesh
     geom = cell_geometry(mesh)
     nc, d = mesh.num_cells, mesh.tdim
@@ -820,7 +883,7 @@ def assemble_mass_stiffness_stencil(
     """
     from .ops.sparse import StencilMatrix
 
-    if V.element.family != "P" or V.element.degree != 1:
+    if V.element.family != "P" or V.element.degree != 1 or V.block_size != 1:
         return None
     mesh = V.mesh
     nd = V.ndofs_per_cell
@@ -1318,8 +1381,15 @@ def evaluate_function(u: Function, points: np.ndarray, tol: float = 1e-8) -> np.
     # tabulate is pointwise: row i of N uses reference point i (the point's
     # own cell-local coordinates), so a single vectorized call suffices.
     N = V.element.tabulate(mesh.tdim, xi)
-    dofs = V.cell_dofs[cells]
-    vals = (u.x.array[dofs] * N).sum(axis=1)
+    bs = V.block_size
+    if bs == 1:
+        dofs = V.cell_dofs[cells]
+        vals = (u.x.array[dofs] * N).sum(axis=1)
+    else:
+        # component-wise over the interleaved blocked layout -> [np, bs]
+        dofs = V.scalar_space.cell_dofs[cells]
+        comp = u.x.array.reshape(-1, bs)
+        vals = np.einsum("pic,pi->pc", comp[dofs], N)
     return vals[0] if squeeze else vals
 
 

@@ -292,15 +292,30 @@ class FusedMonodomainSolver:
                 if node_aligned:
                     params_dev = self._params_j.astype(self.dtype)
                     NP = params_dev.shape[0]
-                    pallas_step = build_pallas_ode_step(
-                        self.ode_fun,
-                        num_states=S,
-                        n_nodes=self._n_pad,
-                        parameters=None,
-                        dtype=self.dtype,
-                        v_index=v_index,
-                        node_params=NP,
-                    )
+                    multi = getattr(self.ode_fun, "multi", None)
+                    if multi is not None and NP == len(multi["funs"]):
+                        # multi-marker masks: block-skip kernel — each grid
+                        # block evaluates only the models present in it
+                        from .ops.pallas_ode import build_pallas_multi_ode_step
+
+                        pallas_step = build_pallas_multi_ode_step(
+                            multi,
+                            masks_np=self._params_j,
+                            num_states=S,
+                            n_nodes=self._n_pad,
+                            dtype=self.dtype,
+                            v_index=v_index,
+                        )
+                    else:
+                        pallas_step = build_pallas_ode_step(
+                            self.ode_fun,
+                            num_states=S,
+                            n_nodes=self._n_pad,
+                            parameters=None,
+                            dtype=self.dtype,
+                            v_index=v_index,
+                            node_params=NP,
+                        )
                     # Force Mosaic lowering now so a model the kernel
                     # language cannot express degrades to the plain jnp
                     # path instead of crashing on the first chunk.

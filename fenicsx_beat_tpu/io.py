@@ -119,10 +119,18 @@ class VTUWriter:
             values = {self.name: values}
         fields = {k: np.asarray(v, dtype=np.float32) for k, v in values.items()}
         scalars = next(iter(fields))
-        point_data = "\n".join(
-            f'    <DataArray type="Float32" Name="{k}" format="binary">{_b64(v)}</DataArray>'
-            for k, v in fields.items()
-        )
+
+        def _array_xml(k, v):
+            # [n_pts, ncomp] (or flat n_pts*ncomp from a blocked Function)
+            # becomes a multi-component DataArray (vector fields: fibers)
+            ncomp = v.shape[1] if v.ndim == 2 else v.size // n_pts
+            comp_attr = f' NumberOfComponents="{ncomp}"' if ncomp > 1 else ""
+            return (
+                f'    <DataArray type="Float32" Name="{k}"{comp_attr} '
+                f'format="binary">{_b64(v)}</DataArray>'
+            )
+
+        point_data = "\n".join(_array_xml(k, v) for k, v in fields.items())
 
         fname = f"frame_{len(self._frames):06d}.vtu"
         xml = f"""<?xml version="1.0"?>

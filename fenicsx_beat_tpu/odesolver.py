@@ -447,6 +447,16 @@ def make_multi_ode(
     model_swaps = [jnp.asarray(swaps[m]) for m in marker_values]
     trivial_swap = [int(v_index[m]) == 0 for m in marker_values]
 
+    if len(marker_values) > 4:
+        logger.warning(
+            "make_multi_ode with %d markers: every model steps ALL nodes "
+            "(%dx the single-model ionic FLOPs) unless the pallas "
+            "block-skip kernel engages (TPU fused path, block-coherent "
+            "markers).  Consider merging regions that share a model.",
+            len(marker_values),
+            len(marker_values),
+        )
+
     def ode_fun(states, t, parameters, dt):
         node_masks = parameters.astype(bool)  # [nm, n_loc]
         out = states
@@ -462,4 +472,15 @@ def make_multi_ode(
             out = jnp.where(node_masks[i][None, :], y, out)
         return out
 
+    # Decomposition metadata for the pallas block-skip kernel
+    # (ops/pallas_ode.build_pallas_multi_ode_step): per grid block only the
+    # models actually present evaluate, so block-coherent markers cost
+    # ~1x the single-model FLOPs instead of n_models x.
+    ode_fun.multi = {
+        "funs": funs,
+        "params": [None if parameters[m] is None else np.asarray(parameters[m]) for m in marker_values],
+        "sizes": model_sizes,
+        "swaps": [np.asarray(swaps[m]) for m in marker_values],
+        "trivial_swap": trivial_swap,
+    }
     return ode_fun, init_union, masks, 0

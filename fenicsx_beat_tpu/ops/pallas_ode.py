@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_pallas_ode_step"]
+__all__ = ["build_pallas_ode_step", "build_pallas_multi_ode_step"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -210,6 +210,148 @@ def build_pallas_ode_step(
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
         out = call_v(t_arr, dt_arr, blocks, vblocks, pblocks).reshape(S, n_pad)
+        return out[:, :n_nodes] if pad else out
+
+    return step_vp
+
+
+def build_pallas_multi_ode_step(
+    multi: dict,
+    masks_np: np.ndarray,
+    num_states: int,
+    n_nodes: int,
+    dtype,
+    v_index: int,
+    interpret: bool | None = None,
+):
+    """Block-skip multi-marker ionic step: one pallas kernel where EACH
+    grid block evaluates only the models whose marker is present in it.
+
+    The masked composition (:func:`~fenicsx_beat_tpu.odesolver.
+    make_multi_ode`) is compiler-friendly but pays n_models x the ionic
+    FLOPs on every node.  Markers in practice are spatially banded
+    (transmural layers, scar regions), so in a lexicographic/RCM node
+    order most kernel blocks contain a single marker: a host-precomputed
+    ``active[model, block]`` table (SMEM) gates each model's evaluation
+    with ``pl.when``, making a block-coherent two-marker mesh cost ~1.0x
+    a single-marker one instead of 2x (the reference's per-marker
+    ``ODESystemSolver``s step only their own nodes, odesolver.py:228-354
+    there — this is the TPU equivalent without breaking the stencil node
+    order).
+
+    ``masks_np``: host ``[n_models, n_nodes]`` bool/0-1 masks (already
+    padded/aligned with the solver's node axis).  Signature matches the
+    ``node_params`` variant: ``step(states, v, params_node, t, dt)`` where
+    ``params_node`` carries the same masks device-side.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    S = num_states
+    LANE = 128
+    SUB = 8
+    m = _round_up(n_nodes, LANE) // LANE
+    if S * m * LANE * 4 <= 4 * 1024 * 1024:
+        Bm = m
+    else:
+        m = _round_up(m, SUB)
+        Bm = SUB
+        while m % (2 * Bm) == 0 and S * 2 * Bm * LANE * 4 <= 2 * 1024 * 1024:
+            Bm *= 2
+    grid = (m // Bm,)
+    n_pad = m * LANE
+    pad = n_pad - n_nodes
+    vi = int(v_index)
+
+    funs = multi["funs"]
+    model_params = [None if p is None else np.asarray(p, dtype=np.float64) for p in multi["params"]]
+    sizes = multi["sizes"]
+    swaps = multi["swaps"]
+    trivial = multi["trivial_swap"]
+    NM = len(funs)
+
+    # host active table [NM, n_blocks]: pad columns replicate node 0's
+    # marker (same rule the solvers use), so pad blocks stay consistent
+    mpad = np.zeros((NM, n_pad), dtype=bool)
+    mpad[:, :n_nodes] = np.asarray(masks_np[:, :n_nodes], dtype=bool)
+    if pad:
+        mpad[:, n_nodes:] = np.asarray(masks_np[:, :1], dtype=bool)
+    active_np = (
+        mpad.reshape(NM, m // Bm, Bm * LANE).any(axis=-1).astype(np.int32)
+    )
+
+    def _row_permute(s, perm):
+        # static-slice row permutation (Mosaic-safe; no gathers)
+        return jnp.concatenate([s[int(k) : int(k) + 1] for k in perm], axis=0)
+
+    def kernel(t_ref, dt_ref, active_ref, s_ref, v_ref, p_ref, o_ref):
+        gid = pl.program_id(0)
+        s_full = s_ref[:]  # (S, Bm, LANE)
+        # inject the live PDE voltage row
+        parts = []
+        if vi > 0:
+            parts.append(s_full[:vi])
+        parts.append(v_ref[:][None])
+        if vi + 1 < S:
+            parts.append(s_full[vi + 1 :])
+        s_full = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        o_ref[:] = s_full  # models overlay their own nodes below
+        t = t_ref[0]
+        dt = dt_ref[0]
+        for i in range(NM):
+            S_m = int(sizes[i])
+
+            def _run(i=i, S_m=S_m):
+                s_model = s_full[:S_m]
+                if not trivial[i]:
+                    s_model = _row_permute(s_model, swaps[i])
+                y = funs[i](states=s_model, t=t, parameters=model_params[i], dt=dt)
+                if not trivial[i]:
+                    y = _row_permute(y, swaps[i])
+                keep = p_ref[i] != 0  # (Bm, LANE)
+                o_ref[:S_m] = jnp.where(keep[None], y.astype(s_full.dtype), o_ref[:S_m])
+
+            pl.when(active_ref[i, gid] != 0)(_run)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # active [NM, n_blocks]
+            pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NM, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def step_vp(states, v, params_node, t, dt):
+        if pad:
+            fill = jnp.broadcast_to(states[:, :1], (S, pad))
+            states_p = jnp.concatenate([states, fill], axis=1)
+            v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
+            pfill = jnp.broadcast_to(params_node[:, :1], (NM, pad))
+            params_node = jnp.concatenate([params_node, pfill], axis=1)
+        else:
+            states_p, v_p = states, v
+        t_arr = jnp.reshape(t, (1,)).astype(dtype)
+        dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
+        out = call(
+            t_arr,
+            dt_arr,
+            jnp.asarray(active_np),  # small numpy constant, embeds in the module
+            states_p.reshape(S, m, LANE),
+            v_p.reshape(m, LANE),
+            params_node.reshape(NM, m, LANE),
+        ).reshape(S, n_pad)
         return out[:, :n_nodes] if pad else out
 
     return step_vp

@@ -79,6 +79,7 @@ class ShardedMonodomainSolver:
     dtype: Any = None
     monitor: BaseMonitor = field(default_factory=NullMonitor)
     ode_markers: Any = None  # per-node marker array/Function: multi-model
+    operator_cache_key: str | None = None  # opt-in disk cache of assembly
 
     def __post_init__(self):
         self.dtype = self.dtype or default_dtype()
@@ -122,14 +123,8 @@ class ShardedMonodomainSolver:
             self.parameters = None  # masks travel as the traced parameters
 
         M_cells = as_cell_tensors(self.M, self.mesh)
-        rows, cols, mvals, kvals, shape = fem.assemble_mass_stiffness_coo(
-            self.V, M_cells
-        )
         from ..ops.sparse import coo_to_ell, ell_to_stencil
         from .partition import partition_stencil
-
-        mass = coo_to_ell(rows, cols, mvals, shape, dtype=self.dtype)
-        stiff = coo_to_ell(rows, cols, kvals, shape, dtype=self.dtype)
 
         # Node renumbering (perm[new] = old): identity on structured slabs
         # (lexicographic order is already banded); RCM on unstructured
@@ -139,11 +134,29 @@ class ShardedMonodomainSolver:
         self._perm = None
         self._iperm = None
 
-        # stencil (fixed-offset) partition: gather-free shifted-FMA SpMV on
-        # the extended local vector; falls back to partitioned (hybrid) ELL
-        mass_st = ell_to_stencil(mass)
-        stiff_st = ell_to_stencil(stiff) if mass_st is not None else None
-        if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
+        # Direct stencil assembly first (fused.py:132-144): on structured
+        # meshes this skips the COO pipeline entirely — the generic path
+        # needs >30 min of host time at the 20M-cell dx=0.05 resolution,
+        # which would make production-scale sharding setup-bound.
+        st = fem.assemble_mass_stiffness_stencil(
+            self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
+        )
+        if st is not None:
+            mass_st, stiff_st = st
+        else:
+            rows, cols, mvals, kvals, shape = fem.assemble_mass_stiffness_coo(
+                self.V, M_cells
+            )
+            mass = coo_to_ell(rows, cols, mvals, shape, dtype=self.dtype)
+            stiff = coo_to_ell(rows, cols, kvals, shape, dtype=self.dtype)
+            # stencil (fixed-offset) partition: gather-free shifted-FMA SpMV
+            # on the extended local vector; falls back to hybrid ELL
+            mass_st = ell_to_stencil(mass)
+            stiff_st = ell_to_stencil(stiff) if mass_st is not None else None
+            if stiff_st is not None and stiff_st.offsets != mass_st.offsets:
+                mass_st = stiff_st = None
+
+        if stiff_st is not None:
             part_m, vals_mass = partition_stencil(mass_st, nd, diag_pad=1.0)
             part_k, vals_stiff = partition_stencil(stiff_st, nd, diag_pad=0.0)
             assert part_m == part_k

@@ -52,7 +52,9 @@ def local_project(
 
 def parse_element(space_string: str, mesh: Mesh, dim: int = 1) -> fem.Element:
     """Parse '{family}_{degree}' strings, e.g. 'P_1', 'DG_1', 'Quadrature_4'
-    (mirrors reference ``utils.py:61-84``; vector dims unsupported yet)."""
+    (mirrors reference ``utils.py:61-84``).  ``dim > 1`` selects a blocked
+    (vector-valued) variant — applied by :func:`space_from_string`, since
+    the in-repo Element is scalar and blocking lives on the space."""
     family_str, degree_str = space_string.split("_")
     aliases = {
         "Lagrange": "P",
@@ -72,9 +74,11 @@ def parse_element(space_string: str, mesh: Mesh, dim: int = 1) -> fem.Element:
 
 
 def space_from_string(space_string: str, mesh: Mesh, dim: int = 1) -> fem.FunctionSpace:
-    """Reference ``utils.py:87-112``."""
+    """Function space from a '{family}_{degree}' string; ``dim > 1`` builds
+    a blocked vector space (reference ``utils.py:87-112``, where basix
+    blocked elements carry the shape)."""
     el = parse_element(space_string, mesh, dim)
-    return fem.functionspace(mesh, el)
+    return fem.functionspace(mesh, el, shape=(dim,) if dim > 1 else None)
 
 
 def laplace_solve(

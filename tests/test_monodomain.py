@@ -2,7 +2,8 @@
 
 Manufactured solution v = cos(2 pi x) cos(2 pi y) sin(t) with matching
 source; L2 error thresholds, spatial order >= 2 and temporal order >= 2
-(Crank-Nicolson).  See reference ``tests/README.md`` for the derivation.
+(Crank-Nicolson).  Derivations and threshold rationale: ``tests/README.md``
+in this repo (counterpart of the reference's ``tests/README.md:5-93``).
 """
 
 import jax.numpy as jnp

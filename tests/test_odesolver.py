@@ -253,3 +253,52 @@ def test_make_multi_ode_mixed_models():
     np.testing.assert_allclose(
         np.asarray(su)[:2, m2], np.asarray(s2)[swap2][:, m2], rtol=1e-12, atol=1e-12
     )
+
+
+def test_pallas_multi_ode_block_skip_matches_composition():
+    """The block-skip multi-marker pallas kernel (interpret mode on CPU)
+    reproduces the masked composition exactly, including different state
+    counts and voltage rows per model."""
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+    from fenicsx_beat_tpu.models import tentusscher_panfilov_2006 as tp06
+    from fenicsx_beat_tpu.odesolver import make_multi_ode
+    from fenicsx_beat_tpu.ops.pallas_ode import build_pallas_multi_ode_step
+
+    n = 300  # pads to 3 lanes of 128; marker bands split mid-lane
+    markers = np.where(np.arange(n) < 130, 1, 2)
+
+    fun = {1: tp06.generalized_rush_larsen, 2: fhn.generalized_rush_larsen}
+    init = {1: tp06.init_state_values(), 2: fhn.init_state_values()}
+    params = {
+        1: tp06.init_parameter_values(stim_amplitude=0.0),
+        2: fhn.init_parameter_values(),
+    }
+    v_index = {1: tp06.state_index("V"), 2: fhn.state_index("v")}
+
+    ode_fun, union, masks, v_common = make_multi_ode(markers, fun, init, params, v_index)
+    assert hasattr(ode_fun, "multi")
+
+    step = build_pallas_multi_ode_step(
+        ode_fun.multi,
+        masks_np=masks,
+        num_states=union.shape[0],
+        n_nodes=n,
+        dtype=jnp.float64,
+        v_index=v_common,
+        interpret=True,
+    )
+
+    s = jnp.asarray(union)
+    masks_j = jnp.asarray(masks, dtype=jnp.float64)
+    dt = 0.05
+    t = 0.0
+    ref = s
+    got = s
+    for _ in range(5):
+        v_ref = ref[v_common]
+        ref = ode_fun(states=ref.at[v_common].set(v_ref), t=t, parameters=masks_j, dt=dt)
+        got = step(got, got[v_common], masks_j, t, dt)
+        t += dt
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12, atol=1e-12)

@@ -131,3 +131,67 @@ def test_local_project_same_space():
     v.x.array[:] = 7.0
     u = beat.utils.local_project(v, V)
     assert np.allclose(u.x.array, 7.0)
+
+
+def test_vector_space_blocked_layout_and_eval():
+    """dim>1 spaces use the interleaved blocked layout (reference
+    utils.py:87-112 builds these via basix blocked elements)."""
+    mesh = meshmod.create_unit_square(None, 4, 4)
+    V3 = beat.utils.space_from_string("P_1", mesh, dim=3)
+    assert V3.block_size == 3
+    assert V3.value_shape == (3,)
+    assert V3.ndofs == 3 * mesh.num_vertices
+
+    f = fem.Function(V3, name="f0")
+    f.interpolate(lambda x: np.stack([np.ones_like(x[0]), x[0], x[1]]))
+    comp = f.x.array.reshape(-1, 3)
+    assert np.allclose(comp[:, 0], 1.0)
+    assert np.allclose(comp[:, 1], V3.scalar_space.dof_coords[:, 0])
+
+    # pointwise evaluation returns one value per component
+    vals = f.eval(np.array([0.3, 0.45]))
+    assert vals.shape == (3,)
+    assert np.allclose(vals, [1.0, 0.3, 0.45], atol=1e-12)
+
+
+def test_vector_function_local_project_and_io_roundtrip(tmp_path):
+    """A fiber-like vector Function survives cross-space local_project and
+    VTU/checkpoint output (VERDICT r02 item 7)."""
+    mesh = meshmod.create_unit_square(None, 3, 3)
+    V3 = beat.utils.space_from_string("P_1", mesh, dim=3)
+    f = fem.Function(V3, name="f0")
+    f.interpolate(lambda x: np.stack([x[0], x[1], np.zeros_like(x[0])]))
+
+    # cross-degree projection: P1 vector -> P2 vector, linear fields exact
+    W3 = beat.utils.space_from_string("P_2", mesh, dim=3)
+    g = beat.utils.local_project(f, W3)
+    gc = g.x.array.reshape(-1, 3)
+    assert np.allclose(gc[:, 0], W3.scalar_space.dof_coords[:, 0], atol=1e-12)
+    assert np.allclose(gc[:, 1], W3.scalar_space.dof_coords[:, 1], atol=1e-12)
+
+    # VTU: vector point data with NumberOfComponents=3
+    from fenicsx_beat_tpu.io import CheckpointWriter, VTUWriter, load_checkpoint
+
+    w = VTUWriter(tmp_path / "vtu", mesh, name="f0")
+    w.write(0.0, f.x.array.reshape(-1, 3))
+    w.close()
+    frame = (tmp_path / "vtu" / "frame_000000.vtu").read_text()
+    assert 'NumberOfComponents="3"' in frame
+
+    # checkpoint round-trip of the flat blocked array
+    cw = CheckpointWriter(tmp_path / "chk", mesh)
+    cw.write(0.0, f.x.array)
+    cw.save()
+    data = load_checkpoint(tmp_path / "chk")
+    back = fem.Function(V3)
+    back.x.array[:] = data.values[0]
+    assert np.allclose(back.x.array, f.x.array, atol=1e-6)
+
+
+def test_vector_space_assembly_guard():
+    import pytest
+
+    mesh = meshmod.create_unit_square(None, 3, 3)
+    V3 = fem.functionspace(mesh, ("P", 1, (3,)))
+    with pytest.raises(NotImplementedError, match="blocked"):
+        fem.assemble_mass_stiffness(V3, 1.0)
