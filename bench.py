@@ -100,6 +100,12 @@ def main():
         # the timed window is all active propagation — the same workload
         # mix the CPU baseline timed, not cheap post-activation
         # quiescence.
+        # The primary row is the production recommendation (Strang, the
+        # reference's exact choreography).  merge_strang_halves is NOT
+        # benched: its interior samples sit mid-bracket, so activation
+        # detection degrades to Godunov accuracy (measured 6.1% vs
+        # converged; docs/DESIGN.md §8 negative results) even though
+        # chunk-final states stay Strang-accurate.
         configs = [
             (0.1, args.dt, min(args.T, 40.0), 0.5),
             (0.1, args.dt, min(args.T, 40.0), 1.0),
@@ -108,15 +114,18 @@ def main():
 
     extras = {}
     results = []
-    for dx, dt, T, theta in configs:
+    for dx, dt, T, theta, *rest in configs:
+        merged = bool(rest and rest[0])
         if results and time.perf_counter() - t_start > args.budget:
             extras["skipped_configs"] = f"dx={dx:g} theta={theta:g} (over {args.budget:.0f}s budget)"
             print(f"budget exceeded; skipping dx={dx:g} theta={theta:g}", file=sys.stderr)
             break
-        res = run_niederer_benchmark(dx=dx, dt=dt, T=T, theta=theta)
-        print(f"[theta={theta:g}] {res.summary()}", file=sys.stderr)
+        res = run_niederer_benchmark(
+            dx=dx, dt=dt, T=T, theta=theta, merge_strang_halves=merged
+        )
+        print(f"[theta={theta:g}{' merged' if merged else ''}] {res.summary()}", file=sys.stderr)
         results.append(res)
-        key = f"dx{dx:g}" + ("_strang" if theta == 0.5 else "")
+        key = f"dx{dx:g}" + ("_strang" if theta == 0.5 else "") + ("_merged" if merged else "")
         extras[f"{key}_ms_per_s"] = round(res.ms_per_second, 2)
         err = res.error_vs_published()
         if err is not None and err != float("inf"):

@@ -44,8 +44,9 @@ if [ "$FAST" = "--fast" ]; then
     exit 0
 fi
 
-echo "=== [4/5] demo smoke (--quick, headless) ==="
+echo "=== [4/5] demo smoke (--quick, headless, CPU-pinned) ==="
 export MPLBACKEND=Agg
+export FBTPU_PLATFORM=cpu
 for demo in demos/*.py; do
     if grep -q -- '--quick' "$demo"; then
         echo "--- $demo --quick"
@@ -56,6 +57,7 @@ for demo in demos/*.py; do
 done
 
 echo "=== [5/5] kernel regression (TPU only) ==="
+unset FBTPU_PLATFORM
 backend=$(python -c "import jax; print(jax.default_backend())")
 if [ "$backend" = "tpu" ]; then
     timeout 600 python -m fenicsx_beat_tpu.benchmarks.kernel_check

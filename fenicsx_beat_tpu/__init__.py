@@ -44,6 +44,25 @@ def _tune_numpy_page_faults():
 
 _tune_numpy_page_faults()
 
+
+def _pin_platform():
+    """Honor ``FBTPU_PLATFORM`` (e.g. ``cpu``) before any jax use.
+
+    The env var ``JAX_PLATFORMS`` alone is not reliable on hosts with an
+    out-of-tree TPU plugin (the plugin can still win backend selection);
+    ``jax.config.update("jax_platforms", ...)`` is.  ci.sh uses this to
+    run the demo smoke deterministically on CPU."""
+    import os
+
+    plat = os.environ.get("FBTPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_pin_platform()
+
 from . import (  # noqa: E402
     base_model,
     conductivities,

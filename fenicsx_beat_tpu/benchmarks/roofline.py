@@ -40,14 +40,20 @@ def _timed_loop(fn, args, iters: int, repeats: int = 5) -> float:
 
     lowered = fn.lower(*args) if hasattr(fn, "lower") else None
     compiled = lowered.compile() if lowered is not None else fn
-    out = compiled(*args)  # warm-up
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+
+    def sync(out):
+        # fetch ONE scalar: block_until_ready returns early over the axon
+        # tunnel, and pulling a whole output array pays the tunnel's
+        # 0.1 MB/s device->host path (35 MB of states = seconds, which
+        # silently dominated the measurement)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(leaf.reshape(-1)[:1][0])
+
+    sync(compiled(*args))  # warm-up
     best = float("inf")
     for _ in range(repeats):
         tic = _time.perf_counter()
-        out = compiled(*args)
-        # fetch one scalar: block_until_ready returns early over the tunnel
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
+        sync(compiled(*args))
         best = min(best, _time.perf_counter() - tic)
     return best / iters
 

@@ -79,6 +79,12 @@ class FusedMonodomainSolver:
     use_pallas_ode: bool | None = None  # None = auto (TPU backend only)
     pallas_spmv_min_nodes: int = 4096  # below this the XLA stencil SpMV wins
     operator_cache_key: str | None = None  # opt-in disk cache of assembly
+    # Strang (theta=0.5) only: regroup adjacent ionic half-steps into one
+    # full-dt step per chunk interior — same 2nd-order splitting, ~the
+    # ionic cost of Godunov.  Off by default: the reference's unmerged
+    # choreography (monodomain_solver.py:99-113 there) is the
+    # cross-validation target of tests/test_fused.py.
+    merge_strang_halves: bool = False
 
     def __post_init__(self):
         self.monitor = self.monitor or NullMonitor()
@@ -248,6 +254,12 @@ class FusedMonodomainSolver:
         mass, stiff = self._mass, self._stiff
         theta = float(self.theta)
         pde_theta = float(self.pde_theta)
+        merged = bool(self.merge_strang_halves) and np.isclose(theta, 0.5)
+        if self.merge_strang_halves and not merged:
+            logger.warning(
+                "merge_strang_halves requires theta=0.5 (got %g); ignored",
+                theta,
+            )
         C_m = float(self.C_m)
         rtol = float(self._opts["ksp_rtol"])
         atol = float(self._opts["ksp_atol"])
@@ -546,13 +558,22 @@ class FusedMonodomainSolver:
             # build once, outside the scan
             ops = build_operators(op, dt)
 
-            def one_step(carry, _):
+            def one_step(carry, k):
                 # the PDE-updated voltage rides as a separate carry row and
                 # is injected inside the ionic kernel, skipping the
                 # full-state row update between PDE and ionic stages
                 states, act, t, dv, v_cur = carry
-                # tentative ODE step over theta*dt  (monodomain_solver.py:68)
-                states = ode_apply(op, states, v_cur, t, theta * dt)
+                if merged:
+                    # Merged Strang: adjacent corrective+tentative ionic
+                    # half-steps regroup into ONE full-dt ionic step —
+                    # A(dt/2) [B(dt) A(dt)]^{n-1} B(dt) A(dt/2) per chunk —
+                    # halving the ionic cost of interior steps while each
+                    # chunk remains an exact Strang composition.
+                    tent_dt = jnp.where(k == 0, 0.5 * dt, dt)
+                else:
+                    tent_dt = theta * dt
+                # tentative ODE step (monodomain_solver.py:68)
+                states = ode_apply(op, states, v_cur, t, tent_dt)
                 v = states[v_index]
                 # PDE theta-step over dt; stimulus evaluated at the PDE
                 # theta point (reference base_model.py:219); CG warm-started
@@ -562,7 +583,17 @@ class FusedMonodomainSolver:
                     op, ops, v, v + dv, t + pde_theta * dt, dt, amps
                 )
                 dv = v_new - v
-                if not np.isclose(theta, 1.0):
+                if merged:
+                    # trailing half-step only on the chunk's last step (the
+                    # cond executes the ionic kernel only when taken)
+                    def _close_half(s):
+                        return ode_apply(op, s, v_new, t + dt, 0.5 * dt)
+
+                    states = jax.lax.cond(
+                        k == n_steps - 1, _close_half, lambda s: s, states
+                    )
+                    v_new = jnp.where(k == n_steps - 1, states[v_index], v_new)
+                elif not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
                     states = ode_apply(op, states, v_new, t + theta * dt, (1.0 - theta) * dt)
                     v_new = states[v_index]
@@ -573,7 +604,9 @@ class FusedMonodomainSolver:
             dv0 = jnp.zeros_like(states[v_index])
             v0 = states[v_index]
             (states, act, t, _, v_last), (iters, rnorms, convs) = jax.lax.scan(
-                one_step, (states, act, t0, dv0, v0), None, length=n_steps
+                one_step,
+                (states, act, t0, dv0, v0),
+                jnp.arange(n_steps),
             )
             # one voltage-row write-back per chunk instead of per step
             states = states.at[v_index].set(v_last)
