@@ -60,6 +60,13 @@ def main():
     parser.add_argument("-T", type=float, default=100.0)
     parser.add_argument("--theta", type=float, default=1.0, help="splitting theta (0.5 = Strang)")
     parser.add_argument("--quick", action="store_true", help="short dx=0.5 run for smoke testing")
+    parser.add_argument(
+        "--tabulated",
+        action="store_true",
+        help="table-driven ionic step (V-dependent transcendentals read "
+        "from 256-entry lookup tables, the splitting sub-step dt baked; "
+        "see models/tentusscher_panfilov_2006.tabulated_rush_larsen)",
+    )
     parser.add_argument("--x64", action="store_true", help="force float64 (CPU validation)")
     parser.add_argument(
         "--kernel-check",
@@ -121,7 +128,8 @@ def main():
             print(f"budget exceeded; skipping dx={dx:g} theta={theta:g}", file=sys.stderr)
             break
         res = run_niederer_benchmark(
-            dx=dx, dt=dt, T=T, theta=theta, merge_strang_halves=merged
+            dx=dx, dt=dt, T=T, theta=theta, merge_strang_halves=merged,
+            tabulated=args.tabulated,
         )
         print(f"[theta={theta:g}{' merged' if merged else ''}] {res.summary()}", file=sys.stderr)
         results.append(res)

@@ -124,9 +124,15 @@ def _build_solver(
     monitor: BaseMonitor | None = None,
     dtype=None,
     probe_points: np.ndarray | None = None,
+    tabulated: bool = False,
+    dt: float | None = None,
     **solver_kwargs,
 ) -> FusedMonodomainSolver:
-    """Niederer-configuration solver (slab, S1 cube, TP06 by default)."""
+    """Niederer-configuration solver (slab, S1 cube, TP06 by default).
+
+    ``tabulated=True`` swaps the ionic step for the model's table-driven
+    variant with the splitting sub-step ``dt`` baked (requires ``dt``;
+    ten Tusscher's own published C code uses the same optimization)."""
     monitor = monitor or NullMonitor()
     mesh_unit = "mm"
     geo = get_3D_slab_geometry(None, dx=dx, Lx=LX, Ly=LY, Lz=LZ)
@@ -173,6 +179,15 @@ def _build_solver(
         parameters = model.init_parameter_values()
     v_name = "V" if "V" in model._STATE_NAMES else "v"
 
+    if tabulated:
+        if dt is None:
+            raise ValueError("tabulated=True requires the solve dt at build time")
+        # Godunov takes one theta*dt ionic step; Strang two dt/2 steps.
+        # Either way one baked sub-step covers the whole solve
+        # (FusedMonodomainSolver._check_fixed_dt re-validates at solve()).
+        sub_dt = (0.5 if np.isclose(theta, 0.5) else float(theta)) * float(dt)
+        fun = model.tabulated_rush_larsen(sub_dt, parameters)
+
     # benchmark configs are fixed -> safe to disk-cache the assembled
     # operators (the metric times the solve, not host setup)
     solver_kwargs.setdefault("operator_cache_key", f"niederer-slab-dx{dx:g}")
@@ -205,6 +220,7 @@ def run_niederer_benchmark(
     check_interval_ms: float = 20.0,
     dtype=None,
     repeats: int = 6,
+    tabulated: bool = False,
     **solver_kwargs,
 ) -> NiedererResult:
     """Run the benchmark on the fused solver.
@@ -229,6 +245,8 @@ def run_niederer_benchmark(
         monitor=monitor,
         dtype=dtype,
         probe_points=pcoords,
+        tabulated=tabulated,
+        dt=dt,
         **solver_kwargs,
     )
 

@@ -288,9 +288,19 @@ class FusedMonodomainSolver:
             states = states.at[v_index].set(v)
             return jnp_ode_fun(states=states, t=t, parameters=params_closure, dt=dt)
 
+        # With the pallas ionic kernel active, the scan carries states in
+        # the kernel's (S, m, LANE) block layout: the (S, n) <-> blocked
+        # conversion is a physical TPU relayout that XLA materializes on
+        # both sides of the opaque call (~84 us/step at 442k nodes), so it
+        # runs ONCE per chunk instead of once per ionic sub-step.
+        ode_blocked = False
+        LANE_ODE = 128
+        m_blk = self._n_pad // LANE_ODE
+
         if use_pallas:
             from .ops.pallas_ode import build_pallas_ode_step
 
+            blocked = self._n_pad % (8 * LANE_ODE) == 0
             # node-aligned parameters (multi-marker masks, per-node fields)
             # are streamed into the kernel per block; plain vectors are
             # baked as immediates
@@ -301,9 +311,15 @@ class FusedMonodomainSolver:
             )
             try:
                 S = self.states.shape[0]
+                s_shape = (
+                    (S, m_blk, LANE_ODE) if blocked else (S, self._n_pad)
+                )
                 if node_aligned:
                     params_dev = self._params_j.astype(self.dtype)
                     NP = params_dev.shape[0]
+                    p_shape = (
+                        (NP, m_blk, LANE_ODE) if blocked else (NP, self._n_pad)
+                    )
                     multi = getattr(self.ode_fun, "multi", None)
                     if multi is not None and NP == len(multi["funs"]):
                         # multi-marker masks: block-skip kernel — each grid
@@ -317,6 +333,7 @@ class FusedMonodomainSolver:
                             n_nodes=self._n_pad,
                             dtype=self.dtype,
                             v_index=v_index,
+                            blocked_io=blocked,
                         )
                     else:
                         pallas_step = build_pallas_ode_step(
@@ -327,21 +344,21 @@ class FusedMonodomainSolver:
                             dtype=self.dtype,
                             v_index=v_index,
                             node_params=NP,
+                            blocked_io=blocked,
                         )
                     # Force Mosaic lowering now so a model the kernel
                     # language cannot express degrades to the plain jnp
                     # path instead of crashing on the first chunk.
                     jax.jit(pallas_step).lower(
-                        jax.ShapeDtypeStruct((S, self._n_pad), self.dtype),
+                        jax.ShapeDtypeStruct(s_shape, self.dtype),
                         jax.ShapeDtypeStruct((self._n_pad,), self.dtype),
-                        jax.ShapeDtypeStruct((NP, self._n_pad), self.dtype),
+                        jax.ShapeDtypeStruct(p_shape, self.dtype),
                         jax.ShapeDtypeStruct((), self.dtype),
                         jax.ShapeDtypeStruct((), self.dtype),
                     ).compile()
 
-                    operands["node_params"] = jax.device_put(
-                        jnp.asarray(params_dev)
-                    )
+                    pvals = np.asarray(params_dev).reshape(p_shape)
+                    operands["node_params"] = jax.device_put(jnp.asarray(pvals))
 
                     def ode_apply(op, states, v, t, dt):  # noqa: F811
                         return pallas_step(states, v, op["node_params"], t, dt)
@@ -354,9 +371,10 @@ class FusedMonodomainSolver:
                         parameters=self.parameters,
                         dtype=self.dtype,
                         v_index=v_index,
+                        blocked_io=blocked,
                     )
                     jax.jit(pallas_step).lower(
-                        jax.ShapeDtypeStruct((S, self._n_pad), self.dtype),
+                        jax.ShapeDtypeStruct(s_shape, self.dtype),
                         jax.ShapeDtypeStruct((self._n_pad,), self.dtype),
                         jax.ShapeDtypeStruct((), self.dtype),
                         jax.ShapeDtypeStruct((), self.dtype),
@@ -365,6 +383,7 @@ class FusedMonodomainSolver:
                     def ode_apply(op, states, v, t, dt):  # noqa: F811
                         return pallas_step(states, v, t, dt)
 
+                ode_blocked = blocked
             except Exception as exc:  # Mosaic/lowering failure: degrade
                 logger.warning(
                     "pallas ionic kernel unavailable (%s); falling back to "
@@ -552,11 +571,43 @@ class FusedMonodomainSolver:
                 )
                 return x, info.iterations, info.residual_norm, info.converged
 
+        n_pad_l = self._n_pad
+
+        if ode_blocked:
+
+            def _blk(s):
+                return s.reshape(s.shape[0], m_blk, LANE_ODE)
+
+            def _unblk(s):
+                return s.reshape(s.shape[0], n_pad_l)
+
+            def _vrow(s):
+                return s[v_index].reshape(n_pad_l)
+
+            def _vset(s, v):
+                return s.at[v_index].set(v.reshape(m_blk, LANE_ODE))
+
+        else:
+
+            def _blk(s):
+                return s
+
+            def _unblk(s):
+                return s
+
+            def _vrow(s):
+                return s[v_index]
+
+            def _vset(s, v):
+                return s.at[v_index].set(v)
+
         @partial(jax.jit, static_argnames=("n_steps",))
         def run_chunk_ops(op, states, act, t0, dt, amps, n_steps):
             # theta-system operators are dt-invariant within the chunk:
             # build once, outside the scan
             ops = build_operators(op, dt)
+            # blocked-ionic carry: one relayout per chunk, not per step
+            states = _blk(states)
 
             def one_step(carry, k):
                 # the PDE-updated voltage rides as a separate carry row and
@@ -574,7 +625,7 @@ class FusedMonodomainSolver:
                     tent_dt = theta * dt
                 # tentative ODE step (monodomain_solver.py:68)
                 states = ode_apply(op, states, v_cur, t, tent_dt)
-                v = states[v_index]
+                v = _vrow(states)
                 # PDE theta-step over dt; stimulus evaluated at the PDE
                 # theta point (reference base_model.py:219); CG warm-started
                 # with the previous step's solve increment (the trajectory
@@ -592,24 +643,24 @@ class FusedMonodomainSolver:
                     states = jax.lax.cond(
                         k == n_steps - 1, _close_half, lambda s: s, states
                     )
-                    v_new = jnp.where(k == n_steps - 1, states[v_index], v_new)
+                    v_new = jnp.where(k == n_steps - 1, _vrow(states), v_new)
                 elif not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
                     states = ode_apply(op, states, v_new, t + theta * dt, (1.0 - theta) * dt)
-                    v_new = states[v_index]
+                    v_new = _vrow(states)
                 t_next = t + dt
                 act = jnp.where((v_new > thr) & (act < 0), t, act)
                 return (states, act, t_next, dv, v_new), (iters, rnorm, conv)
 
-            dv0 = jnp.zeros_like(states[v_index])
-            v0 = states[v_index]
+            v0 = _vrow(states)
+            dv0 = jnp.zeros_like(v0)
             (states, act, t, _, v_last), (iters, rnorms, convs) = jax.lax.scan(
                 one_step,
                 (states, act, t0, dv0, v0),
                 jnp.arange(n_steps),
             )
             # one voltage-row write-back per chunk instead of per step
-            states = states.at[v_index].set(v_last)
+            states = _unblk(_vset(states, v_last))
             # real per-chunk linear-solver stats (reference records the KSP
             # converged_reason per solve, telemetry.py:67-76 there)
             return (
@@ -663,6 +714,32 @@ class FusedMonodomainSolver:
     def v(self) -> jnp.ndarray:
         return self.states[self.v_index, : self._n]
 
+    def _check_fixed_dt(self, dt: float) -> None:
+        """Table-driven ionic models bake their sub-step dt at build time
+        and ignore the runtime value — guard against a silent mismatch.
+
+        The splitting scheme determines which ionic sub-steps occur: Godunov
+        takes one ``theta*dt = dt`` step, Strang two ``dt/2`` steps (a single
+        baked dt covers both), merged Strang additionally takes full-dt
+        interior steps."""
+        fixed = getattr(self.ode_fun, "fixed_dt", None)
+        if fixed is None:
+            return
+        theta = float(self.theta)
+        if self.merge_strang_halves and np.isclose(theta, 0.5):
+            subs = {0.5 * dt, float(dt)}
+        elif np.isclose(theta, 1.0):
+            subs = {float(dt)}
+        else:
+            subs = {theta * dt, (1.0 - theta) * dt}
+        bad = [s for s in subs if not np.isclose(s, float(fixed), rtol=1e-10)]
+        if bad:
+            raise ValueError(
+                f"ode_fun bakes dt={fixed} but the {theta=} splitting at "
+                f"dt={dt} takes ionic sub-steps {sorted(subs)}; rebuild the "
+                f"tabulated model with the matching sub-step dt"
+            )
+
     def solve(
         self,
         interval: tuple[float, float],
@@ -681,6 +758,7 @@ class FusedMonodomainSolver:
         KSP converged_reason plumbing, ``base_model.py:23-25`` there);
         ``Status.OK`` otherwise."""
         T0, T = interval
+        self._check_fixed_dt(dt)
         n_total = int(round((T - T0) / dt))
         chunk = save_freq or n_total
         t = jnp.asarray(T0, dtype=self.dtype)

@@ -43,8 +43,20 @@ def build_pallas_ode_step(
     interpret: bool | None = None,
     v_index: int | None = None,
     node_params: int | None = None,
+    blocked_io: bool = False,
 ):
     """Returns ``step(states, t, dt) -> new_states`` with states ``(S, n)``.
+
+    With ``blocked_io=True`` the step takes and returns states ALREADY in
+    the kernel's ``(S, m, LANE)`` block layout (``v`` stays a flat
+    ``(n,)`` vector — its 1-D tiling equals the ``(m, LANE)`` 2-D tiling,
+    so that reshape is free).  The ``(S, n) <-> (S, m, LANE)`` conversion
+    is a physical TPU relayout that XLA materializes on both sides of the
+    opaque call (profiled ~84 us/step at 442k nodes); callers that loop
+    the step (the fused solver's scan) should carry blocked states and
+    convert once per chunk.  Requires ``n_nodes`` divisible by the kernel
+    block (1024 nodes); ``node_params`` must then be passed pre-blocked as
+    ``(NP, m, LANE)``.
 
     ``fun`` is the model's ``generalized_rush_larsen``-style callable; it is
     traced into a single pallas kernel.  ``parameters`` are captured as
@@ -88,14 +100,43 @@ def build_pallas_ode_step(
     params_np = None if parameters is None else np.asarray(parameters, dtype=np.float64)
 
     pad = n_pad - n_nodes
+    if blocked_io and pad:
+        raise ValueError(
+            f"blocked_io requires n_nodes aligned to the kernel block "
+            f"({m}x{LANE} = {n_pad}), got {n_nodes}"
+        )
+
+    # table-driven models (e.g. tp06.tabulated_rush_larsen) carry their
+    # lookup tables as one packed (rows, 128) tensor; Pallas rejects
+    # captured array constants, so it rides in as an extra VMEM operand
+    # broadcast to every grid block
+    tables_np = getattr(fun, "tables_packed", None)
+    if tables_np is not None:
+        tables_np = np.asarray(tables_np)
+        tab_spec = pl.BlockSpec(
+            tables_np.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    def _call_fun(s, t, dt, params, tab=None):
+        kw = {} if tab is None else {"tables": tab}
+        return fun(states=s, t=t, parameters=params, dt=dt, **kw).astype(s.dtype)
 
     if v_index is None:
 
-        def kernel(t_ref, dt_ref, s_ref, o_ref):
-            s = s_ref[:]  # (S, Bm, LANE)
-            t = t_ref[0]
-            dt = dt_ref[0]
-            o_ref[:] = fun(states=s, t=t, parameters=params_np, dt=dt).astype(s.dtype)
+        if tables_np is None:
+
+            def kernel(t_ref, dt_ref, s_ref, o_ref):
+                o_ref[:] = _call_fun(s_ref[:], t_ref[0], dt_ref[0], params_np)
+
+            extra_specs = []
+        else:
+
+            def kernel(t_ref, dt_ref, s_ref, tab_ref, o_ref):
+                o_ref[:] = _call_fun(
+                    s_ref[:], t_ref[0], dt_ref[0], params_np, tab_ref[:]
+                )
+
+            extra_specs = [tab_spec]
 
         call = pl.pallas_call(
             kernel,
@@ -104,24 +145,35 @@ def build_pallas_ode_step(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            ],
+            ]
+            + extra_specs,
             out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
+            # states in/out share a buffer: without this XLA double-buffers
+            # the scan carry around the opaque call (measured ~84 us/step of
+            # pure copies at 442k nodes)
+            input_output_aliases={2: 0},
             interpret=interpret,
         )
 
         @jax.jit
         def step(states, t, dt):
-            if pad:
+            if blocked_io:
+                blocks = states
+            elif pad:
                 # replicate node 0 into the padding so model math stays finite
                 fill = jnp.broadcast_to(states[:, :1], (S, pad))
-                states_p = jnp.concatenate([states, fill], axis=1)
+                blocks = jnp.concatenate([states, fill], axis=1).reshape(S, m, LANE)
             else:
-                states_p = states
-            blocks = states_p.reshape(S, m, LANE)
+                blocks = states.reshape(S, m, LANE)
             t_arr = jnp.reshape(t, (1,)).astype(dtype)
             dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-            out = call(t_arr, dt_arr, blocks)
+            args = (t_arr, dt_arr, blocks)
+            if tables_np is not None:
+                args = args + (jnp.asarray(tables_np),)
+            out = call(*args)
+            if blocked_io:
+                return out
             out = out.reshape(S, n_pad)
             return out[:, :n_nodes] if pad else out
 
@@ -142,25 +194,43 @@ def build_pallas_ode_step(
 
     if NP is None:
 
-        def kernel_v(t_ref, dt_ref, s_ref, v_ref, o_ref):
-            s = _inject_v(s_ref[:], v_ref[:])
-            o_ref[:] = fun(
-                states=s, t=t_ref[0], parameters=params_np, dt=dt_ref[0]
-            ).astype(s.dtype)
+        if tables_np is None:
+
+            def kernel_v(t_ref, dt_ref, s_ref, v_ref, o_ref):
+                s = _inject_v(s_ref[:], v_ref[:])
+                o_ref[:] = _call_fun(s, t_ref[0], dt_ref[0], params_np)
+
+            extra_specs = []
+        else:
+
+            def kernel_v(t_ref, dt_ref, s_ref, v_ref, tab_ref, o_ref):
+                s = _inject_v(s_ref[:], v_ref[:])
+                o_ref[:] = _call_fun(s, t_ref[0], dt_ref[0], params_np, tab_ref[:])
+
+            extra_specs = [tab_spec]
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Bm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
+        ] + extra_specs
     else:
 
-        def kernel_v(t_ref, dt_ref, s_ref, v_ref, p_ref, o_ref):
-            s = _inject_v(s_ref[:], v_ref[:])
-            o_ref[:] = fun(
-                states=s, t=t_ref[0], parameters=p_ref[:], dt=dt_ref[0]
-            ).astype(s.dtype)
+        if tables_np is None:
+
+            def kernel_v(t_ref, dt_ref, s_ref, v_ref, p_ref, o_ref):
+                s = _inject_v(s_ref[:], v_ref[:])
+                o_ref[:] = _call_fun(s, t_ref[0], dt_ref[0], p_ref[:])
+
+            extra_specs = []
+        else:
+
+            def kernel_v(t_ref, dt_ref, s_ref, v_ref, p_ref, tab_ref, o_ref):
+                s = _inject_v(s_ref[:], v_ref[:])
+                o_ref[:] = _call_fun(s, t_ref[0], dt_ref[0], p_ref[:], tab_ref[:])
+
+            extra_specs = [tab_spec]
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -168,7 +238,7 @@ def build_pallas_ode_step(
             pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Bm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NP, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ]
+        ] + extra_specs
 
     call_v = pl.pallas_call(
         kernel_v,
@@ -176,10 +246,14 @@ def build_pallas_ode_step(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
+        # alias the states operand with the output (see v_index=None note)
+        input_output_aliases={2: 0},
         interpret=interpret,
     )
 
     def _padded(states, v):
+        if blocked_io:
+            return states, v.reshape(m, LANE)
         if pad:
             fill = jnp.broadcast_to(states[:, :1], (S, pad))
             states_p = jnp.concatenate([states, fill], axis=1)
@@ -188,6 +262,14 @@ def build_pallas_ode_step(
             states_p, v_p = states, v
         return states_p.reshape(S, m, LANE), v_p.reshape(m, LANE)
 
+    def _unblock(out):
+        if blocked_io:
+            return out
+        out = out.reshape(S, n_pad)
+        return out[:, :n_nodes] if pad else out
+
+    tab_tail = () if tables_np is None else (jnp.asarray(tables_np),)
+
     if NP is None:
 
         @jax.jit
@@ -195,22 +277,23 @@ def build_pallas_ode_step(
             blocks, vblocks = _padded(states, v)
             t_arr = jnp.reshape(t, (1,)).astype(dtype)
             dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-            out = call_v(t_arr, dt_arr, blocks, vblocks).reshape(S, n_pad)
-            return out[:, :n_nodes] if pad else out
+            return _unblock(call_v(t_arr, dt_arr, blocks, vblocks, *tab_tail))
 
         return step_v
 
     @jax.jit
     def step_vp(states, v, params_node, t, dt):
         blocks, vblocks = _padded(states, v)
-        if pad:
-            pfill = jnp.broadcast_to(params_node[:, :1], (NP, pad))
-            params_node = jnp.concatenate([params_node, pfill], axis=1)
-        pblocks = params_node.reshape(NP, m, LANE)
+        if blocked_io:
+            pblocks = params_node  # pre-blocked (NP, m, LANE) by the caller
+        else:
+            if pad:
+                pfill = jnp.broadcast_to(params_node[:, :1], (NP, pad))
+                params_node = jnp.concatenate([params_node, pfill], axis=1)
+            pblocks = params_node.reshape(NP, m, LANE)
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-        out = call_v(t_arr, dt_arr, blocks, vblocks, pblocks).reshape(S, n_pad)
-        return out[:, :n_nodes] if pad else out
+        return _unblock(call_v(t_arr, dt_arr, blocks, vblocks, pblocks, *tab_tail))
 
     return step_vp
 
@@ -223,9 +306,13 @@ def build_pallas_multi_ode_step(
     dtype,
     v_index: int,
     interpret: bool | None = None,
+    blocked_io: bool = False,
 ):
     """Block-skip multi-marker ionic step: one pallas kernel where EACH
     grid block evaluates only the models whose marker is present in it.
+
+    ``blocked_io``: as in :func:`build_pallas_ode_step` — states in/out as
+    ``(S, m, LANE)``, masks pre-blocked ``(NM, m, LANE)``, ``v`` flat.
 
     The masked composition (:func:`~fenicsx_beat_tpu.odesolver.
     make_multi_ode`) is compiler-friendly but pays n_models x the ionic
@@ -264,6 +351,11 @@ def build_pallas_multi_ode_step(
     grid = (m // Bm,)
     n_pad = m * LANE
     pad = n_pad - n_nodes
+    if blocked_io and pad:
+        raise ValueError(
+            f"blocked_io requires n_nodes aligned to the kernel block "
+            f"({m}x{LANE} = {n_pad}), got {n_nodes}"
+        )
     vi = int(v_index)
 
     funs = multi["funs"]
@@ -329,29 +421,42 @@ def build_pallas_multi_ode_step(
         ],
         out_specs=pl.BlockSpec((S, Bm, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, m, LANE), dtype),
+        # alias the states operand with the output (see build_pallas_ode_step)
+        input_output_aliases={3: 0},
         interpret=interpret,
     )
 
     @jax.jit
     def step_vp(states, v, params_node, t, dt):
-        if pad:
-            fill = jnp.broadcast_to(states[:, :1], (S, pad))
-            states_p = jnp.concatenate([states, fill], axis=1)
-            v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
-            pfill = jnp.broadcast_to(params_node[:, :1], (NM, pad))
-            params_node = jnp.concatenate([params_node, pfill], axis=1)
+        if blocked_io:
+            sblocks = states
+            vblocks = v.reshape(m, LANE)
+            pblocks = params_node  # pre-blocked (NM, m, LANE)
         else:
-            states_p, v_p = states, v
+            if pad:
+                fill = jnp.broadcast_to(states[:, :1], (S, pad))
+                states_p = jnp.concatenate([states, fill], axis=1)
+                v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
+                pfill = jnp.broadcast_to(params_node[:, :1], (NM, pad))
+                params_node = jnp.concatenate([params_node, pfill], axis=1)
+            else:
+                states_p, v_p = states, v
+            sblocks = states_p.reshape(S, m, LANE)
+            vblocks = v_p.reshape(m, LANE)
+            pblocks = params_node.reshape(NM, m, LANE)
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
         out = call(
             t_arr,
             dt_arr,
             jnp.asarray(active_np),  # small numpy constant, embeds in the module
-            states_p.reshape(S, m, LANE),
-            v_p.reshape(m, LANE),
-            params_node.reshape(NM, m, LANE),
-        ).reshape(S, n_pad)
+            sblocks,
+            vblocks,
+            pblocks,
+        )
+        if blocked_io:
+            return out
+        out = out.reshape(S, n_pad)
         return out[:, :n_nodes] if pad else out
 
     return step_vp

@@ -93,6 +93,54 @@ def test_fused_pallas_interpret_matches_plain():
     pallas.solve((0.0, 1.0), dt=0.05)
     np.testing.assert_allclose(np.asarray(pallas.v), np.asarray(plain.v), atol=1e-12)
 
+def test_fused_tabulated_pallas_matches_plain():
+    """The table-driven TP06 step through the pallas v-inject kernel
+    (interpret mode on CPU) reproduces the same tabulated fun on the plain
+    jnp path exactly, and stays physically close to the exact model."""
+    mesh, I_s, dx = _setup(N=8)
+    dt, theta = 0.05, 1.0
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    tab_fun = tp06.tabulated_rush_larsen(theta * dt, params)
+    common = dict(
+        mesh=mesh,
+        M=0.001,
+        init_states=tp06.init_state_values(),
+        parameters=params,
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        theta=theta,
+    )
+    plain = FusedMonodomainSolver(use_pallas_ode=False, ode_fun=tab_fun, **common)
+    plain.solve((0.0, 1.0), dt=dt)
+    pallas = FusedMonodomainSolver(use_pallas_ode=True, ode_fun=tab_fun, **common)
+    pallas.solve((0.0, 1.0), dt=dt)
+    np.testing.assert_allclose(np.asarray(pallas.v), np.asarray(plain.v), atol=1e-12)
+
+    exact = FusedMonodomainSolver(
+        use_pallas_ode=False, ode_fun=tp06.generalized_rush_larsen, **common
+    )
+    exact.solve((0.0, 1.0), dt=dt)
+    np.testing.assert_allclose(np.asarray(plain.v), np.asarray(exact.v), atol=0.5)
+
+
+def test_fused_tabulated_rejects_mismatched_dt():
+    """A baked-dt model must refuse a solve whose ionic sub-steps differ."""
+    mesh, I_s, dx = _setup(N=4)
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    fused = FusedMonodomainSolver(
+        mesh=mesh,
+        M=0.001,
+        ode_fun=tp06.tabulated_rush_larsen(0.05, params),
+        init_states=tp06.init_state_values(),
+        parameters=params,
+        v_index=tp06.state_index("V"),
+        I_s=I_s,
+        theta=0.5,  # Strang sub-steps are dt/2 = 0.025, not the baked 0.05
+    )
+    with pytest.raises(ValueError, match="bakes dt"):
+        fused.solve((0.0, 0.1), dt=0.05)
+
+
 def test_fused_checkpoint_resume(tmp_path):
     """Full-state save/load reproduces an uninterrupted run exactly."""
     mesh, I_s, dx = _setup(N=10)

@@ -140,3 +140,94 @@ def test_f32_f64_consistency():
         dv = abs(float(y[v_idx, 0]) - float(z[v_idx, 0]))
         assert np.isfinite(np.asarray(z)).all(), model.__name__
         assert dv < 0.05, f"{model.__name__}: f32 voltage drift {dv} mV after 20 steps"
+
+
+# ---------------------------------------------------------------------------
+# Tabulated TP06 (V-only transcendentals replaced by table interpolation;
+# reference computes every rate exactly each step via gotranx codegen —
+# tables are a TPU-side throughput optimization and must stay faithful)
+
+
+def test_tabulated_build_audit():
+    fun = tp06.tabulated_rush_larsen(0.05)
+    assert fun.fixed_dt == 0.05
+    # build-time interpolation audit: every table within 1e-3 of exact
+    worst = max(fun.table_error.values())
+    assert worst < 1e-3, fun.table_error
+    # finer tables shrink the error quadratically (linear interp)
+    fine = tp06.tabulated_rush_larsen(0.05, n_entries=512)
+    assert max(fine.table_error.values()) < 0.3 * worst
+
+
+def test_tabulated_matches_exact_single_step():
+    p = tp06.init_parameter_values(stim_amplitude=0.0)
+    fun = tp06.tabulated_rush_larsen(0.05, p)
+    rng = np.random.default_rng(0)
+    y = tp06.init_state_values()[:, None] * np.ones((1, 64))
+    # scatter V across the table range; perturb the rest multiplicatively
+    y[0] = np.linspace(-95.0, 45.0, 64)
+    y[1:] *= rng.uniform(0.9, 1.1, size=y[1:].shape)
+    y = y.astype(np.float32)
+    exact = np.asarray(tp06.generalized_rush_larsen(y, 0.0, p, 0.05))
+    tab = np.asarray(fun(y, 0.0))
+    rel = np.abs(tab - exact) / (1.0 + np.abs(exact))
+    assert rel.max() < 5e-3, rel.max(axis=1)
+
+
+def test_tabulated_full_action_potential():
+    """Paced AP: morphology and upstroke timing match the exact model."""
+    p = tp06.init_parameter_values(stim_start=10.0)
+    fun = tp06.tabulated_rush_larsen(0.05, p)
+
+    def pace(step):
+        y0 = jnp.asarray(tp06.init_state_values()[:, None], dtype=jnp.float32)
+
+        @jax.jit
+        def run(y):
+            def body(carry, _):
+                y, t = carry
+                # pin f32: the exact model promotes under the suite's x64
+                # config, the tabulated one (f32 tables, production dtype)
+                # does not — compare both at the TPU production precision
+                y = step(y, t).astype(jnp.float32)
+                return (y, t + 0.05), y[0, 0]
+
+            (_, _), vtr = jax.lax.scan(body, (y, jnp.float32(0.0)), None, length=8000)
+            return vtr
+
+        return np.asarray(run(y0))
+
+    v_ex = pace(lambda y, t: tp06.generalized_rush_larsen(y, t, p, 0.05))
+    v_tab = pace(lambda y, t: fun(y, t))
+
+    # upstroke time (first crossing of -20 mV) within 0.1 ms
+    t_ex = np.argmax(v_ex > -20.0) * 0.05
+    t_tab = np.argmax(v_tab > -20.0) * 0.05
+    assert abs(t_ex - t_tab) < 0.1, (t_ex, t_tab)
+    # peak and resting V
+    assert abs(v_ex.max() - v_tab.max()) < 0.5
+    assert abs(v_ex[-1] - v_tab[-1]) < 0.5
+    # APD90 within 2.5%
+    def apd90(v):
+        peak, rest = v.max(), v[int(9.0 / 0.05)]
+        v90 = peak - 0.9 * (peak - rest)
+        above = np.where(v > v90)[0]
+        return (above[-1] - above[0]) * 0.05
+
+    a_ex, a_tab = apd90(v_ex), apd90(v_tab)
+    assert abs(a_ex - a_tab) / a_ex < 0.025, (a_ex, a_tab)
+
+
+def test_tabulated_lane_path_matches_flat():
+    """The (rows, 128) lane-gather branch must agree with the flat path
+    (same tables, different gather lowering)."""
+    p = tp06.init_parameter_values(stim_amplitude=0.0)
+    fun = tp06.tabulated_rush_larsen(0.05, p)
+    rng = np.random.default_rng(1)
+    n = 4 * 128
+    y = (tp06.init_state_values()[:, None] * np.ones((1, n))).astype(np.float32)
+    y[0] = np.linspace(-100.0, 50.0, n)
+    y[1:] *= rng.uniform(0.95, 1.05, size=y[1:].shape).astype(np.float32)
+    flat = np.asarray(fun(y, 0.0))
+    blocks = np.asarray(fun(y.reshape(19, 4, 128), 0.0)).reshape(19, n)
+    np.testing.assert_allclose(blocks, flat, rtol=2e-6, atol=2e-7)
