@@ -78,7 +78,7 @@ def main():
     parser.add_argument(
         "--budget",
         type=float,
-        default=float(os.environ.get("FBTPU_BENCH_BUDGET", 360.0)),
+        default=float(os.environ.get("FBTPU_BENCH_BUDGET", 480.0)),
         help="soft wall-clock budget (s): once exceeded, remaining extra "
         "configs are skipped so the primary metric still prints (the "
         "remote-TPU tunnel has minutes-long latency phases)",
@@ -108,15 +108,19 @@ def main():
         # mix the CPU baseline timed, not cheap post-activation
         # quiescence.
         # The primary row is the production recommendation (Strang, the
-        # reference's exact choreography).  merge_strang_halves is NOT
-        # benched: its interior samples sit mid-bracket, so activation
-        # detection degrades to Godunov accuracy (measured 6.1% vs
-        # converged; docs/DESIGN.md §8 negative results) even though
-        # chunk-final states stay Strang-accurate.
+        # reference's exact choreography).  The merged-Strang row
+        # (midpoint activation sampling, docs/DESIGN.md §8) is the
+        # speed-accuracy middle point — 104 ms/s at 3.72% vs converged,
+        # dominating Godunov on both axes — and runs LAST so a slow
+        # tunnel phase drops it rather than the continuity rows.
+        # The cheap dx=0.5 row runs SECOND so a slow tunnel phase that
+        # blows the budget drops the redundant Godunov dx=0.1 row, not
+        # the round-over-round continuity row.
         configs = [
             (0.1, args.dt, min(args.T, 40.0), 0.5),
-            (0.1, args.dt, min(args.T, 40.0), 1.0),
             (0.5, args.dt, min(args.T, 60.0), 1.0),
+            (0.1, args.dt, min(args.T, 40.0), 1.0),
+            (0.1, args.dt, min(args.T, 40.0), 0.5, True),
         ]
 
     extras = {}

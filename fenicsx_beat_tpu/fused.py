@@ -626,6 +626,23 @@ class FusedMonodomainSolver:
                 # tentative ODE step (monodomain_solver.py:68)
                 states = ode_apply(op, states, v_cur, t, tent_dt)
                 v = _vrow(states)
+                if merged:
+                    # Midpoint activation sampling: the previous interior
+                    # step's TRUE Strang observation is A(dt/2) applied to
+                    # its post-PDE state.  The voltage row advances by
+                    # forward Euler (v' = v + dt*f_v with f_v frozen at the
+                    # step's start), so that sample's voltage is exactly
+                    #   A(dt/2).v = v_cur + (dt/2) f_v = (v_cur + v)/2
+                    # — the midpoint of the carried post-PDE voltage and
+                    # this step's post-A(dt) voltage, for free.  Without
+                    # this, thresholding the post-PDE samples reads the
+                    # half-shifted composition A(-dt/2)*Strang_k and the
+                    # measured activation error collapses to Godunov's
+                    # (docs/DESIGN.md §8).
+                    v_mid = 0.5 * (v_cur + v)
+                    act = jnp.where(
+                        (k > 0) & (v_mid > thr) & (act < 0), t - dt, act
+                    )
                 # PDE theta-step over dt; stimulus evaluated at the PDE
                 # theta point (reference base_model.py:219); CG warm-started
                 # with the previous step's solve increment (the trajectory
@@ -634,22 +651,18 @@ class FusedMonodomainSolver:
                     op, ops, v, v + dv, t + pde_theta * dt, dt, amps
                 )
                 dv = v_new - v
-                if merged:
-                    # trailing half-step only on the chunk's last step (the
-                    # cond executes the ionic kernel only when taken)
-                    def _close_half(s):
-                        return ode_apply(op, s, v_new, t + dt, 0.5 * dt)
-
-                    states = jax.lax.cond(
-                        k == n_steps - 1, _close_half, lambda s: s, states
-                    )
-                    v_new = jnp.where(k == n_steps - 1, _vrow(states), v_new)
-                elif not np.isclose(theta, 1.0):
+                if not merged and not np.isclose(theta, 1.0):
                     # corrective ODE step (Strang, monodomain_solver.py:99-113)
                     states = ode_apply(op, states, v_new, t + theta * dt, (1.0 - theta) * dt)
                     v_new = _vrow(states)
                 t_next = t + dt
-                act = jnp.where((v_new > thr) & (act < 0), t, act)
+                if not merged:
+                    act = jnp.where((v_new > thr) & (act < 0), t, act)
+                # merged: interior steps are observed as midpoints at the
+                # NEXT step (above); the trailing A(dt/2) close runs ONCE
+                # after the scan (a lax.cond inside the scan would sever the
+                # states buffer's aliasing chain and re-introduce a full
+                # states copy per step)
                 return (states, act, t_next, dv, v_new), (iters, rnorm, conv)
 
             v0 = _vrow(states)
@@ -659,6 +672,12 @@ class FusedMonodomainSolver:
                 (states, act, t0, dv0, v0),
                 jnp.arange(n_steps),
             )
+            if merged:
+                # trailing A(dt/2) closes the chunk's Strang composition;
+                # its voltage is the chunk-final step's direct sample
+                states = ode_apply(op, states, v_last, t, 0.5 * dt)
+                v_last = _vrow(states)
+                act = jnp.where((v_last > thr) & (act < 0), t - dt, act)
             # one voltage-row write-back per chunk instead of per step
             states = _unblk(_vset(states, v_last))
             # real per-chunk linear-solver stats (reference records the KSP

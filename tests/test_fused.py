@@ -347,7 +347,10 @@ def test_merged_strang_matches_unmerged():
     assert ((a_ref >= 0) == (a_merged >= 0)).all()  # same activated set
     both = a_ref >= 0
     assert both.any()
-    assert np.abs(a_ref[both] - a_merged[both]).max() <= 2 * dt + 1e-9
+    # midpoint sampling reconstructs the exact Strang observation of the
+    # merged trajectory (fused.py one_step), so activation times agree to
+    # one dt (the remaining delta is the trajectories' own grouping error)
+    assert np.abs(a_ref[both] - a_merged[both]).max() <= dt + 1e-6
     # away from the moving front the voltages agree closely
     settled = both & (a_ref < T - 1.5)
     if settled.any():
