@@ -82,6 +82,12 @@ def _timed_loop(fn, args, iters: int, repeats: int = 3) -> float:
             ]
             if jit_us:
                 best = min(best, max(jit_us) / 1e6)
+    if not np.isfinite(best):
+        # trace files existed but held no jit_* device event (profiler
+        # naming drift): fall back to wall clock rather than emit inf
+        tic = _time.perf_counter()
+        sync(fn(*args))
+        return (_time.perf_counter() - tic) / iters
     return best / iters
 
 

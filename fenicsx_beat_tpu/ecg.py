@@ -78,17 +78,19 @@ def detect_t_end(
     lo = max(0, r_peak_index + window_start_offset)
     hi = min(len(averaged_rr), r_peak_index + window_end_offset)
     window = np.asarray(averaged_rr[lo:hi])
+    if window.size == 0:
+        logger.warning("T-end search window [%d, %d) is empty", lo, hi)
+        return int(min(len(averaged_rr) - 1, max(0, r_peak_index)))
     if window.size < 2:
         logger.warning("T-end search window [%d, %d) holds fewer than 2 samples", lo, hi)
-    slope = np.diff(window)
-    if slope.size == 0:
-        logger.warning("T-end search window too short to differentiate")
 
     t_peak = int(np.argmax(np.abs(window)))
-    if t_peak >= slope.size:
+    tail = np.diff(window)[t_peak:]
+    if tail.size == 0:
         logger.warning("T peak sits on the edge of the search window")
-
-    t_end = lo + t_peak + int(np.argmin(slope[t_peak:]))
+        t_end = lo + t_peak
+    else:
+        t_end = lo + t_peak + int(np.argmin(tail))
     if t_end <= r_peak_index:
         logger.warning("detected T-end (index %d) does not follow the R peak", t_end)
     return int(t_end)
@@ -154,7 +156,7 @@ class ECGRecovery:
     def __post_init__(self):
         import jax
 
-        from .ops.sparse import StencilMatrix, ell_to_stencil
+        from .ops.sparse import StencilMatrix
 
         from .config import default_dtype
 
@@ -163,24 +165,12 @@ class ECGRecovery:
         M_cells = as_cell_tensors(self.M, self.mesh)
         self.dtype = default_dtype()
 
-        # Same operator path as the PDE solvers (fused.py:132-153): direct
-        # stencil assembly where the mesh structure allows (no COO sort, no
-        # per-cell host tensors), generic ELL otherwise, with the opt-in
+        # Same operator path as the PDE solvers: shared stencil-first
+        # assembly (fem.assemble_mass_stiffness_auto) with the opt-in
         # operator disk cache in both branches.
-        pair = fem.assemble_mass_stiffness_stencil(
+        mass, stiff = fem.assemble_mass_stiffness_auto(
             self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
         )
-        if pair is not None:
-            mass, stiff = pair
-        else:
-            mass, stiff = fem.assemble_mass_stiffness(
-                self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
-            )
-            mst = ell_to_stencil(mass)
-            if mst is not None:
-                kst = ell_to_stencil(stiff)
-                if kst is not None and kst.offsets == mst.offsets:
-                    mass, stiff = mst, kst
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -191,24 +181,16 @@ class ECGRecovery:
             )
         self._use_pallas = use_pallas = use_pallas and isinstance(mass, StencilMatrix)
 
-        # Kernel-aligned padding (fused.py:174-209): inert zero rows with a
-        # unit mass diagonal so no per-solve pad/slice wrappers are traced
+        # Kernel-aligned padding (shared pad_stencil_pair rule): inert zero
+        # rows with a unit mass diagonal so no per-solve wrappers are traced
         if use_pallas:
-            gran = 65536 if n >= 262144 else 1024
-            n_pad = -(-n // gran) * gran
+            from .ops.sparse import pad_stencil_pair
+
+            mass, stiff, n_pad = pad_stencil_pair(mass, stiff, n)
         else:
             n_pad = n
         self._n_pad = n_pad
         pad = n_pad - n
-        if pad:
-            k0 = mass.offsets.index(0)
-            mv = np.zeros((n_pad, mass.width), dtype=np.asarray(mass.vals).dtype)
-            mv[:n] = np.asarray(mass.vals)
-            mv[n:, k0] = 1.0
-            kv = np.zeros_like(mv)
-            kv[:n] = np.asarray(stiff.vals)
-            mass = StencilMatrix(offsets=mass.offsets, vals=mv, shape=(n_pad, n_pad))
-            stiff = StencilMatrix(offsets=stiff.offsets, vals=kv, shape=(n_pad, n_pad))
         self._mass, self._stiff = mass, stiff
 
         self._rtol = float(self.petsc_options.get("ksp_rtol", 1e-8))

@@ -44,6 +44,7 @@ __all__ = [
     "CellGeometry",
     "cell_geometry",
     "assemble_mass_stiffness",
+    "assemble_mass_stiffness_auto",
     "CellQuadData",
     "cell_quadrature",
     "facet_quadrature",
@@ -853,6 +854,35 @@ def assemble_mass_stiffness(
     stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
     if cache_key is not None:
         _operator_cache_store(cache_key, V, M_cells, dtype, mass, stiff)
+    return mass, stiff
+
+
+def assemble_mass_stiffness_auto(
+    V: FunctionSpace,
+    M_cells: np.ndarray | float,
+    dtype=None,
+    cache_key: str | None = None,
+):
+    """Stencil-first operator assembly shared by every solve path
+    (FusedMonodomainSolver, MonodomainModel precompute, ECGRecovery):
+    direct stencil assembly where the mesh structure allows (no COO sort,
+    no per-cell element tensors — the generic pipeline needs >30 min of
+    host time at the 20M-cell dx=0.05 resolution), generic ELL otherwise,
+    upgraded to stencil form when the ELL pattern turns out to be a
+    global stencil.  Returns ``(mass, stiff)`` as either two
+    :class:`~fenicsx_beat_tpu.ops.sparse.StencilMatrix` or two
+    :class:`~fenicsx_beat_tpu.ops.sparse.ELLMatrix`."""
+    from .ops.sparse import ell_to_stencil
+
+    pair = assemble_mass_stiffness_stencil(V, M_cells, dtype=dtype, cache_key=cache_key)
+    if pair is not None:
+        return pair
+    mass, stiff = assemble_mass_stiffness(V, M_cells, dtype=dtype, cache_key=cache_key)
+    mst = ell_to_stencil(mass)
+    if mst is not None:
+        kst = ell_to_stencil(stiff)
+        if kst is not None and kst.offsets == mst.offsets:
+            return mst, kst
     return mass, stiff
 
 

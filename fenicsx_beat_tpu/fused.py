@@ -136,27 +136,13 @@ class FusedMonodomainSolver:
             self.parameters = None  # masks travel as the traced parameters
 
         M_cells = as_cell_tensors(self.M, self.mesh)
-        # direct stencil assembly on structured meshes: no COO sort, no
-        # [nc,4,4] element tensor — the generic pipeline needs >30 min of
-        # host time at the 20M-cell dx=0.05 resolution
-        st = fem.assemble_mass_stiffness_stencil(
+        # shared stencil-first assembly (fem.assemble_mass_stiffness_auto):
+        # direct stencil on structured meshes — no COO sort, no [nc,4,4]
+        # element tensor (the generic pipeline needs >30 min of host time
+        # at the 20M-cell dx=0.05 resolution) — generic ELL otherwise
+        self._mass, self._stiff = fem.assemble_mass_stiffness_auto(
             self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
         )
-        if st is not None:
-            self._mass, self._stiff = st
-        else:
-            self._mass, self._stiff = fem.assemble_mass_stiffness(
-                self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
-            )
-            # stencil (fixed-offset) form: gather-free SpMV when the ELL
-            # pattern happens to be a global stencil
-            from .ops.sparse import ell_to_stencil
-
-            mass_st = ell_to_stencil(self._mass)
-            if mass_st is not None:
-                stiff_st = ell_to_stencil(self._stiff)
-                if stiff_st is not None and stiff_st.offsets == mass_st.offsets:
-                    self._mass, self._stiff = mass_st, stiff_st
 
         from .stimulation import TimeWindow
 
@@ -190,29 +176,19 @@ class FusedMonodomainSolver:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
+        self._n = n
         if use_pallas and isinstance(self._mass, StencilMatrix):
-            # large meshes round to 512-row kernel blocks (65536 nodes) so
-            # the CG kernels' grids divide exactly and no wrapper copies
-            # are needed; the extra inert rows cost <4% at >=262k nodes
-            gran = 65536 if n >= 262144 else 1024
-            self._n_pad = -(-n // gran) * gran
+            # shared pad_stencil_pair rule: large meshes round to 512-row
+            # kernel blocks so the CG kernels' grids divide exactly and no
+            # wrapper copies are needed
+            from .ops.sparse import pad_stencil_pair
+
+            self._mass, self._stiff, self._n_pad = pad_stencil_pair(
+                self._mass, self._stiff, n
+            )
         else:
             self._n_pad = n
-        self._n = n
         pad = self._n_pad - n
-        if pad:
-            k0 = self._mass.offsets.index(0)
-            mvals = np.zeros((self._n_pad, self._mass.width), dtype=np.asarray(self._mass.vals).dtype)
-            mvals[:n] = np.asarray(self._mass.vals)
-            mvals[n:, k0] = 1.0
-            kvals = np.zeros_like(mvals)
-            kvals[:n] = np.asarray(self._stiff.vals)
-            self._mass = StencilMatrix(
-                offsets=self._mass.offsets, vals=mvals, shape=(self._n_pad, self._n_pad)
-            )
-            self._stiff = StencilMatrix(
-                offsets=self._stiff.offsets, vals=kvals, shape=(self._n_pad, self._n_pad)
-            )
 
         init = np.asarray(self.init_states, dtype=np.float64)
         if init.ndim == 1:
@@ -855,10 +831,14 @@ class FusedMonodomainSolver:
         with np.load(Path(path).with_suffix(".npz")) as f:
             n_file = f["states"].shape[1]
             # Tolerate legacy files that saved kernel-alignment padding, but
-            # no more than one 1024-granule beyond our node count — anything
-            # larger is a checkpoint from a genuinely different mesh and
-            # must not load silently truncated.
-            if n_file != self._n and not (self._n < n_file <= -(-self._n // 1024) * 1024):
+            # no more than one pad granule beyond our node count (the same
+            # rule __post_init__ pads with) — anything larger is a
+            # checkpoint from a genuinely different mesh and must not
+            # load silently truncated.
+            from .ops.sparse import pad_granule
+
+            gran = pad_granule(self._n)
+            if n_file != self._n and not (self._n < n_file <= -(-self._n // gran) * gran):
                 raise ValueError(
                     f"checkpoint has {n_file} nodes, solver has {self._n} "
                     "(different mesh?)"

@@ -33,6 +33,59 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+LANE = 128
+SUB = 8  # f32 sublane requirement: middle block dim must be 8k or full
+
+
+def _block_geometry(num_states: int, n_nodes: int, dtype, blocked_io: bool):
+    """Shared (m, Bm, grid, n_pad, pad) kernel-block sizing.
+
+    Whole-array block when the states tensor fits VMEM comfortably, else
+    8-row blocks doubled while they still fit half the budget.  Enforces
+    the blocked_io alignment contract (callers hand pre-blocked
+    ``(S, m, LANE)`` buffers, so n_nodes must already be padded)."""
+    S = num_states
+    itemsize = np.dtype(dtype).itemsize
+    m = _round_up(n_nodes, LANE) // LANE  # columns of 128 nodes
+    if S * m * LANE * itemsize <= 4 * 1024 * 1024:
+        Bm = m
+    else:
+        m = _round_up(m, SUB)
+        Bm = SUB
+        while m % (2 * Bm) == 0 and S * 2 * Bm * LANE * itemsize <= 2 * 1024 * 1024:
+            Bm *= 2
+    grid = (m // Bm,)
+    n_pad = m * LANE
+    pad = n_pad - n_nodes
+    if blocked_io and pad:
+        raise ValueError(
+            f"blocked_io requires n_nodes aligned to the kernel block "
+            f"({m}x{LANE} = {n_pad}), got {n_nodes}"
+        )
+    return m, Bm, grid, n_pad, pad
+
+
+def _block_rows(arr2d, rows, m, pad):
+    """Pad ``(rows, n)`` with replicated column 0, reshape ``(rows, m, LANE)``."""
+    if pad:
+        fill = jnp.broadcast_to(arr2d[:, :1], (rows, pad))
+        arr2d = jnp.concatenate([arr2d, fill], axis=1)
+    return arr2d.reshape(rows, m, LANE)
+
+
+def _block_vec(v, m, pad):
+    """Pad ``(n,)`` with replicated element 0, reshape ``(m, LANE)``."""
+    if pad:
+        v = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
+    return v.reshape(m, LANE)
+
+
+def _unblock_rows(out, rows, n_nodes, pad):
+    """Invert :func:`_block_rows`: ``(rows, m, LANE)`` back to ``(rows, n)``."""
+    out = out.reshape(rows, -1)
+    return out[:, :n_nodes] if pad else out
+
+
 def build_pallas_ode_step(
     fun: Callable,
     num_states: int,
@@ -83,28 +136,9 @@ def build_pallas_ode_step(
         interpret = jax.default_backend() != "tpu"
 
     S = num_states
-    LANE = 128
-    SUB = 8  # f32 sublane requirement: middle block dim must be 8k or full
-    m = _round_up(n_nodes, LANE) // LANE  # columns of 128 nodes
-    # whole-array block when it fits VMEM comfortably, else 8-row blocks
-    if S * m * LANE * 4 <= 4 * 1024 * 1024:
-        Bm = m
-    else:
-        m = _round_up(m, SUB)
-        Bm = SUB
-        while m % (2 * Bm) == 0 and S * 2 * Bm * LANE * 4 <= 2 * 1024 * 1024:
-            Bm *= 2
-    grid = (m // Bm,)
-    n_pad = m * LANE
+    m, Bm, grid, n_pad, pad = _block_geometry(S, n_nodes, dtype, blocked_io)
 
     params_np = None if parameters is None else np.asarray(parameters, dtype=np.float64)
-
-    pad = n_pad - n_nodes
-    if blocked_io and pad:
-        raise ValueError(
-            f"blocked_io requires n_nodes aligned to the kernel block "
-            f"({m}x{LANE} = {n_pad}), got {n_nodes}"
-        )
 
     # table-driven models (e.g. tp06.tabulated_rush_larsen) carry their
     # lookup tables as one packed (rows, 128) tensor; Pallas rejects
@@ -254,19 +288,12 @@ def build_pallas_ode_step(
     def _padded(states, v):
         if blocked_io:
             return states, v.reshape(m, LANE)
-        if pad:
-            fill = jnp.broadcast_to(states[:, :1], (S, pad))
-            states_p = jnp.concatenate([states, fill], axis=1)
-            v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
-        else:
-            states_p, v_p = states, v
-        return states_p.reshape(S, m, LANE), v_p.reshape(m, LANE)
+        return _block_rows(states, S, m, pad), _block_vec(v, m, pad)
 
     def _unblock(out):
         if blocked_io:
             return out
-        out = out.reshape(S, n_pad)
-        return out[:, :n_nodes] if pad else out
+        return _unblock_rows(out, S, n_nodes, pad)
 
     tab_tail = () if tables_np is None else (jnp.asarray(tables_np),)
 
@@ -287,10 +314,7 @@ def build_pallas_ode_step(
         if blocked_io:
             pblocks = params_node  # pre-blocked (NP, m, LANE) by the caller
         else:
-            if pad:
-                pfill = jnp.broadcast_to(params_node[:, :1], (NP, pad))
-                params_node = jnp.concatenate([params_node, pfill], axis=1)
-            pblocks = params_node.reshape(NP, m, LANE)
+            pblocks = _block_rows(params_node, NP, m, pad)
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
         return _unblock(call_v(t_arr, dt_arr, blocks, vblocks, pblocks, *tab_tail))
@@ -338,24 +362,7 @@ def build_pallas_multi_ode_step(
         interpret = jax.default_backend() != "tpu"
 
     S = num_states
-    LANE = 128
-    SUB = 8
-    m = _round_up(n_nodes, LANE) // LANE
-    if S * m * LANE * 4 <= 4 * 1024 * 1024:
-        Bm = m
-    else:
-        m = _round_up(m, SUB)
-        Bm = SUB
-        while m % (2 * Bm) == 0 and S * 2 * Bm * LANE * 4 <= 2 * 1024 * 1024:
-            Bm *= 2
-    grid = (m // Bm,)
-    n_pad = m * LANE
-    pad = n_pad - n_nodes
-    if blocked_io and pad:
-        raise ValueError(
-            f"blocked_io requires n_nodes aligned to the kernel block "
-            f"({m}x{LANE} = {n_pad}), got {n_nodes}"
-        )
+    m, Bm, grid, n_pad, pad = _block_geometry(S, n_nodes, dtype, blocked_io)
     vi = int(v_index)
 
     funs = multi["funs"]
@@ -433,17 +440,9 @@ def build_pallas_multi_ode_step(
             vblocks = v.reshape(m, LANE)
             pblocks = params_node  # pre-blocked (NM, m, LANE)
         else:
-            if pad:
-                fill = jnp.broadcast_to(states[:, :1], (S, pad))
-                states_p = jnp.concatenate([states, fill], axis=1)
-                v_p = jnp.concatenate([v, jnp.broadcast_to(v[:1], (pad,))])
-                pfill = jnp.broadcast_to(params_node[:, :1], (NM, pad))
-                params_node = jnp.concatenate([params_node, pfill], axis=1)
-            else:
-                states_p, v_p = states, v
-            sblocks = states_p.reshape(S, m, LANE)
-            vblocks = v_p.reshape(m, LANE)
-            pblocks = params_node.reshape(NM, m, LANE)
+            sblocks = _block_rows(states, S, m, pad)
+            vblocks = _block_vec(v, m, pad)
+            pblocks = _block_rows(params_node, NM, m, pad)
         t_arr = jnp.reshape(t, (1,)).astype(dtype)
         dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
         out = call(
@@ -456,7 +455,6 @@ def build_pallas_multi_ode_step(
         )
         if blocked_io:
             return out
-        out = out.reshape(S, n_pad)
-        return out[:, :n_nodes] if pad else out
+        return _unblock_rows(out, S, n_nodes, pad)
 
     return step_vp

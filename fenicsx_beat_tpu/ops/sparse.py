@@ -287,6 +287,39 @@ class StencilMatrix:
         return y
 
 
+def pad_granule(n: int) -> int:
+    """Kernel-alignment pad granule for the Pallas solve paths: large
+    meshes round to 512-row kernel blocks (65536 nodes) so the CG
+    kernels' grids divide exactly; the extra inert rows cost <4% at
+    >=262k nodes.  ONE rule shared by solver padding and checkpoint
+    tolerance — keep them in lockstep."""
+    return 65536 if n >= 262144 else 1024
+
+
+def pad_stencil_pair(
+    mass: StencilMatrix, stiff: StencilMatrix, n: int
+) -> tuple[StencilMatrix, StencilMatrix, int]:
+    """Pad a (mass, stiffness) stencil pair to the kernel granule with
+    inert rows: zero stiffness, unit mass diagonal (keeps Jacobi-CG
+    finite on the pad).  Returns ``(mass, stiff, n_pad)``; no copy when
+    ``n`` is already aligned."""
+    gran = pad_granule(n)
+    n_pad = -(-n // gran) * gran
+    if n_pad == n:
+        return mass, stiff, n_pad
+    k0 = mass.offsets.index(0)
+    mv = np.zeros((n_pad, mass.width), dtype=np.asarray(mass.vals).dtype)
+    mv[:n] = np.asarray(mass.vals)
+    mv[n:, k0] = 1.0
+    kv = np.zeros_like(mv)
+    kv[:n] = np.asarray(stiff.vals)
+    return (
+        StencilMatrix(offsets=mass.offsets, vals=mv, shape=(n_pad, n_pad)),
+        StencilMatrix(offsets=stiff.offsets, vals=kv, shape=(n_pad, n_pad)),
+        n_pad,
+    )
+
+
 def ell_to_stencil(A: ELLMatrix, max_offsets: int = 64) -> StencilMatrix | None:
     """Convert an ELL matrix to stencil form when a small global offset set
     exists (host-side, setup time).  Returns None otherwise."""
