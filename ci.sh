@@ -47,14 +47,26 @@ fi
 echo "=== [4/5] demo smoke (--quick, headless, CPU-pinned) ==="
 export MPLBACKEND=Agg
 export FBTPU_PLATFORM=cpu
+SMOKE=DEMO_SMOKE.json
+echo '{"demos": {' > "$SMOKE.tmp"
+first=1
 for demo in demos/*.py; do
+    name=$(basename "$demo" .py)
+    [ $first = 1 ] || echo ',' >> "$SMOKE.tmp"
+    first=0
     if grep -q -- '--quick' "$demo"; then
         echo "--- $demo --quick"
+        t0=$SECONDS
         timeout 180 python "$demo" --quick
+        printf '"%s": {"status": "ok", "seconds": %d}' "$name" $((SECONDS - t0)) >> "$SMOKE.tmp"
     else
         echo "--- $demo (no --quick path; skipped)"
+        printf '"%s": {"status": "no --quick path"}' "$name" >> "$SMOKE.tmp"
     fi
 done
+printf '},\n"date": "%s"}\n' "$(date -u +%Y-%m-%dT%H:%M:%SZ)" >> "$SMOKE.tmp"
+mv "$SMOKE.tmp" "$SMOKE"
+echo "demo smoke artifact: $SMOKE"
 
 echo "=== [5/5] kernel regression (TPU only) ==="
 unset FBTPU_PLATFORM

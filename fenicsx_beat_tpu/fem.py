@@ -718,9 +718,23 @@ def cell_geometry(mesh: Mesh) -> CellGeometry:
     cached = getattr(mesh, "_cell_geometry", None)
     if cached is not None:
         return cached
+    tdim, gdim = mesh.tdim, mesh.gdim
+    if tdim == gdim:
+        # one-pass native path: the NumPy pipeline below is ~15 strided
+        # passes over [nc, d(+1), d] temporaries — the dominant cost of
+        # production-scale assembly (45 s of 59 s at dx=0.1 on one vCPU)
+        from .native import p1_geometry
+
+        nat = p1_geometry(mesh.coords, mesh.cells, tdim)
+        if nat is not None:
+            E, vol, grads = nat
+            geom = CellGeometry(
+                edges=E, volume=vol, grads=grads, inv_edges=grads[:, 1:, :]
+            )
+            mesh._cell_geometry = geom
+            return geom
     X = mesh.coords[mesh.cells]  # [nc, tdim+1, gdim]
     E = X[:, 1:, :] - X[:, :1, :]  # [nc, tdim, gdim]
-    tdim, gdim = mesh.tdim, mesh.gdim
     if tdim == gdim:
         detJ, invE = _batched_det_inv(E)
         import math

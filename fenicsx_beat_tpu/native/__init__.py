@@ -29,7 +29,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["available", "unique_rows", "coo_to_ell_arrays", "rcm_ordering"]
+__all__ = ["available", "unique_rows", "coo_to_ell_arrays", "rcm_ordering", "p1_geometry"]
 
 _SRC = Path(__file__).with_name("beatkit.cpp")
 _LIB = None
@@ -86,6 +86,8 @@ def _build() -> ctypes.CDLL | None:
     lib.coo_to_ell_f64.argtypes = [i64p, i64p, f64p, i64, i64, i64, ctypes.c_int32, i32p, f64p]
     lib.rcm_ordering.restype = None
     lib.rcm_ordering.argtypes = [i64p, i32p, i64, i32p]
+    lib.p1_geometry.restype = i64
+    lib.p1_geometry.argtypes = [f64p, i32p, i64, ctypes.c_int32, f64p, f64p, f64p]
     return lib
 
 
@@ -188,6 +190,43 @@ def _coo_to_ell_numpy(rows, cols, vals, nrows, width):
     cols_out[r, pos] = c.astype(np.int32)
     vals_out[r, pos] = v
     return cols_out, vals_out, w, counts
+
+
+def p1_geometry(coords: np.ndarray, cells: np.ndarray, tdim: int):
+    """One-pass P1 simplex cell geometry (tdim == gdim in {1, 2, 3}):
+    ``(edges [nc, d, d], volume [nc], grads [nc, d+1, d])`` — the
+    fem.CellGeometry layout.  Returns ``None`` when the native kit is
+    unavailable or the dimension unsupported (caller uses the NumPy
+    pipeline); raises ``numpy.linalg.LinAlgError`` on degenerate cells to
+    match the NumPy path."""
+    lib = _get_lib()
+    if lib is None or tdim not in (1, 2, 3) or coords.shape[1] != tdim:
+        return None
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    cells = np.ascontiguousarray(cells, dtype=np.int32)
+    nc, nd = cells.shape
+    if nd != tdim + 1:
+        return None
+    edges = np.empty((nc, tdim, tdim), dtype=np.float64)
+    volume = np.empty(nc, dtype=np.float64)
+    grads = np.empty((nc, tdim + 1, tdim), dtype=np.float64)
+    rc = lib.p1_geometry(
+        _as_ptr(coords, ctypes.c_double),
+        _as_ptr(cells, ctypes.c_int32),
+        nc,
+        tdim,
+        _as_ptr(edges, ctypes.c_double),
+        _as_ptr(volume, ctypes.c_double),
+        _as_ptr(grads, ctypes.c_double),
+    )
+    if rc == -1:
+        raise np.linalg.LinAlgError(
+            "singular cell Jacobian: mesh contains degenerate "
+            "(zero-volume) cells"
+        )
+    if rc != 0:  # unsupported dimension guard inside the kernel
+        return None
+    return edges, volume, grads
 
 
 def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:

@@ -131,3 +131,54 @@ def test_hybrid_ell_tail_on_lv_mesh():
     # diagonal includes tail contributions
     d = np.asarray(A.diagonal())
     assert (d > 0).all()
+
+
+def test_p1_geometry_matches_numpy_pipeline():
+    import math
+
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.fem import _batched_det_inv
+    from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    for make in (
+        lambda: meshmod.create_interval(None, 40),
+        lambda: meshmod.create_unit_square(None, 9, 5),
+        lambda: get_3D_slab_geometry(None, dx=0.5, Lx=8.0, Ly=4.0, Lz=2.0).mesh,
+    ):
+        m = make()
+        nat = native.p1_geometry(m.coords, m.cells, m.tdim)
+        assert nat is not None
+        X = m.coords[m.cells]
+        E = X[:, 1:, :] - X[:, :1, :]
+        detJ, invE = _batched_det_inv(E)
+        vol = np.abs(detJ) / math.factorial(m.tdim)
+        Gi = np.transpose(invE, (0, 2, 1))
+        grads = np.concatenate([-Gi.sum(axis=1, keepdims=True), Gi], axis=1)
+        ne, nv, ng = nat
+        np.testing.assert_allclose(ne, E, atol=1e-14)
+        np.testing.assert_allclose(nv, vol, atol=1e-14)
+        np.testing.assert_allclose(ng, grads, rtol=1e-12, atol=1e-12)
+        # cell_geometry (whatever backend engaged) agrees, and inv_edges
+        # stays consistent with grads rows 1..d
+        geom = fem.cell_geometry(m)
+        np.testing.assert_allclose(np.asarray(geom.grads), grads, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(geom.inv_edges), grads[:, 1:, :], rtol=1e-12, atol=1e-12
+        )
+
+
+def test_p1_geometry_degenerate_cell_raises():
+    from fenicsx_beat_tpu import mesh as meshmod
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    m = meshmod.create_unit_square(None, 3, 3)
+    coords = m.coords.copy()
+    # collapse one cell: move a vertex onto another vertex of the same cell
+    c0 = m.cells[0]
+    coords[c0[1]] = coords[c0[0]]
+    with pytest.raises(np.linalg.LinAlgError):
+        native.p1_geometry(coords, m.cells, m.tdim)

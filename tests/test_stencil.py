@@ -181,3 +181,80 @@ def test_streamed_spmv_matches_base():
         y2, dot = spmv.spmv_dot(packed, jnp.asarray(x))
         assert abs(float(dot) - float(x @ y_ref)) < 1e-8
     np.testing.assert_array_equal(ys["base"], ys["streamed"])
+
+
+def test_pad_granule_rule():
+    from fenicsx_beat_tpu.ops.sparse import pad_granule
+
+    # small meshes round to 1024, large (>=262144) to 65536 — the ONE
+    # rule shared by solver padding and checkpoint tolerance
+    assert pad_granule(500) == 1024
+    assert pad_granule(262143) == 1024
+    assert pad_granule(262144) == 65536
+    assert pad_granule(3_449_001) == 65536
+
+
+def test_pad_stencil_pair_inert_rows():
+    from fenicsx_beat_tpu.ops.sparse import pad_stencil_pair
+
+    mesh = meshmod.create_unit_square(None, 9, 5)
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness(V, 1.0)
+    mass, stiff = ell_to_stencil(mass), ell_to_stencil(stiff)
+    n = V.ndofs
+    mp, kp, n_pad = pad_stencil_pair(mass, stiff, n)
+    assert n_pad == 1024 and mp.shape == (1024, 1024)
+    mv, kv = np.asarray(mp.vals), np.asarray(kp.vals)
+    # live rows unchanged
+    np.testing.assert_array_equal(mv[:n], np.asarray(mass.vals))
+    np.testing.assert_array_equal(kv[:n], np.asarray(stiff.vals))
+    # pad rows: zero stiffness, unit mass diagonal (Jacobi-CG stays finite)
+    k0 = mp.offsets.index(0)
+    np.testing.assert_array_equal(kv[n:], 0.0)
+    np.testing.assert_array_equal(mv[n:, k0], 1.0)
+    off_diag = np.delete(mv[n:], k0, axis=1)
+    np.testing.assert_array_equal(off_diag, 0.0)
+    # already-aligned n is a no-copy identity
+    m2, k2, np2 = pad_stencil_pair(mp, kp, n_pad)
+    assert np2 == n_pad and m2 is mp and k2 is kp
+
+
+def test_assemble_mass_stiffness_auto_prefers_stencil():
+    from fenicsx_beat_tpu.ops.sparse import ELLMatrix
+
+    # structured slab: direct stencil assembly
+    mesh = get_3D_slab_geometry(None, dx=1.0, Lx=8.0, Ly=4.0, Lz=2.0).mesh
+    V = fem.functionspace(mesh, ("P", 1))
+    mass_a, stiff_a = fem.assemble_mass_stiffness_auto(V, 1.0)
+    assert isinstance(mass_a, StencilMatrix) and isinstance(stiff_a, StencilMatrix)
+    mass_e, stiff_e = fem.assemble_mass_stiffness(V, 1.0)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(V.ndofs))
+    np.testing.assert_allclose(np.asarray(mass_a @ x), np.asarray(mass_e @ x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stiff_a @ x), np.asarray(stiff_e @ x), atol=1e-12)
+    # P2 declines the direct-stencil path but still returns a working pair
+    V2 = fem.functionspace(mesh, ("P", 2))
+    m2, k2 = fem.assemble_mass_stiffness_auto(V2, 1.0)
+    assert isinstance(m2, (StencilMatrix, ELLMatrix))
+    x2 = jnp.asarray(np.random.default_rng(4).standard_normal(V2.ndofs))
+    m2e, _ = fem.assemble_mass_stiffness(V2, 1.0)
+    np.testing.assert_allclose(np.asarray(m2 @ x2), np.asarray(m2e @ x2), atol=1e-12)
+
+
+def test_pallas_block_geometry_dtype_aware():
+    from fenicsx_beat_tpu.ops.pallas_ode import LANE, _block_geometry
+
+    # small problem: whole-array block regardless of dtype
+    m, Bm, grid, n_pad, pad = _block_geometry(19, 1000, np.float32, False)
+    assert Bm == m and grid == (1,) and n_pad == m * LANE and pad == n_pad - 1000
+    # at 19 states x 65536 nodes, f32 fits the 4MB whole-block budget
+    # (19*512*128*4 = 4.75MB > 4MB actually splits) — pick sizes either
+    # side of the budget to pin the dtype dependence:
+    # f32: 19 * 256 * 128 * 4 = 2.4MB <= 4MB -> whole block
+    m32, Bm32, *_ = _block_geometry(19, 256 * LANE, np.float32, False)
+    assert Bm32 == m32 == 256
+    # f64 doubles the bytes: 4.9MB > 4MB -> blocked (Bm < m)
+    m64, Bm64, *_ = _block_geometry(19, 256 * LANE, np.float64, False)
+    assert Bm64 < m64
+    # blocked_io demands kernel alignment
+    with pytest.raises(ValueError):
+        _block_geometry(19, 1000, np.float32, True)
