@@ -35,8 +35,9 @@ g.dryrun_multichip(8)
 print("dryrun_multichip(8): ok")
 EOF
 
-echo "=== [3/5] quick bench smoke ==="
+echo "=== [3/5] quick bench smoke + docs freshness ==="
 timeout 600 python bench.py --quick
+FBTPU_PLATFORM=cpu python docs/gen_api.py --check
 
 if [ "$FAST" = "--fast" ]; then
     echo "=== --fast: skipping demo smoke + kernel check ==="
