@@ -765,7 +765,10 @@ def cell_geometry(mesh: Mesh) -> CellGeometry:
 
 def _broadcast_cell_tensor(M_cells, nc: int, g: int) -> np.ndarray:
     """Conductivity spec -> per-cell [nc, g, g] tensor (shared by the COO
-    and direct-stencil assembly pipelines, which must stay bit-equal)."""
+    and direct-stencil assembly pipelines; scalar/constant specs stay a
+    stride-0 broadcast, which the native kernel reads without
+    materializing).  The pipelines agree to summation-order rounding
+    (the native one-pass kernel accumulates cell-major)."""
     Mc = np.asarray(M_cells, dtype=np.float64)
     if Mc.ndim == 0:
         Mc = np.broadcast_to(np.eye(g) * Mc, (nc, g, g))
@@ -941,49 +944,60 @@ def assemble_mass_stiffness_stencil(
         if cached is not None:
             return cached
 
-    # global offset set from per-pair unique diffs; the size check runs
-    # BEFORE any Python-set materialization so unstructured meshes
-    # decline after one vectorized unique, not after O(n) set inserts
-    offsets: set[int] = set()
-    for i in range(nd):
-        for j in range(nd):
-            u = np.unique(cd[:, j] - cd[:, i])
-            if u.size > max_offsets:
-                return None
-            offsets.update(int(v) for v in u)
-            if len(offsets) > max_offsets:
-                return None
-    offs = np.array(sorted(offsets), dtype=np.int64)
-    K = offs.size
-
     geom = cell_geometry(mesh)
     d, g = mesh.tdim, mesh.gdim
     Mc = _broadcast_cell_tensor(M_cells, mesh.num_cells, g)
     base = _p1_mass_base(d)
     vol = geom.volume
 
-    mst = np.zeros(n * K)
-    kst = np.zeros(n * K)
-    for j in range(nd):
-        # M . grad(phi_j), one [nc, g] vector at a time
-        MGj = np.einsum("cgh,ch->cg", Mc, geom.grads[:, j, :])
+    from .native import p1_stencil_tables
+
+    nat = p1_stencil_tables(cd, vol, geom.grads, Mc, base, max_offsets, n)
+    if nat == "too_wide":
+        return None
+    if nat is not None:
+        # one-pass native path (offset discovery + scatter fused per cell;
+        # the slot loop below is ~5.5 s of the 6.9 s dx=0.1 assembly)
+        offs, mtab, ktab = nat
+    else:
+        # global offset set from per-pair unique diffs; the size check runs
+        # BEFORE any Python-set materialization so unstructured meshes
+        # decline after one vectorized unique, not after O(n) set inserts
+        offsets: set[int] = set()
         for i in range(nd):
-            dij = cd[:, j] - cd[:, i]
-            kk = np.searchsorted(offs, dij)
-            lin = cd[:, i] * K + kk
-            mst += np.bincount(lin, weights=vol * base[i, j], minlength=n * K)
-            ke_ij = vol * np.einsum("cg,cg->c", geom.grads[:, i, :], MGj)
-            kst += np.bincount(lin, weights=ke_ij, minlength=n * K)
+            for j in range(nd):
+                u = np.unique(cd[:, j] - cd[:, i])
+                if u.size > max_offsets:
+                    return None
+                offsets.update(int(v) for v in u)
+                if len(offsets) > max_offsets:
+                    return None
+        offs = np.array(sorted(offsets), dtype=np.int64)
+        K = offs.size
+
+        mst = np.zeros(n * K)
+        kst = np.zeros(n * K)
+        for j in range(nd):
+            # M . grad(phi_j), one [nc, g] vector at a time
+            MGj = np.einsum("cgh,ch->cg", Mc, geom.grads[:, j, :])
+            for i in range(nd):
+                dij = cd[:, j] - cd[:, i]
+                kk = np.searchsorted(offs, dij)
+                lin = cd[:, i] * K + kk
+                mst += np.bincount(lin, weights=vol * base[i, j], minlength=n * K)
+                ke_ij = vol * np.einsum("cg,cg->c", geom.grads[:, i, :], MGj)
+                kst += np.bincount(lin, weights=ke_ij, minlength=n * K)
+        mtab, ktab = mst.reshape(n, K), kst.reshape(n, K)
 
     npdt = np.dtype(jnp.dtype(dtype).name) if dtype is not None else np.float64
     mass = StencilMatrix(
         offsets=tuple(int(v) for v in offs),
-        vals=mst.reshape(n, K).astype(npdt),
+        vals=mtab.astype(npdt),
         shape=(n, n),
     )
     stiff = StencilMatrix(
         offsets=mass.offsets,
-        vals=kst.reshape(n, K).astype(npdt),
+        vals=ktab.astype(npdt),
         shape=(n, n),
     )
     if cache_key is not None:

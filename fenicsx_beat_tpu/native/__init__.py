@@ -29,7 +29,14 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["available", "unique_rows", "coo_to_ell_arrays", "rcm_ordering", "p1_geometry"]
+__all__ = [
+    "available",
+    "unique_rows",
+    "coo_to_ell_arrays",
+    "rcm_ordering",
+    "p1_geometry",
+    "p1_stencil_tables",
+]
 
 _SRC = Path(__file__).with_name("beatkit.cpp")
 _LIB = None
@@ -88,6 +95,16 @@ def _build() -> ctypes.CDLL | None:
     lib.rcm_ordering.argtypes = [i64p, i32p, i64, i32p]
     lib.p1_geometry.restype = i64
     lib.p1_geometry.argtypes = [f64p, i32p, i64, ctypes.c_int32, f64p, f64p, f64p]
+    lib.p1_stencil_offsets.restype = i64
+    lib.p1_stencil_offsets.argtypes = [i64p, i64, ctypes.c_int32, i64, i64p]
+    lib.p1_stencil_assemble.restype = i64
+    lib.p1_stencil_assemble.argtypes = [
+        i64p, i64, ctypes.c_int32,          # cd, nc, nd
+        f64p, f64p, ctypes.c_int32,         # vol, grads, g
+        f64p, i64,                          # mc, mc_stride
+        f64p, i64p, i64,                    # base, offs, K
+        f64p, f64p,                         # mst, kst
+    ]
     return lib
 
 
@@ -227,6 +244,67 @@ def p1_geometry(coords: np.ndarray, cells: np.ndarray, tdim: int):
     if rc != 0:  # unsupported dimension guard inside the kernel
         return None
     return edges, volume, grads
+
+
+def p1_stencil_tables(
+    cd: np.ndarray,
+    vol: np.ndarray,
+    grads: np.ndarray,
+    Mc: np.ndarray,
+    base: np.ndarray,
+    max_offsets: int,
+    n: int,
+):
+    """One-pass direct stencil assembly of the P1 mass/stiffness tables.
+
+    ``cd [nc, nd]`` cell dofs, ``vol [nc]``, ``grads [nc, nd, g]``,
+    ``Mc [nc, g, g]`` per-cell conductivity (a stride-0 broadcast along
+    axis 0 is passed through without materializing), ``base [nd, nd]``
+    the closed-form P1 mass matrix / volume, ``n`` the dof count (table
+    row count).
+
+    Returns ``(offs [K] int64 sorted, mst [n, K], kst [n, K])``; ``None``
+    when the native kit is unavailable (caller uses the NumPy slot loop);
+    ``"too_wide"`` when the offset set exceeds ``max_offsets`` (caller
+    declines the stencil format entirely)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    cd = np.ascontiguousarray(cd, dtype=np.int64)
+    nc, nd = cd.shape
+    g = grads.shape[2]
+    if nd > 4 or g > 3:
+        return None
+    vol = np.ascontiguousarray(vol, dtype=np.float64)
+    grads = np.ascontiguousarray(grads, dtype=np.float64)
+    base = np.ascontiguousarray(base, dtype=np.float64)
+    Mc = np.asarray(Mc, dtype=np.float64)
+    if Mc.strides[0] == 0:  # broadcast tensor: one [g, g] block, stride 0
+        mc = np.ascontiguousarray(Mc[0])
+        mc_stride = 0
+    else:
+        mc = np.ascontiguousarray(Mc)
+        mc_stride = g * g
+    offs = np.empty(max_offsets, dtype=np.int64)
+    K = lib.p1_stencil_offsets(
+        _as_ptr(cd, ctypes.c_int64), nc, nd, max_offsets,
+        _as_ptr(offs, ctypes.c_int64),
+    )
+    if K < 0:
+        return "too_wide"
+    offs = offs[:K].copy()
+    mst = np.zeros(n * K, dtype=np.float64)
+    kst = np.zeros(n * K, dtype=np.float64)
+    rc = lib.p1_stencil_assemble(
+        _as_ptr(cd, ctypes.c_int64), nc, nd,
+        _as_ptr(vol, ctypes.c_double), _as_ptr(grads, ctypes.c_double), g,
+        _as_ptr(mc, ctypes.c_double), mc_stride,
+        _as_ptr(base, ctypes.c_double), _as_ptr(offs, ctypes.c_int64), K,
+        _as_ptr(mst, ctypes.c_double), _as_ptr(kst, ctypes.c_double),
+    )
+    if rc != 0:  # defensive: offs always covers cd by construction
+        return None
+    return offs, mst.reshape(n, K), kst.reshape(n, K)
 
 
 def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:

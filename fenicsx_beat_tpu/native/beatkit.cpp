@@ -222,6 +222,85 @@ int64_t p1_geometry(const double* coords, const int32_t* cells, int64_t nc,
 }
 
 // ---------------------------------------------------------------------------
+// p1_stencil_offsets: the distinct column offsets cd[c,j] - cd[c,i] over
+// all cells and local (i, j) slots, written sorted to out_offs.  Returns
+// the offset count K, or -1 once the set exceeds max_offsets (unstructured
+// mesh: the caller declines the stencil format).  Replaces nd*nd numpy
+// unique() passes over [nc] difference vectors.
+int64_t p1_stencil_offsets(const int64_t* cd, int64_t nc, int32_t nd,
+                           int64_t max_offsets, int64_t* out_offs) {
+    std::vector<int64_t> offs;
+    offs.reserve((size_t)max_offsets + 1);
+    for (int64_t c = 0; c < nc; ++c) {
+        const int64_t* r = cd + c * nd;
+        for (int32_t i = 0; i < nd; ++i) {
+            for (int32_t j = 0; j < nd; ++j) {
+                const int64_t d = r[j] - r[i];
+                auto it = std::lower_bound(offs.begin(), offs.end(), d);
+                if (it == offs.end() || *it != d) {
+                    if ((int64_t)offs.size() >= max_offsets) return -1;
+                    offs.insert(it, d);
+                }
+            }
+        }
+    }
+    std::copy(offs.begin(), offs.end(), out_offs);
+    return (int64_t)offs.size();
+}
+
+// ---------------------------------------------------------------------------
+// p1_stencil_assemble: one-pass consistent-mass + anisotropic-stiffness
+// scatter into the [n, K] stencil tables.  Replaces the numpy slot loop
+// (nd*nd searchsorted + 2 bincounts over n*K each, plus the per-slot
+// conductivity einsums — measured 5.5 s of the 6.9 s dx=0.1 assembly on
+// one vCPU); this touches each cell once.
+//
+// cd: [nc, nd] int64 cell dofs; vol: [nc]; grads: [nc, nd, g] physical
+// basis gradients; mc: per-cell conductivity [g, g] blocks read at
+// mc + c*mc_stride (mc_stride 0 broadcasts one tensor); base: [nd, nd]
+// closed-form P1 mass matrix / volume; offs: [K] sorted output of
+// p1_stencil_offsets.  mst/kst: [n*K] zero-initialized accumulators,
+// mst[row*K + k] accumulating column offset offs[k].
+// Returns 0, or -1 if some dof difference is absent from offs (caller
+// bug: offs not built from this cd).
+int64_t p1_stencil_assemble(const int64_t* cd, int64_t nc, int32_t nd,
+                            const double* vol, const double* grads, int32_t g,
+                            const double* mc, int64_t mc_stride,
+                            const double* base, const int64_t* offs, int64_t K,
+                            double* mst, double* kst) {
+    double MG[4][3];  // (M . grad phi_j) per cell; nd <= 4, g <= 3
+    if (nd > 4 || g > 3) return -2;
+    for (int64_t c = 0; c < nc; ++c) {
+        const int64_t* r = cd + c * nd;
+        const double v = vol[c];
+        const double* Gc = grads + c * (int64_t)nd * g;
+        const double* M = mc + c * mc_stride;
+        for (int32_t j = 0; j < nd; ++j) {
+            const double* Gj = Gc + j * g;
+            for (int32_t a = 0; a < g; ++a) {
+                double s = 0.0;
+                for (int32_t b = 0; b < g; ++b) s += M[a * g + b] * Gj[b];
+                MG[j][a] = s;
+            }
+        }
+        for (int32_t i = 0; i < nd; ++i) {
+            const double* Gi = Gc + i * g;
+            for (int32_t j = 0; j < nd; ++j) {
+                const int64_t d = r[j] - r[i];
+                const int64_t* it = std::lower_bound(offs, offs + K, d);
+                if (it == offs + K || *it != d) return -1;
+                const int64_t idx = r[i] * K + (it - offs);
+                mst[idx] += v * base[i * nd + j];
+                double ke = 0.0;
+                for (int32_t a = 0; a < g; ++a) ke += Gi[a] * MG[j][a];
+                kst[idx] += v * ke;
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // rcm_ordering: reverse Cuthill-McKee over a CSR adjacency graph
 // (bandwidth-reducing node permutation; improves ELL gather locality for
 // the TPU SpMV).  perm_out[new_index] = old_index.

@@ -170,6 +170,49 @@ def test_p1_geometry_matches_numpy_pipeline():
         )
 
 
+def test_p1_stencil_tables_matches_numpy_slot_loop():
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.fem import _broadcast_cell_tensor, _p1_mass_base
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    rng = np.random.default_rng(7)
+    m = meshmod.create_unit_square(None, 8, 6)
+    V = fem.functionspace(m, ("P", 1))
+    cd = V.cell_dofs.astype(np.int64)
+    geom = fem.cell_geometry(m)
+    n, nd, g = V.ndofs, V.ndofs_per_cell, m.gdim
+    base = _p1_mass_base(m.tdim)
+    # anisotropic per-cell tensors (SPD-ish) exercise mc_stride != 0
+    A = rng.standard_normal((m.num_cells, g, g))
+    Mc_percell = A @ np.transpose(A, (0, 2, 1)) + 2 * np.eye(g)
+    for Mc in (_broadcast_cell_tensor(0.3, m.num_cells, g), Mc_percell):
+        nat = native.p1_stencil_tables(cd, geom.volume, geom.grads, Mc, base, 64, n)
+        assert nat is not None and nat != "too_wide"
+        offs, mtab, ktab = nat
+        # reference: the numpy slot loop
+        K = offs.size
+        mst = np.zeros(n * K)
+        kst = np.zeros(n * K)
+        for j in range(nd):
+            MGj = np.einsum("cgh,ch->cg", Mc, geom.grads[:, j, :])
+            for i in range(nd):
+                kk = np.searchsorted(offs, cd[:, j] - cd[:, i])
+                lin = cd[:, i] * K + kk
+                mst += np.bincount(lin, weights=geom.volume * base[i, j], minlength=n * K)
+                kst += np.bincount(
+                    lin,
+                    weights=geom.volume * np.einsum("cg,cg->c", geom.grads[:, i, :], MGj),
+                    minlength=n * K,
+                )
+        np.testing.assert_allclose(mtab, mst.reshape(n, K), rtol=1e-13, atol=1e-15)
+        np.testing.assert_allclose(ktab, kst.reshape(n, K), rtol=1e-12, atol=1e-14)
+    # unstructured offset explosion declines
+    perm = rng.permutation(m.num_vertices).astype(cd.dtype)
+    assert native.p1_stencil_tables(perm[cd], geom.volume, geom.grads, Mc_percell, base, 8, n) == "too_wide"
+
+
 def test_p1_geometry_degenerate_cell_raises():
     from fenicsx_beat_tpu import mesh as meshmod
 
