@@ -712,28 +712,45 @@ def _batched_det_inv(E: np.ndarray):
     return np.linalg.det(E), np.linalg.inv(E)
 
 
-def cell_geometry(mesh: Mesh) -> CellGeometry:
+def cell_geometry(mesh: Mesh, cells: np.ndarray | None = None) -> CellGeometry:
+    """Per-cell affine geometry (edges, volume, basis gradients).
+
+    With ``cells`` (an index array), geometry is computed/sliced for that
+    subset only — a full cached geometry is sliced, otherwise just the
+    subset is computed (and NOT cached): production consumers like
+    stimulus quadrature touch a small marked region of a multi-GB mesh
+    and must not force full-mesh materialization (~3.4 GB at dx=0.05)."""
     # Cached on the mesh instance itself: a module-level dict keyed by id()
     # can collide when a garbage-collected mesh's id is reused.
     cached = getattr(mesh, "_cell_geometry", None)
     if cached is not None:
-        return cached
+        if cells is None:
+            return cached
+        cells = np.asarray(cells)
+        return CellGeometry(
+            edges=cached.edges[cells],
+            volume=cached.volume[cells],
+            grads=cached.grads[cells],
+            inv_edges=cached.inv_edges[cells],
+        )
     tdim, gdim = mesh.tdim, mesh.gdim
+    cell_verts = mesh.cells if cells is None else mesh.cells[np.asarray(cells)]
     if tdim == gdim:
         # one-pass native path: the NumPy pipeline below is ~15 strided
         # passes over [nc, d(+1), d] temporaries — the dominant cost of
         # production-scale assembly (45 s of 59 s at dx=0.1 on one vCPU)
         from .native import p1_geometry
 
-        nat = p1_geometry(mesh.coords, mesh.cells, tdim)
+        nat = p1_geometry(mesh.coords, cell_verts, tdim)
         if nat is not None:
             E, vol, grads = nat
             geom = CellGeometry(
                 edges=E, volume=vol, grads=grads, inv_edges=grads[:, 1:, :]
             )
-            mesh._cell_geometry = geom
+            if cells is None:
+                mesh._cell_geometry = geom
             return geom
-    X = mesh.coords[mesh.cells]  # [nc, tdim+1, gdim]
+    X = mesh.coords[cell_verts]  # [nc, tdim+1, gdim]
     E = X[:, 1:, :] - X[:, :1, :]  # [nc, tdim, gdim]
     if tdim == gdim:
         detJ, invE = _batched_det_inv(E)
@@ -755,7 +772,8 @@ def cell_geometry(mesh: Mesh) -> CellGeometry:
     g0 = -Gi.sum(axis=1, keepdims=True)
     grads = np.concatenate([g0, Gi], axis=1)  # [nc, tdim+1, gdim]
     geom = CellGeometry(edges=E, volume=vol, grads=grads, inv_edges=Gi)
-    mesh._cell_geometry = geom
+    if cells is None:
+        mesh._cell_geometry = geom
     return geom
 
 
@@ -935,7 +953,6 @@ def assemble_mass_stiffness_stencil(
     mesh = V.mesh
     nd = V.ndofs_per_cell
     n = V.ndofs
-    cd = V.cell_dofs.astype(np.int64)
 
     if cache_key is not None:
         # max_offsets participates in the key: a warm cache must never
@@ -944,20 +961,33 @@ def assemble_mass_stiffness_stencil(
         if cached is not None:
             return cached
 
-    geom = cell_geometry(mesh)
     d, g = mesh.tdim, mesh.gdim
     Mc = _broadcast_cell_tensor(M_cells, mesh.num_cells, g)
     base = _p1_mass_base(d)
-    vol = geom.volume
 
-    from .native import p1_stencil_tables
+    from .native import p1_stencil_tables, p1_stencil_tables_direct
 
-    nat = p1_stencil_tables(cd, vol, geom.grads, Mc, base, max_offsets, n)
-    if nat == "too_wide":
-        return None
+    nat = None
+    if d == g:
+        # fused geometry + assembly: one pass over coords/cells, nothing
+        # per-cell materialized (the host's bandwidth is low and erratic —
+        # see docs/DESIGN.md §9 — so bytes-not-moved is the lever; for P1
+        # the cell dofs ARE mesh.cells, fem.py _space_from_element)
+        nat = p1_stencil_tables_direct(mesh.coords, V.cell_dofs, Mc, max_offsets, n)
+        if nat == "too_wide":
+            return None
+        if nat is not None:
+            nat = nat[:3]
+    if nat is None:
+        # geometry-based native path (1D meshes, embedded manifolds, or a
+        # partially-built native kit); then the numpy slot loop
+        geom = cell_geometry(mesh)
+        vol = geom.volume
+        cd = V.cell_dofs.astype(np.int64)
+        nat = p1_stencil_tables(cd, vol, geom.grads, Mc, base, max_offsets, n)
+        if nat == "too_wide":
+            return None
     if nat is not None:
-        # one-pass native path (offset discovery + scatter fused per cell;
-        # the slot loop below is ~5.5 s of the 6.9 s dx=0.1 assembly)
         offs, mtab, ktab = nat
     else:
         # global offset set from per-pair unique diffs; the size check runs
@@ -1177,18 +1207,25 @@ def cell_quadrature(
     """Quadrature tables over (a subset of) cells for the space ``V``."""
     dtype = dtype or np.float64
     mesh = V.mesh
-    geom = cell_geometry(mesh)
     if cells is None:
         cells = np.arange(mesh.num_cells)
-    cells = np.asarray(cells, dtype=np.int64)
+        geom = cell_geometry(mesh)
+        edges_c, vol_c = geom.edges, geom.volume
+    else:
+        # subset geometry: stimulus/electrode regions are a small marked
+        # slice of a potentially multi-GB mesh — never force the full
+        # per-cell geometry to materialize for them
+        cells = np.asarray(cells, dtype=np.int64)
+        sub = cell_geometry(mesh, cells)
+        edges_c, vol_c = sub.edges, sub.volume
     pts, wts = simplex_rule(mesh.tdim, degree)
     N = V.element.tabulate(mesh.tdim, pts)  # [nq, nd]
     x0 = mesh.coords[mesh.cells[cells, 0]]
-    X = x0[:, None, :] + np.einsum("qd,cdg->cqg", pts, geom.edges[cells])
+    X = x0[:, None, :] + np.einsum("qd,cdg->cqg", pts, edges_c)
     import math
 
     scale = math.factorial(mesh.tdim)
-    W = (geom.volume[cells] * scale)[:, None] * wts[None, :]
+    W = (vol_c * scale)[:, None] * wts[None, :]
     # numpy-backed: quadrature tables are typically captured as jit-closure
     # constants; numpy constants embed into the lowered module directly,
     # while device-array constants are PULLED back to host at lowering —
@@ -1403,6 +1440,16 @@ def _locate_cells(mesh: Mesh, points: np.ndarray, tol: float = 1e-10) -> np.ndar
     if pts.ndim == 1:
         pts = pts[None, :]
     pts = pts[:, : mesh.gdim]
+    if mesh.tdim == mesh.gdim:
+        # bbox-prefiltered native sweep: reads each cell's coords once and
+        # needs no precomputed geometry (the fallback below reads the full
+        # [nc, tdim, gdim] inverse-Jacobian array PER POINT — ~1.9 GB x
+        # n_probes at dx=0.05)
+        from .native import locate_points as _native_locate
+
+        nat = _native_locate(mesh.coords, mesh.cells, pts, tol=tol)
+        if nat is not None:
+            return nat
     geom = cell_geometry(mesh)
     x0 = mesh.coords[mesh.cells[:, 0]]  # [nc, gdim]
     out = np.full(pts.shape[0], -1, dtype=np.int64)
@@ -1431,9 +1478,9 @@ def evaluate_function(u: Function, points: np.ndarray, tol: float = 1e-8) -> np.
     if (cells < 0).any():
         missing = pts[cells < 0]
         raise ValueError(f"Points outside mesh: {missing}")
-    geom = cell_geometry(mesh)
+    sub = cell_geometry(mesh, cells)
     x0 = mesh.coords[mesh.cells[cells, 0]]
-    xi = np.einsum("pg,pig->pi", pts[:, : mesh.gdim] - x0, geom.inv_edges[cells])
+    xi = np.einsum("pg,pig->pi", pts[:, : mesh.gdim] - x0, sub.inv_edges)
     if V.element.family == "Quadrature":
         raise NotImplementedError("evaluate_function on quadrature spaces")
     # tabulate is pointwise: row i of N uses reference point i (the point's
@@ -1462,9 +1509,9 @@ def point_evaluation_tables(
     cells = _locate_cells(mesh, pts, tol=tol)
     if (cells < 0).any():
         raise ValueError(f"Points outside mesh: {pts[cells < 0]}")
-    geom = cell_geometry(mesh)
+    sub = cell_geometry(mesh, cells)
     x0 = mesh.coords[mesh.cells[cells, 0]]
-    xi = np.einsum("pg,pig->pi", pts[:, : mesh.gdim] - x0, geom.inv_edges[cells])
+    xi = np.einsum("pg,pig->pi", pts[:, : mesh.gdim] - x0, sub.inv_edges)
     N = V.element.tabulate(mesh.tdim, xi)
     return V.cell_dofs[cells], N
 

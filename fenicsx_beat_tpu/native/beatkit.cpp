@@ -301,6 +301,217 @@ int64_t p1_stencil_assemble(const int64_t* cd, int64_t nc, int32_t nd,
 }
 
 // ---------------------------------------------------------------------------
+// p1_stencil_offsets_i32: int32 variant of p1_stencil_offsets (P1 cell
+// dofs ARE mesh.cells, which is int32 — avoids a [nc, nd] int64 cast that
+// costs ~0.6 GB of host traffic at the 20M-cell dx=0.05 resolution).
+int64_t p1_stencil_offsets_i32(const int32_t* cd, int64_t nc, int32_t nd,
+                               int64_t max_offsets, int64_t* out_offs) {
+    std::vector<int64_t> offs;
+    offs.reserve((size_t)max_offsets + 1);
+    for (int64_t c = 0; c < nc; ++c) {
+        const int32_t* r = cd + c * nd;
+        for (int32_t i = 0; i < nd; ++i) {
+            for (int32_t j = 0; j < nd; ++j) {
+                const int64_t d = (int64_t)r[j] - r[i];
+                auto it = std::lower_bound(offs.begin(), offs.end(), d);
+                if (it == offs.end() || *it != d) {
+                    if ((int64_t)offs.size() >= max_offsets) return -1;
+                    offs.insert(it, d);
+                }
+            }
+        }
+    }
+    std::copy(offs.begin(), offs.end(), out_offs);
+    return (int64_t)offs.size();
+}
+
+// ---------------------------------------------------------------------------
+// p1_stencil_assemble_direct: geometry + mass/stiffness scatter fused in a
+// single pass over the cells, never materializing the [nc, ...] geometry
+// arrays (edges 1.4 GB + grads 1.9 GB at dx=0.05; the host's sustained
+// bandwidth is low and erratic, so bytes-not-moved is the lever).  P1,
+// tdim == gdim == d in {2, 3}; cell dofs == mesh.cells (int32).
+//
+// Per cell: edge matrix E, det, physical basis gradients G (rows 1..d =
+// inv(E)^T, row 0 = -sum), vol = |det|/d!; then for each local (i, j):
+// mst[r_i*K + k(d_ij)] += vol * (1+delta_ij)/((d+1)(d+2)),
+// kst[...] += vol * G_i . (M_c G_j).  vol_out (nullable) receives the
+// cell volumes as a by-product.
+// Returns 0; -1 on an exactly singular cell (degenerate mesh, caller
+// raises LinAlgError); -2 on unsupported d; -3 when a dof difference is
+// absent from offs (caller bug).
+int64_t p1_stencil_assemble_direct(const double* coords, const int32_t* cells,
+                                   int64_t nc, int32_t d, const double* mc,
+                                   int64_t mc_stride, const int64_t* offs,
+                                   int64_t K, double* mst, double* kst,
+                                   double* vol_out) {
+    if (d != 2 && d != 3) return -2;
+    const int32_t nd = d + 1;
+    const double inv_fact = (d == 3) ? (1.0 / 6.0) : 0.5;
+    const double mass_diag = 2.0 / ((double)(d + 1) * (d + 2));
+    const double mass_off = 1.0 / ((double)(d + 1) * (d + 2));
+    double G[4][3], MG[4][3];
+    for (int64_t c = 0; c < nc; ++c) {
+        const int32_t* r = cells + c * nd;
+        const double* M = mc + c * mc_stride;
+        double det, vol;
+        if (d == 3) {
+            const double* x0 = coords + (int64_t)r[0] * 3;
+            const double* x1 = coords + (int64_t)r[1] * 3;
+            const double* x2 = coords + (int64_t)r[2] * 3;
+            const double* x3 = coords + (int64_t)r[3] * 3;
+            const double a = x1[0] - x0[0], b = x1[1] - x0[1], cc = x1[2] - x0[2];
+            const double p = x2[0] - x0[0], q = x2[1] - x0[1], s = x2[2] - x0[2];
+            const double u = x3[0] - x0[0], v = x3[1] - x0[1], w = x3[2] - x0[2];
+            const double A = q * w - s * v;
+            const double B = s * u - p * w;
+            const double C = p * v - q * u;
+            det = a * A + b * B + cc * C;
+            if (det == 0.0) return -1;
+            const double iv = 1.0 / det;
+            G[1][0] = A * iv;              G[1][1] = B * iv;              G[1][2] = C * iv;
+            G[2][0] = (cc * v - b * w) * iv; G[2][1] = (a * w - cc * u) * iv; G[2][2] = (b * u - a * v) * iv;
+            G[3][0] = (b * s - cc * q) * iv; G[3][1] = (cc * p - a * s) * iv; G[3][2] = (a * q - b * p) * iv;
+            G[0][0] = -(G[1][0] + G[2][0] + G[3][0]);
+            G[0][1] = -(G[1][1] + G[2][1] + G[3][1]);
+            G[0][2] = -(G[1][2] + G[2][2] + G[3][2]);
+        } else {
+            const double* x0 = coords + (int64_t)r[0] * 2;
+            const double* x1 = coords + (int64_t)r[1] * 2;
+            const double* x2 = coords + (int64_t)r[2] * 2;
+            const double a = x1[0] - x0[0], b = x1[1] - x0[1];
+            const double p = x2[0] - x0[0], q = x2[1] - x0[1];
+            det = a * q - b * p;
+            if (det == 0.0) return -1;
+            const double iv = 1.0 / det;
+            G[1][0] = q * iv;  G[1][1] = -p * iv;
+            G[2][0] = -b * iv; G[2][1] = a * iv;
+            G[0][0] = -(G[1][0] + G[2][0]);
+            G[0][1] = -(G[1][1] + G[2][1]);
+        }
+        vol = (det < 0 ? -det : det) * inv_fact;
+        if (vol_out) vol_out[c] = vol;
+        for (int32_t j = 0; j < nd; ++j) {
+            for (int32_t a = 0; a < d; ++a) {
+                double s = 0.0;
+                for (int32_t b = 0; b < d; ++b) s += M[a * d + b] * G[j][b];
+                MG[j][a] = s;
+            }
+        }
+        for (int32_t i = 0; i < nd; ++i) {
+            for (int32_t j = 0; j < nd; ++j) {
+                const int64_t dij = (int64_t)r[j] - r[i];
+                const int64_t* it = std::lower_bound(offs, offs + K, dij);
+                if (it == offs + K || *it != dij) return -3;
+                const int64_t idx = (int64_t)r[i] * K + (it - offs);
+                mst[idx] += vol * (i == j ? mass_diag : mass_off);
+                double ke = 0.0;
+                for (int32_t a = 0; a < d; ++a) ke += G[i][a] * MG[j][a];
+                kst[idx] += vol * ke;
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// locate_points: containing cell per physical point (barycentric test with
+// a bounding-box prefilter), one pass over the cells for ALL points.  The
+// numpy path reads the full [nc, d+1, d] inverse-Jacobian array per point
+// (~1.9 GB x n_points at dx=0.05); this reads each cell's coords once and
+// needs no precomputed geometry.  Already-located points are skipped, so
+// the pass ends early once every point is found.
+// coords [n, g], cells [nc, d+1] int32, pts [np, g]; out [np] int64
+// (-1 = not found).  tdim == gdim == g in {2, 3}.
+void locate_points(const double* coords, const int32_t* cells, int64_t nc,
+                   int32_t g, const double* pts, int64_t np_, double tol,
+                   int64_t* out) {
+    const int32_t nd = g + 1;
+    for (int64_t p = 0; p < np_; ++p) out[p] = -1;
+    int64_t remaining = np_;
+    for (int64_t c = 0; c < nc && remaining > 0; ++c) {
+        const int32_t* r = cells + c * nd;
+        // cell bbox
+        double lo[3], hi[3];
+        for (int32_t a = 0; a < g; ++a) {
+            lo[a] = hi[a] = coords[(int64_t)r[0] * g + a];
+        }
+        for (int32_t i = 1; i < nd; ++i) {
+            const double* x = coords + (int64_t)r[i] * g;
+            for (int32_t a = 0; a < g; ++a) {
+                lo[a] = std::min(lo[a], x[a]);
+                hi[a] = std::max(hi[a], x[a]);
+            }
+        }
+        double inv[3][3];  // inverse edge matrix, computed lazily per cell
+        bool have_inv = false;
+        for (int64_t p = 0; p < np_; ++p) {
+            if (out[p] >= 0) continue;
+            const double* pt = pts + p * g;
+            bool in_box = true;
+            for (int32_t a = 0; a < g; ++a) {
+                if (pt[a] < lo[a] - tol || pt[a] > hi[a] + tol) { in_box = false; break; }
+            }
+            if (!in_box) continue;
+            if (!have_inv) {
+                const double* x0 = coords + (int64_t)r[0] * g;
+                double E[3][3];
+                for (int32_t i = 0; i < g; ++i) {
+                    const double* xi = coords + (int64_t)r[i + 1] * g;
+                    for (int32_t a = 0; a < g; ++a) E[i][a] = xi[a] - x0[a];
+                }
+                double det;
+                if (g == 3) {
+                    const double A = E[1][1] * E[2][2] - E[1][2] * E[2][1];
+                    const double B = E[1][2] * E[2][0] - E[1][0] * E[2][2];
+                    const double C = E[1][0] * E[2][1] - E[1][1] * E[2][0];
+                    det = E[0][0] * A + E[0][1] * B + E[0][2] * C;
+                    if (det == 0.0) break;  // degenerate cell: skip it
+                    const double iv = 1.0 / det;
+                    // inv[i][j] = (E^-1)[i][j]; xi = (p - x0) . E^-1 rows?
+                    // We need xi = (p - x0) @ inv(E) with xi_i the i-th
+                    // reference coordinate: xi = inv(E)^T (p - x0) in
+                    // matrix terms where E rows are edges.  Store
+                    // inv[i][a] = d xi_i / d x_a = (E^{-1})[a][i].
+                    inv[0][0] = A * iv;
+                    inv[0][1] = B * iv;
+                    inv[0][2] = C * iv;
+                    inv[1][0] = (E[0][2] * E[2][1] - E[0][1] * E[2][2]) * iv;
+                    inv[1][1] = (E[0][0] * E[2][2] - E[0][2] * E[2][0]) * iv;
+                    inv[1][2] = (E[0][1] * E[2][0] - E[0][0] * E[2][1]) * iv;
+                    inv[2][0] = (E[0][1] * E[1][2] - E[0][2] * E[1][1]) * iv;
+                    inv[2][1] = (E[0][2] * E[1][0] - E[0][0] * E[1][2]) * iv;
+                    inv[2][2] = (E[0][0] * E[1][1] - E[0][1] * E[1][0]) * iv;
+                } else {
+                    det = E[0][0] * E[1][1] - E[0][1] * E[1][0];
+                    if (det == 0.0) break;
+                    const double iv = 1.0 / det;
+                    inv[0][0] = E[1][1] * iv;
+                    inv[0][1] = -E[1][0] * iv;
+                    inv[1][0] = -E[0][1] * iv;
+                    inv[1][1] = E[0][0] * iv;
+                }
+                have_inv = true;
+            }
+            const double* x0 = coords + (int64_t)r[0] * g;
+            double xi[3], lam0 = 1.0;
+            bool inside = true;
+            for (int32_t i = 0; i < g; ++i) {
+                double s = 0.0;
+                for (int32_t a = 0; a < g; ++a) s += inv[i][a] * (pt[a] - x0[a]);
+                xi[i] = s;
+                lam0 -= s;
+                if (s < -tol) { inside = false; break; }
+            }
+            if (inside && lam0 >= -tol) {
+                out[p] = c;
+                --remaining;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // rcm_ordering: reverse Cuthill-McKee over a CSR adjacency graph
 // (bandwidth-reducing node permutation; improves ELL gather locality for
 // the TPU SpMV).  perm_out[new_index] = old_index.

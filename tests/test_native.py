@@ -213,6 +213,106 @@ def test_p1_stencil_tables_matches_numpy_slot_loop():
     assert native.p1_stencil_tables(perm[cd], geom.volume, geom.grads, Mc_percell, base, 8, n) == "too_wide"
 
 
+def test_p1_stencil_tables_direct_matches_slot_loop():
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.fem import _broadcast_cell_tensor, _p1_mass_base
+    from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    rng = np.random.default_rng(11)
+    for make in (
+        lambda: meshmod.create_unit_square(None, 7, 5),
+        lambda: get_3D_slab_geometry(None, dx=0.5, Lx=6.0, Ly=3.0, Lz=2.0).mesh,
+    ):
+        m = make()
+        V = fem.functionspace(m, ("P", 1))
+        n, g = V.ndofs, m.gdim
+        A = rng.standard_normal((m.num_cells, g, g))
+        Mc_percell = A @ np.transpose(A, (0, 2, 1)) + 2 * np.eye(g)
+        geom = fem.cell_geometry(m)
+        base = _p1_mass_base(m.tdim)
+        cd = V.cell_dofs.astype(np.int64)
+        for Mc in (_broadcast_cell_tensor(0.7, m.num_cells, g), Mc_percell):
+            direct = native.p1_stencil_tables_direct(
+                m.coords, V.cell_dofs, Mc, 64, n, want_volumes=True
+            )
+            assert direct is not None and direct != "too_wide"
+            offs_d, mtab_d, ktab_d, vol_d = direct
+            ref = native.p1_stencil_tables(cd, geom.volume, geom.grads, Mc, base, 64, n)
+            offs_r, mtab_r, ktab_r = ref
+            np.testing.assert_array_equal(offs_d, offs_r)
+            np.testing.assert_allclose(mtab_d, mtab_r, rtol=1e-13, atol=1e-16)
+            np.testing.assert_allclose(ktab_d, ktab_r, rtol=1e-12, atol=1e-14)
+            np.testing.assert_allclose(vol_d, geom.volume, rtol=1e-13, atol=0)
+
+
+def test_p1_stencil_direct_degenerate_cell_raises():
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.fem import _broadcast_cell_tensor
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    m = meshmod.create_unit_square(None, 3, 3)
+    coords = m.coords.copy()
+    c0 = m.cells[0]
+    coords[c0[1]] = coords[c0[0]]
+    Mc = _broadcast_cell_tensor(1.0, m.num_cells, m.gdim)
+    with pytest.raises(np.linalg.LinAlgError):
+        native.p1_stencil_tables_direct(coords, m.cells, Mc, 64, m.num_vertices)
+
+
+def test_locate_points_matches_numpy_sweep():
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    rng = np.random.default_rng(5)
+    for make, lo, hi in (
+        (lambda: meshmod.create_unit_square(None, 9, 7), 0.0, 1.0),
+        (lambda: get_3D_slab_geometry(None, dx=0.5, Lx=5.0, Ly=3.0, Lz=2.0).mesh, 0.0, 2.0),
+    ):
+        m = make()
+        g = m.gdim
+        pts = rng.uniform(lo, hi, size=(12, g))
+        pts = np.vstack([pts, m.coords[0], m.coords[-1]])  # vertices too
+        got = native.locate_points(m.coords, m.cells, pts)
+        # reference: the numpy sweep (force it by bypassing the native hook)
+        geom = fem.cell_geometry(m)
+        x0 = m.coords[m.cells[:, 0]]
+        want = np.full(pts.shape[0], -1, dtype=np.int64)
+        for pi, p in enumerate(pts):
+            xi = np.einsum("cg,cig->ci", p[None, :] - x0, geom.inv_edges)
+            lam0 = 1.0 - xi.sum(axis=1)
+            ok = (xi >= -1e-10).all(axis=1) & (lam0 >= -1e-10)
+            hits = np.nonzero(ok)[0]
+            if hits.size:
+                want[pi] = hits[0]
+        np.testing.assert_array_equal(got, want)
+        assert (got >= 0).all()  # all sampled points are inside the mesh
+    # outside points return -1
+    out = native.locate_points(m.coords, m.cells, np.full((1, m.gdim), 99.0))
+    assert out[0] == -1
+
+
+def test_cell_geometry_subset_matches_full():
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+
+    m = meshmod.create_unit_square(None, 6, 4)
+    sel = np.array([0, 5, 17, 3])
+    sub = fem.cell_geometry(m, sel)  # computed fresh (nothing cached yet)
+    assert not hasattr(m, "_cell_geometry")
+    full = fem.cell_geometry(m)
+    np.testing.assert_allclose(sub.volume, full.volume[sel], rtol=1e-15)
+    np.testing.assert_allclose(sub.grads, full.grads[sel], rtol=1e-14, atol=1e-16)
+    sliced = fem.cell_geometry(m, sel)  # now sliced from the cache
+    np.testing.assert_array_equal(sliced.volume, full.volume[sel])
+
+
 def test_p1_geometry_degenerate_cell_raises():
     from fenicsx_beat_tpu import mesh as meshmod
 
