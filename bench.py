@@ -95,6 +95,22 @@ def main():
 
     cpu_base = _load_cpu_baseline()
 
+    # Link-health probe: one 4 KB device->host pull, timed.  The tunneled
+    # TPU has phases where pulls collapse (measured: a 4 MB pull hung
+    # >240 s while dispatch stayed at 0.1 ms), which inflates every
+    # horizon's single sync.  Recording it makes a slow artifact
+    # self-explaining: high link_pull_ms + correct activation errors
+    # means a bad phase, not a solver regression (docs/DESIGN.md §9).
+    def _link_pull_ms():
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.ones((1024,), jnp.float32)
+        x.block_until_ready()
+        tic = time.perf_counter()
+        np.asarray(x)
+        return round((time.perf_counter() - tic) * 1e3, 1)
+
     if args.quick:
         configs = [(0.5, args.dt, 20.0, args.theta)]
     elif args.dx is not None:
@@ -129,6 +145,8 @@ def main():
             print("--tabulated: skipping merged-Strang row (mixed sub-dt)", file=sys.stderr)
 
     extras = {}
+    if jax.default_backend() != "cpu":
+        extras["link_pull_ms"] = _link_pull_ms()
     results = []
     for dx, dt, T, theta, *rest in configs:
         merged = bool(rest and rest[0])
