@@ -22,6 +22,9 @@ FAST=${1:-}
 
 echo "=== [1/5] test suite ==="
 python -m pytest tests/ -q
+# the NumPy fallbacks only engage when the native kit cannot build —
+# exercise them explicitly on the assembly/FEM surface
+BEAT_TPU_NO_NATIVE=1 python -m pytest tests/test_stencil.py tests/test_fem_core.py tests/test_monodomain.py -q
 
 echo "=== [2/5] entry-point compile checks ==="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
