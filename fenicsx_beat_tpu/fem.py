@@ -884,11 +884,57 @@ def assemble_mass_stiffness(
         cached = _operator_cache_load(cache_key, V, M_cells, dtype)
         if cached is not None:
             return cached
-    rows, cols, mvals, kvals, shape = assemble_mass_stiffness_coo(V, M_cells)
-    mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
-    stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
+    pair = _assemble_mass_stiffness_ell_direct(V, M_cells, dtype)
+    if pair is None:
+        rows, cols, mvals, kvals, shape = assemble_mass_stiffness_coo(V, M_cells)
+        mass = coo_to_ell(rows, cols, mvals, shape, dtype=dtype)
+        stiff = coo_to_ell(rows, cols, kvals, shape, dtype=dtype)
+        pair = (mass, stiff)
     if cache_key is not None:
-        _operator_cache_store(cache_key, V, M_cells, dtype, mass, stiff)
+        _operator_cache_store(cache_key, V, M_cells, dtype, *pair)
+    return pair
+
+
+def _assemble_mass_stiffness_ell_direct(V: FunctionSpace, M_cells, dtype):
+    """One-pass native ELL assembly for P1 on tdim == gdim meshes (fused
+    geometry, width-bounded rows, COO-tail spill for high-degree rows like
+    the LV apex) — the unstructured counterpart of the direct stencil
+    path: no 16*nc COO triplets, no radix sort, no padding every row to
+    the global max degree.  Returns ``(mass, stiff)`` or ``None`` (caller
+    uses the COO pipeline)."""
+    mesh = V.mesh
+    if (
+        V.element.family != "P"
+        or V.element.degree != 1
+        or V.block_size != 1
+        or mesh.tdim != mesh.gdim
+    ):
+        return None
+    from .native import p1_ell_tables_direct
+    from .ops.sparse import ELLMatrix
+
+    Mc = _broadcast_cell_tensor(M_cells, mesh.num_cells, mesh.gdim)
+    nat = p1_ell_tables_direct(mesh.coords, V.cell_dofs, Mc, V.ndofs)
+    if nat is None:
+        return None
+    ell_cols, mvals, kvals, _counts, tail = nat
+    ell_cols = ell_cols.astype(np.int32)
+    if dtype is not None:
+        mvals, kvals = mvals.astype(dtype), kvals.astype(dtype)
+    tr = tc = tm = tk = None
+    if tail is not None:
+        tr, tc, tm, tk = tail
+        if dtype is not None:
+            tm, tk = tm.astype(dtype), tk.astype(dtype)
+    shape = (V.ndofs, V.ndofs)
+    mass = ELLMatrix(
+        cols=ell_cols, vals=mvals, shape=shape,
+        tail_rows=tr, tail_cols=tc, tail_vals=tm,
+    )
+    stiff = ELLMatrix(
+        cols=ell_cols, vals=kvals, shape=shape,
+        tail_rows=tr, tail_cols=tc, tail_vals=tk,
+    )
     return mass, stiff
 
 

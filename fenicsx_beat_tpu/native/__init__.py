@@ -37,6 +37,7 @@ __all__ = [
     "p1_geometry",
     "p1_stencil_tables",
     "p1_stencil_tables_direct",
+    "p1_ell_tables_direct",
     "locate_points",
 ]
 
@@ -115,6 +116,15 @@ def _build() -> ctypes.CDLL | None:
         f64p, i64,                          # mc, mc_stride
         i64p, i64,                          # offs, K
         f64p, f64p, f64p,                   # mst, kst, vol_out (nullable)
+    ]
+    lib.p1_ell_assemble_direct.restype = i64
+    lib.p1_ell_assemble_direct.argtypes = [
+        f64p, i32p, i64, ctypes.c_int32,    # coords, cells, nc, d
+        f64p, i64,                          # mc, mc_stride
+        i64, ctypes.c_int32,                # n, width
+        i32p, i32p, f64p, f64p,             # counts, cols, mvals, kvals
+        i64, i64p,                          # tail_cap, tail_n_out
+        i32p, i32p, f64p, f64p,             # tail rows/cols/mvals/kvals
     ]
     lib.locate_points.restype = None
     lib.locate_points.argtypes = [
@@ -385,6 +395,102 @@ def p1_stencil_tables_direct(
     if rc != 0:
         return None
     return offs, mst.reshape(n, K), kst.reshape(n, K), vol
+
+
+def p1_ell_tables_direct(
+    coords: np.ndarray,
+    cells: np.ndarray,
+    Mc: np.ndarray,
+    n: int,
+    width: int | None = None,
+):
+    """Fused geometry + padded-ELL mass/stiffness assembly for P1
+    unstructured meshes (tdim == gdim in {2, 3}), one pass over the cells:
+    no COO triplets (16*nc*32 B), no radix sort, no padding every row to
+    the global max degree.  Rows beyond ``width`` spill into a COO tail
+    (dedup-summed here) — the LV apex pattern.
+
+    Returns ``(ell_cols [n, w], mvals [n, w], kvals [n, w], counts [n],
+    tail)`` where ``tail`` is ``None`` or ``(rows, cols, mvals, kvals)``
+    int32/f64 dedup-summed, and padding columns point at the row itself
+    with 0 values.  ``None`` when the native kit is unavailable or shapes
+    unsupported.  Raises ``numpy.linalg.LinAlgError`` on degenerate
+    cells."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    cells = np.ascontiguousarray(cells, dtype=np.int32)
+    nc, nd = cells.shape
+    d = nd - 1
+    if d not in (2, 3) or coords.shape[1] != d:
+        return None
+    Mc = np.asarray(Mc, dtype=np.float64)
+    if Mc.strides[0] == 0:
+        mc = np.ascontiguousarray(Mc[0])
+        mc_stride = 0
+    else:
+        mc = np.ascontiguousarray(Mc)
+        mc_stride = d * d
+    if width is None:
+        width = 32 if d == 3 else 12
+    tail_cap = max(4096, nc // 16)
+    while True:
+        counts = np.zeros(n, dtype=np.int32)
+        cols = np.zeros(n * width, dtype=np.int32)
+        mvals = np.zeros(n * width, dtype=np.float64)
+        kvals = np.zeros(n * width, dtype=np.float64)
+        tr = np.empty(tail_cap, dtype=np.int32)
+        tc = np.empty(tail_cap, dtype=np.int32)
+        tm = np.empty(tail_cap, dtype=np.float64)
+        tk = np.empty(tail_cap, dtype=np.float64)
+        tail_n = np.zeros(1, dtype=np.int64)
+        rc = lib.p1_ell_assemble_direct(
+            _as_ptr(coords, ctypes.c_double), _as_ptr(cells, ctypes.c_int32), nc, d,
+            _as_ptr(mc, ctypes.c_double), mc_stride,
+            n, width,
+            _as_ptr(counts, ctypes.c_int32), _as_ptr(cols, ctypes.c_int32),
+            _as_ptr(mvals, ctypes.c_double), _as_ptr(kvals, ctypes.c_double),
+            tail_cap, _as_ptr(tail_n, ctypes.c_int64),
+            _as_ptr(tr, ctypes.c_int32), _as_ptr(tc, ctypes.c_int32),
+            _as_ptr(tm, ctypes.c_double), _as_ptr(tk, ctypes.c_double),
+        )
+        if rc == -4:
+            tail_cap *= 4
+            continue
+        break
+    if rc == -1:
+        raise np.linalg.LinAlgError(
+            "singular cell Jacobian: mesh contains degenerate "
+            "(zero-volume) cells"
+        )
+    if rc < 0:
+        return None
+    w = max(int(rc), 1)
+    cols = cols.reshape(n, width)[:, :w]
+    mvals = mvals.reshape(n, width)[:, :w]
+    kvals = kvals.reshape(n, width)[:, :w]
+    # padding columns point at the row itself (value already 0)
+    pad = np.arange(w, dtype=np.int32)[None, :] >= counts[:, None]
+    rows_idx = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, w))
+    cols = np.where(pad, rows_idx, cols)
+    tail = None
+    nt = int(tail_n[0])
+    if nt:
+        # dedup-sum spilled (row, col) pairs across cells
+        key = tr[:nt].astype(np.int64) * n + tc[:nt]
+        uniq, inv = np.unique(key, return_inverse=True)
+        tm_s = np.zeros(uniq.size)
+        tk_s = np.zeros(uniq.size)
+        np.add.at(tm_s, inv, tm[:nt])
+        np.add.at(tk_s, inv, tk[:nt])
+        tail = (
+            (uniq // n).astype(np.int32),
+            (uniq % n).astype(np.int32),
+            tm_s,
+            tk_s,
+        )
+    return cols, mvals, kvals, counts.astype(np.int64), tail
 
 
 def locate_points(

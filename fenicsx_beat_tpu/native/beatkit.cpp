@@ -326,6 +326,144 @@ int64_t p1_stencil_offsets_i32(const int32_t* cd, int64_t nc, int32_t nd,
 }
 
 // ---------------------------------------------------------------------------
+// Inline per-cell P1 geometry for tdim == gdim == d in {2, 3}: volume and
+// physical basis gradients G[i][a] (rows 1..d = inv(E)^T, row 0 = -sum).
+// Returns 0, or -1 on an exactly singular Jacobian.
+static inline int p1_cell_geom(const double* coords, const int32_t* r, int32_t d,
+                               double* vol, double G[4][3]) {
+    if (d == 3) {
+        const double* x0 = coords + (int64_t)r[0] * 3;
+        const double* x1 = coords + (int64_t)r[1] * 3;
+        const double* x2 = coords + (int64_t)r[2] * 3;
+        const double* x3 = coords + (int64_t)r[3] * 3;
+        const double a = x1[0] - x0[0], b = x1[1] - x0[1], cc = x1[2] - x0[2];
+        const double p = x2[0] - x0[0], q = x2[1] - x0[1], s = x2[2] - x0[2];
+        const double u = x3[0] - x0[0], v = x3[1] - x0[1], w = x3[2] - x0[2];
+        const double A = q * w - s * v;
+        const double B = s * u - p * w;
+        const double C = p * v - q * u;
+        const double det = a * A + b * B + cc * C;
+        if (det == 0.0) return -1;
+        const double iv = 1.0 / det;
+        G[1][0] = A * iv;                G[1][1] = B * iv;                G[1][2] = C * iv;
+        G[2][0] = (cc * v - b * w) * iv; G[2][1] = (a * w - cc * u) * iv; G[2][2] = (b * u - a * v) * iv;
+        G[3][0] = (b * s - cc * q) * iv; G[3][1] = (cc * p - a * s) * iv; G[3][2] = (a * q - b * p) * iv;
+        G[0][0] = -(G[1][0] + G[2][0] + G[3][0]);
+        G[0][1] = -(G[1][1] + G[2][1] + G[3][1]);
+        G[0][2] = -(G[1][2] + G[2][2] + G[3][2]);
+        *vol = (det < 0 ? -det : det) * (1.0 / 6.0);
+        return 0;
+    }
+    const double* x0 = coords + (int64_t)r[0] * 2;
+    const double* x1 = coords + (int64_t)r[1] * 2;
+    const double* x2 = coords + (int64_t)r[2] * 2;
+    const double a = x1[0] - x0[0], b = x1[1] - x0[1];
+    const double p = x2[0] - x0[0], q = x2[1] - x0[1];
+    const double det = a * q - b * p;
+    if (det == 0.0) return -1;
+    const double iv = 1.0 / det;
+    G[1][0] = q * iv;  G[1][1] = -p * iv;
+    G[2][0] = -b * iv; G[2][1] = a * iv;
+    G[0][0] = -(G[1][0] + G[2][0]);
+    G[0][1] = -(G[1][1] + G[2][1]);
+    *vol = (det < 0 ? -det : det) * 0.5;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// p1_ell_assemble_direct: geometry + consistent-mass/stiffness assembly
+// fused in one pass over the cells, straight into a width-bounded padded
+// ELL layout with a COO spill for rows that exceed `width` (e.g. the
+// welded apex of the LV ellipsoid, degree ~2*n_theta vs the typical ~15).
+// The COO pipeline this replaces materializes 16*nc triplets, radix-sorts
+// them, and pads every row to the GLOBAL max degree ([n, ~300] at
+// production LV resolutions) — minutes of host time and gigabytes moved.
+//
+// Row entries are kept column-sorted by insertion (binary search +
+// memmove; typical row ~15 entries).  Mass and stiffness share the
+// pattern by construction.  Spilled (row, col) pairs may repeat across
+// cells; the caller dedup-sums the tail (it is tiny).
+//
+// counts [n], cols/mvals/kvals [n*width] are caller-zeroed.  Returns the
+// max row count on success (>= 0); -1 degenerate cell; -2 unsupported d;
+// -4 tail capacity exceeded (caller retries with a larger tail_cap).
+// tail_n_out receives the tail length.
+int64_t p1_ell_assemble_direct(const double* coords, const int32_t* cells,
+                               int64_t nc, int32_t d, const double* mc,
+                               int64_t mc_stride, int64_t n, int32_t width,
+                               int32_t* counts, int32_t* cols, double* mvals,
+                               double* kvals, int64_t tail_cap,
+                               int64_t* tail_n_out, int32_t* tail_rows,
+                               int32_t* tail_cols, double* tail_mvals,
+                               double* tail_kvals) {
+    (void)n;
+    if (d != 2 && d != 3) return -2;
+    const int32_t nd = d + 1;
+    const double mass_diag = 2.0 / ((double)(d + 1) * (d + 2));
+    const double mass_off = 1.0 / ((double)(d + 1) * (d + 2));
+    double G[4][3], MG[4][3];
+    int64_t tail_n = 0;
+    int64_t max_cnt = 0;
+    for (int64_t c = 0; c < nc; ++c) {
+        const int32_t* r = cells + c * nd;
+        const double* M = mc + c * mc_stride;
+        double vol;
+        if (p1_cell_geom(coords, r, d, &vol, G) != 0) return -1;
+        for (int32_t j = 0; j < nd; ++j) {
+            for (int32_t a = 0; a < d; ++a) {
+                double s = 0.0;
+                for (int32_t b = 0; b < d; ++b) s += M[a * d + b] * G[j][b];
+                MG[j][a] = s;
+            }
+        }
+        for (int32_t i = 0; i < nd; ++i) {
+            const int64_t row = r[i];
+            int32_t* rc = cols + row * (int64_t)width;
+            double* rm = mvals + row * (int64_t)width;
+            double* rk = kvals + row * (int64_t)width;
+            for (int32_t j = 0; j < nd; ++j) {
+                const int32_t col = r[j];
+                const double me = vol * (i == j ? mass_diag : mass_off);
+                double ke = 0.0;
+                for (int32_t a = 0; a < d; ++a) ke += G[i][a] * MG[j][a];
+                ke *= vol;
+                const int32_t cnt = counts[row];
+                int32_t lo = 0, hi = cnt;
+                while (lo < hi) {
+                    const int32_t mid = (lo + hi) >> 1;
+                    if (rc[mid] < col) lo = mid + 1; else hi = mid;
+                }
+                if (lo < cnt && rc[lo] == col) {
+                    rm[lo] += me;
+                    rk[lo] += ke;
+                } else if (cnt < width) {
+                    const int32_t nmove = cnt - lo;
+                    if (nmove > 0) {
+                        std::memmove(rc + lo + 1, rc + lo, nmove * sizeof(int32_t));
+                        std::memmove(rm + lo + 1, rm + lo, nmove * sizeof(double));
+                        std::memmove(rk + lo + 1, rk + lo, nmove * sizeof(double));
+                    }
+                    rc[lo] = col;
+                    rm[lo] = me;
+                    rk[lo] = ke;
+                    counts[row] = cnt + 1;
+                    if (cnt + 1 > max_cnt) max_cnt = cnt + 1;
+                } else {
+                    if (tail_n >= tail_cap) return -4;
+                    tail_rows[tail_n] = (int32_t)row;
+                    tail_cols[tail_n] = col;
+                    tail_mvals[tail_n] = me;
+                    tail_kvals[tail_n] = ke;
+                    ++tail_n;
+                }
+            }
+        }
+    }
+    *tail_n_out = tail_n;
+    return max_cnt;
+}
+
+// ---------------------------------------------------------------------------
 // p1_stencil_assemble_direct: geometry + mass/stiffness scatter fused in a
 // single pass over the cells, never materializing the [nc, ...] geometry
 // arrays (edges 1.4 GB + grads 1.9 GB at dx=0.05; the host's sustained
@@ -347,49 +485,14 @@ int64_t p1_stencil_assemble_direct(const double* coords, const int32_t* cells,
                                    double* vol_out) {
     if (d != 2 && d != 3) return -2;
     const int32_t nd = d + 1;
-    const double inv_fact = (d == 3) ? (1.0 / 6.0) : 0.5;
     const double mass_diag = 2.0 / ((double)(d + 1) * (d + 2));
     const double mass_off = 1.0 / ((double)(d + 1) * (d + 2));
     double G[4][3], MG[4][3];
     for (int64_t c = 0; c < nc; ++c) {
         const int32_t* r = cells + c * nd;
         const double* M = mc + c * mc_stride;
-        double det, vol;
-        if (d == 3) {
-            const double* x0 = coords + (int64_t)r[0] * 3;
-            const double* x1 = coords + (int64_t)r[1] * 3;
-            const double* x2 = coords + (int64_t)r[2] * 3;
-            const double* x3 = coords + (int64_t)r[3] * 3;
-            const double a = x1[0] - x0[0], b = x1[1] - x0[1], cc = x1[2] - x0[2];
-            const double p = x2[0] - x0[0], q = x2[1] - x0[1], s = x2[2] - x0[2];
-            const double u = x3[0] - x0[0], v = x3[1] - x0[1], w = x3[2] - x0[2];
-            const double A = q * w - s * v;
-            const double B = s * u - p * w;
-            const double C = p * v - q * u;
-            det = a * A + b * B + cc * C;
-            if (det == 0.0) return -1;
-            const double iv = 1.0 / det;
-            G[1][0] = A * iv;              G[1][1] = B * iv;              G[1][2] = C * iv;
-            G[2][0] = (cc * v - b * w) * iv; G[2][1] = (a * w - cc * u) * iv; G[2][2] = (b * u - a * v) * iv;
-            G[3][0] = (b * s - cc * q) * iv; G[3][1] = (cc * p - a * s) * iv; G[3][2] = (a * q - b * p) * iv;
-            G[0][0] = -(G[1][0] + G[2][0] + G[3][0]);
-            G[0][1] = -(G[1][1] + G[2][1] + G[3][1]);
-            G[0][2] = -(G[1][2] + G[2][2] + G[3][2]);
-        } else {
-            const double* x0 = coords + (int64_t)r[0] * 2;
-            const double* x1 = coords + (int64_t)r[1] * 2;
-            const double* x2 = coords + (int64_t)r[2] * 2;
-            const double a = x1[0] - x0[0], b = x1[1] - x0[1];
-            const double p = x2[0] - x0[0], q = x2[1] - x0[1];
-            det = a * q - b * p;
-            if (det == 0.0) return -1;
-            const double iv = 1.0 / det;
-            G[1][0] = q * iv;  G[1][1] = -p * iv;
-            G[2][0] = -b * iv; G[2][1] = a * iv;
-            G[0][0] = -(G[1][0] + G[2][0]);
-            G[0][1] = -(G[1][1] + G[2][1]);
-        }
-        vol = (det < 0 ? -det : det) * inv_fact;
+        double vol;
+        if (p1_cell_geom(coords, r, d, &vol, G) != 0) return -1;
         if (vol_out) vol_out[c] = vol;
         for (int32_t j = 0; j < nd; ++j) {
             for (int32_t a = 0; a < d; ++a) {

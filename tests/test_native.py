@@ -263,6 +263,68 @@ def test_p1_stencil_direct_degenerate_cell_raises():
         native.p1_stencil_tables_direct(coords, m.cells, Mc, 64, m.num_vertices)
 
 
+def test_p1_ell_direct_matches_coo_pipeline():
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu.fem import (
+        _assemble_mass_stiffness_ell_direct,
+        assemble_mass_stiffness_coo,
+    )
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+    from fenicsx_beat_tpu.ops.sparse import coo_to_ell
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    # LV ellipsoid: genuinely unstructured, welded apex = high-degree rows
+    m = get_lv_ellipsoid_geometry(psize_ref=0.8).mesh
+    V = fem.functionspace(m, ("P", 1))
+    pair = _assemble_mass_stiffness_ell_direct(V, 1.0, None)
+    assert pair is not None
+    mass_d, stiff_d = pair
+    rows, cols, mv, kv, shape = assemble_mass_stiffness_coo(V, 1.0)
+    mass_c = coo_to_ell(rows, cols, mv, shape)
+    stiff_c = coo_to_ell(rows, cols, kv, shape)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(V.ndofs))
+    for A, B in ((mass_d, mass_c), (stiff_d, stiff_c)):
+        np.testing.assert_allclose(
+            np.asarray(A @ x), np.asarray(B @ x), rtol=1e-12, atol=1e-13
+        )
+    np.testing.assert_allclose(
+        np.asarray(mass_d.diagonal()), np.asarray(mass_c.diagonal()), rtol=1e-13
+    )
+
+
+def test_p1_ell_direct_tail_spill():
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu import mesh as meshmod
+    from fenicsx_beat_tpu.fem import _broadcast_cell_tensor
+    from fenicsx_beat_tpu.ops.sparse import ELLMatrix
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    # tiny width forces most entries through the spill+dedup path
+    m = meshmod.create_unit_square(None, 6, 5)
+    V = fem.functionspace(m, ("P", 1))
+    Mc = _broadcast_cell_tensor(1.0, m.num_cells, m.gdim)
+    nat = native.p1_ell_tables_direct(m.coords, V.cell_dofs, Mc, V.ndofs, width=3)
+    assert nat is not None
+    cols, mvals, kvals, counts, tail = nat
+    assert tail is not None and tail[0].size > 0
+    spilled = ELLMatrix(
+        cols=cols.astype(np.int32), vals=mvals, shape=(V.ndofs, V.ndofs),
+        tail_rows=tail[0], tail_cols=tail[1], tail_vals=tail[2],
+    )
+    mass_ref, _ = fem.assemble_mass_stiffness(V, 1.0)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(V.ndofs))
+    np.testing.assert_allclose(
+        np.asarray(spilled @ x), np.asarray(mass_ref @ x), rtol=1e-12, atol=1e-14
+    )
+
+
 def test_locate_points_matches_numpy_sweep():
     from fenicsx_beat_tpu import fem
     from fenicsx_beat_tpu import mesh as meshmod
