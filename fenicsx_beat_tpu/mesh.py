@@ -137,34 +137,70 @@ class Mesh:
         return self.entities(dim).shape[0]
 
     def _facet_maps(self) -> tuple[np.ndarray, np.ndarray]:
-        """(facet_cells [nf,2] (-1 padded), cell_facets [nc, tdim+1])."""
+        """(facet_cells [nf,2] (-1 padded), cell_facets [nc, tdim+1]).
+
+        One structured argsort over all (cell, local-facet) vertex tuples
+        yields the facet enumeration (lexicographic — identical ids to
+        ``entities(fdim)``), the cell->facet map, AND the facet->cell
+        adjacency in a single pass.  The previous formulation (separate
+        unique + 4 row-searchsorted passes + a Python loop over every
+        cell) was the dominant cost of unstructured mesh construction:
+        25 s of the 30 s LV build at 2.5M cells."""
         if self._topology.facet_cells is not None:
             return self._topology.facet_cells, self._topology.cell_facets  # type: ignore[return-value]
         fdim = self.tdim - 1
-        facets = self.entities(fdim)
-        # map sorted vertex tuple -> facet id via lexicographic search
         nv = self.cells.shape[1]
         combos = list(itertools.combinations(range(nv), fdim + 1))
-        cell_facets = np.empty((self.num_cells, len(combos)), dtype=np.int32)
-        # build lookup using structured sort
-        order = np.lexsort(facets.T[::-1])
-        sorted_facets = facets[order]
-        for li, c in enumerate(combos):
-            local = np.sort(self.cells[:, list(c)], axis=1)
-            # binary search rows
-            idx = _row_searchsorted(sorted_facets, local)
-            cell_facets[:, li] = order[idx]
-        nf = facets.shape[0]
+        nslots, nc = len(combos), self.num_cells
+        # slot-major stack: flat index li*nc + ci (the encounter order the
+        # facet_cells tie-breaks below are defined in)
+        local_all = np.concatenate(
+            [np.sort(self.cells[:, list(c)], axis=1) for c in combos], axis=0
+        )
+        k = local_all.shape[1]
+        bits = max(1, int(self.num_vertices - 1).bit_length())
+        if k * bits <= 63:
+            # pack the (sorted) vertex tuple into one int64 key — a plain
+            # integer argsort is ~8x faster than void-struct comparisons
+            # (first column most significant preserves lexicographic order)
+            key = local_all[:, 0].astype(np.int64)
+            for j in range(1, k):
+                key = (key << bits) | local_all[:, j].astype(np.int64)
+            order = np.argsort(key, kind="stable")
+            sv = key[order]
+        else:  # pragma: no cover - >2^21-vertex facet tuples
+            a = np.ascontiguousarray(local_all)
+            av = a.view([("", a.dtype)] * a.shape[1]).ravel()
+            order = np.argsort(av, kind="stable")  # lexicographic, stable
+            sv = av[order]
+        first = np.ones(sv.size, dtype=bool)
+        first[1:] = sv[1:] != sv[:-1]
+        if fdim == 0:
+            # 1D meshes: facet ids ARE vertex ids (the entities(0)
+            # contract), including vertices unused by any cell
+            fid_sorted = local_all[order, 0].astype(np.int64)
+            nf = self.num_vertices
+        else:
+            fid_sorted = np.cumsum(first, dtype=np.int64) - 1
+            nf = int(fid_sorted[-1]) + 1 if sv.size else 0
+            # facet vertex table in lexicographic id order == entities(fdim)
+            facets = local_all[order[first]]
+            self._topology.entities.setdefault(fdim, facets)
+        # cell -> facet ids
+        fids = np.empty(sv.size, dtype=np.int64)
+        fids[order] = fid_sorted
+        cell_facets = fids.reshape(nslots, nc).T.astype(np.int32).copy()
+        # facet -> cells: within a facet group `order` is stable by flat
+        # index = encounter order; col 0 = first encounter, col 1 = last
+        # (matching the previous loop, which overwrote col 1 on every
+        # repeat — welded apex facets can touch > 2 cells)
+        owner = (order % nc).astype(np.int64)
         facet_cells = np.full((nf, 2), -1, dtype=np.int64)
-        counts = np.zeros(nf, dtype=np.int64)
-        for li in range(cell_facets.shape[1]):
-            f = cell_facets[:, li]
-            for ci, fi in enumerate(f):
-                if counts[fi] == 0:
-                    facet_cells[fi, 0] = ci
-                else:
-                    facet_cells[fi, 1] = ci
-                counts[fi] += 1
+        facet_cells[fid_sorted[first], 0] = owner[first]
+        last = np.ones(sv.size, dtype=bool)
+        last[:-1] = first[1:]
+        second = last & ~first
+        facet_cells[fid_sorted[second], 1] = owner[second]
         self._topology.facet_cells = facet_cells
         self._topology.cell_facets = cell_facets
         return facet_cells, cell_facets
