@@ -123,6 +123,11 @@ class Mesh:
             return np.arange(self.num_vertices, dtype=np.int32)[:, None]
         if dim in self._topology.entities:
             return self._topology.entities[dim]
+        if dim == self.tdim - 1:
+            # facet enumeration falls out of the fused facet-map pass
+            # (identical lexicographic ids); avoids a second unique sweep
+            self._facet_maps()
+            return self._topology.entities[dim]
         nv = self.cells.shape[1]
         combos = list(itertools.combinations(range(nv), dim + 1))
         sub = np.concatenate([self.cells[:, list(c)] for c in combos], axis=0)
