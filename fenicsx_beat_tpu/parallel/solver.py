@@ -141,14 +141,23 @@ class ShardedMonodomainSolver:
         st = fem.assemble_mass_stiffness_stencil(
             self.V, M_cells, dtype=self.dtype, cache_key=self.operator_cache_key
         )
+        rows = None  # COO triplets, built only on the fallback path
         if st is not None:
             mass_st, stiff_st = st
         else:
-            rows, cols, mvals, kvals, shape = fem.assemble_mass_stiffness_coo(
-                self.V, M_cells
-            )
-            mass = coo_to_ell(rows, cols, mvals, shape, dtype=self.dtype)
-            stiff = coo_to_ell(rows, cols, kvals, shape, dtype=self.dtype)
+            pair = fem._assemble_mass_stiffness_ell_direct(self.V, M_cells, self.dtype)
+            if pair is not None:
+                # width-bounded direct assembly: no [n, max_degree] tables
+                # (the LV apex degree grows with resolution and made the
+                # 4x coo_to_ell conversions here superlinear — 338 s at
+                # 243k nodes)
+                mass, stiff = pair
+            else:
+                rows, cols, mvals, kvals, shape = fem.assemble_mass_stiffness_coo(
+                    self.V, M_cells
+                )
+                mass = coo_to_ell(rows, cols, mvals, shape, dtype=self.dtype)
+                stiff = coo_to_ell(rows, cols, kvals, shape, dtype=self.dtype)
             # stencil (fixed-offset) partition: gather-free shifted-FMA SpMV
             # on the extended local vector; falls back to hybrid ELL
             mass_st = ell_to_stencil(mass)
@@ -166,20 +175,59 @@ class ShardedMonodomainSolver:
         else:
             from ..native import rcm_ordering
 
-            # symmetric pattern => CSR adjacency from the deduped triplets
-            key = rows.astype(np.int64) * n + cols.astype(np.int64)
-            uniq = np.unique(key)
-            urows = (uniq // n).astype(np.int64)
-            ucols = (uniq % n).astype(np.int32)
-            indptr = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(np.bincount(urows, minlength=n), out=indptr[1:])
+            if rows is not None:
+                # symmetric pattern => CSR adjacency from the deduped triplets
+                key = rows.astype(np.int64) * n + cols.astype(np.int64)
+                uniq = np.unique(key)
+                urows = (uniq // n).astype(np.int64)
+                ucols = (uniq % n).astype(np.int32)
+                indptr = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(np.bincount(urows, minlength=n), out=indptr[1:])
+            else:
+                # adjacency straight from the padded-ELL structure (pad
+                # entries repeat the row index — harmless self-loops for
+                # RCM; tail-spilled apex edges are omitted, which only
+                # perturbs the heuristic ordering near the apex — the
+                # halo bound below still verifies the partition)
+                mcols = np.asarray(mass.cols)
+                rowids = np.broadcast_to(
+                    np.arange(n, dtype=mcols.dtype)[:, None], mcols.shape
+                )
+                live = np.count_nonzero(mcols != rowids, axis=1) + 1
+                indptr = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(live, out=indptr[1:])
+                keep = (mcols != rowids).ravel()
+                diag = np.arange(n, dtype=np.int32)
+                ucols = np.empty(int(indptr[-1]), dtype=np.int32)
+                # per-row: own index first, then the off-diagonal columns
+                ucols[indptr[:-1]] = diag
+                fill = np.ones(int(indptr[-1]), dtype=bool)
+                fill[indptr[:-1]] = False
+                ucols[fill] = mcols.ravel()[keep].astype(np.int32)
             perm = rcm_ordering(indptr, ucols).astype(np.int64)
             iperm = np.empty(n, dtype=np.int64)
             iperm[perm] = np.arange(n, dtype=np.int64)
             self._perm = perm
             self._iperm = iperm
-            mass = coo_to_ell(iperm[rows], iperm[cols], mvals, shape, dtype=self.dtype)
-            stiff = coo_to_ell(iperm[rows], iperm[cols], kvals, shape, dtype=self.dtype)
+            if rows is not None:
+                mass = coo_to_ell(iperm[rows], iperm[cols], mvals, shape, dtype=self.dtype)
+                stiff = coo_to_ell(iperm[rows], iperm[cols], kvals, shape, dtype=self.dtype)
+            else:
+                # re-assemble on the RCM-renumbered mesh: the direct
+                # kernel is cheap enough (3.6 s at 10.6M cells) that a
+                # second pass beats permuting [n, W] tables through host
+                # memory
+                from ..mesh import Mesh as _Mesh
+
+                pm = _Mesh(
+                    coords=self.mesh.coords[perm],
+                    cells=iperm[self.mesh.cells.astype(np.int64)].astype(np.int32),
+                    cell_type=self.mesh.cell_type,
+                )
+                Vp = fem.functionspace(pm, ("P", 1))
+                pair = fem._assemble_mass_stiffness_ell_direct(Vp, M_cells, self.dtype)
+                assert pair is not None  # same shapes that succeeded above
+                mass, stiff = pair
 
             part_m, cols_m, vals_mass, tail_m = partition_ell(mass, nd)
             part_k, cols_k, vals_stiff, tail_k = partition_ell(stiff, nd)
