@@ -55,6 +55,20 @@ def main(argv=None):
     if args.quick:
         extra = [*extra, "--quick"]
 
+    if args.geodir is not None and args.geodir.suffix == ".msh" and args.geodir.is_file():
+        # ukb-atlas exports Gmsh files; read them directly
+        from fenicsx_beat_tpu.io import read_msh
+        from fenicsx_beat_tpu.geometry import Geometry
+
+        mesh, _ct, ffun = read_msh(args.geodir)
+        geo = Geometry(mesh=mesh, ffun=ffun, markers=None, f0=None)
+        print(f"Loaded Gmsh geometry: {mesh.num_vertices} nodes")
+        import demos.biv_endocardial as biv
+
+        return biv.main(
+            ["-T", str(args.T), "--dt", str(args.dt), "-o", str(args.outdir), *extra],
+            geometry=geo,
+        )
     if args.geodir is not None and (
         args.geodir.is_file() or (args.geodir / "mesh.npz").is_file()
     ):

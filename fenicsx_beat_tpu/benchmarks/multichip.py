@@ -136,6 +136,7 @@ def run_multichip_scaling(
     dt: float = 0.05,
     base_Lx: float = 10.0,
     include_dx005: bool = False,
+    include_lv: bool = False,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -243,6 +244,61 @@ def run_multichip_scaling(
             "ok": True,
         }
 
+    if include_lv and len(devs) >= 8:
+        # production UNSTRUCTURED capability: the 1.87M-node / 10.6M-cell
+        # LV ellipsoid sharded 8 ways through RCM + direct ELL assembly +
+        # hybrid apex tail (the structured dx=0.05 row above exercises the
+        # stencil partition; this exercises the general-mesh path at the
+        # same scale)
+        from ..geometry import get_lv_ellipsoid_geometry
+        from ..mesh import meshtags
+        from ..models import tentusscher_panfilov_2006 as tp06
+        from ..stimulation import Stimulus, TimeWindow, dx as dx_measure
+
+        tic = _time.perf_counter()
+        geo = get_lv_ellipsoid_geometry(psize_ref=0.05)
+        mesh_s = _time.perf_counter() - tic
+        m = geo.mesh
+        tags = meshtags(m, m.tdim, np.arange(5000), 1)
+        I_s = Stimulus(
+            expr=TimeWindow(amplitude=50.0, start=0.0, duration=2.0),
+            dZ=dx_measure(m, subdomain_data=tags),
+            marker=1,
+        )
+        dmesh = DeviceMesh(np.array(devs[:8]), ("x",))
+        tic = _time.perf_counter()
+        solver = ShardedMonodomainSolver(
+            mesh=m,
+            M=0.001,
+            ode_fun=tp06.generalized_rush_larsen,
+            init_states=tp06.init_state_values(),
+            parameters=tp06.init_parameter_values(stim_amplitude=0.0),
+            v_index=tp06.state_index("V"),
+            I_s=I_s,
+            device_mesh=dmesh,
+        )
+        setup_s = _time.perf_counter() - tic
+        amps = solver.stimulus_amplitudes()
+        dtj = jnp.asarray(dt, dtype=solver.states.dtype)
+        t0 = jnp.asarray(0.0, dtype=solver.states.dtype)
+        tic = _time.perf_counter()
+        chunk = solver._run_chunk(
+            solver.states, solver.activation_time, t0, dtj, amps, 2
+        )
+        np.asarray(chunk[3])
+        out["lv_10p6M_cells_sharded_8way"] = {
+            "n_nodes": solver.V.ndofs,
+            "n_cells": m.num_cells,
+            "n_local": solver.part.n_local,
+            "halo_rows": solver.part.halo,
+            "ell_width": int(solver._cols.shape[-1]) if solver._cols is not None else None,
+            "apex_tail": solver._tail is not None,
+            "mesh_build_s": round(mesh_s, 1),
+            "setup_s": round(setup_s, 1),
+            "two_steps_s": round(_time.perf_counter() - tic, 1),
+            "ok": True,
+        }
+
     return out
 
 
@@ -253,9 +309,12 @@ def main() -> int:
     ap.add_argument("--dx", type=float, default=0.5)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dx005", action="store_true", help="also shard the 3.45M-node mesh 8 ways")
+    ap.add_argument("--lv", action="store_true", help="also shard the 10.6M-cell LV ellipsoid 8 ways")
     args = ap.parse_args()
     _require_virtual_mesh(8)
-    out = run_multichip_scaling(dx=args.dx, n_steps=args.steps, include_dx005=args.dx005)
+    out = run_multichip_scaling(
+        dx=args.dx, n_steps=args.steps, include_dx005=args.dx005, include_lv=args.lv
+    )
     Path("MULTICHIP_SCALING.json").write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
     return 0

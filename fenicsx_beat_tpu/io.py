@@ -24,7 +24,15 @@ import numpy as np
 
 from .mesh import CellType, Mesh
 
-__all__ = ["CheckpointWriter", "CheckpointData", "load_checkpoint", "VTUWriter"]
+__all__ = [
+    "CheckpointWriter",
+    "CheckpointData",
+    "load_checkpoint",
+    "VTUWriter",
+    "read_msh",
+    "read_mesh",
+    "write_mesh",
+]
 
 
 class CheckpointData(NamedTuple):
@@ -169,3 +177,206 @@ class VTUWriter:
         out = self.base / "series.pvd"
         out.write_text(pvd)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Mesh input: Gmsh .msh (ASCII v2.2 / v4.1) and npz round-trip.
+#
+# The reference obtains patient/atlas meshes through dolfinx's gmshio
+# (cardiac-geometries and ukb-atlas both produce Gmsh files); this is the
+# in-repo counterpart of ``dolfinx.io.gmshio.read_from_msh`` returning
+# ``(mesh, cell_tags, facet_tags)``.
+
+_GMSH_TYPES = {
+    1: ("line", 2, 1),
+    2: ("triangle", 3, 2),
+    4: ("tetrahedron", 4, 3),
+    15: ("point", 1, 0),
+}
+
+
+def read_msh(path: str | Path):
+    """Read an ASCII Gmsh ``.msh`` file (format 2.2 or 4.1).
+
+    Returns ``(mesh, cell_tags, facet_tags)``: cells are the
+    highest-dimension elements; physical tags on cells/facets become
+    :class:`~fenicsx_beat_tpu.mesh.MeshTags` (``None`` when untagged).
+    Facet entities are matched to the mesh's own facet enumeration.
+    Mirrors ``dolfinx.io.gmshio.read_from_msh`` (reference demos receive
+    their LV/BiV geometries through it).
+    """
+    from .mesh import MeshTags, _row_searchsorted
+
+    text = Path(path).read_text()
+    sections: dict[str, list[str]] = {}
+    name = None
+    for line in text.splitlines():
+        s = line.strip()
+        if s.startswith("$End"):
+            name = None
+        elif s.startswith("$"):
+            name = s[1:]
+            sections[name] = []
+        elif name is not None:
+            sections[name].append(s)
+    if "MeshFormat" not in sections or "Nodes" not in sections:
+        raise ValueError(f"{path}: not an ASCII Gmsh mesh")
+    version = float(sections["MeshFormat"][0].split()[0])
+    if version >= 4.0:
+        tags, coords, blocks = _parse_msh4(sections)
+    elif version >= 2.0:
+        tags, coords, blocks = _parse_msh2(sections)
+    else:
+        raise ValueError(f"{path}: unsupported msh version {version}")
+
+    tag_to_idx = {int(t): i for i, t in enumerate(tags)}
+    tdim = max(d for d, _, _ in blocks)
+    gdim = tdim  # cardiac meshes are volume (or in-plane surface) meshes
+    coords = coords[:, :gdim]
+
+    del tag_to_idx  # vectorized remap below
+    order = np.argsort(tags)
+    sorted_tags = tags[order]
+
+    def _remap(conn):
+        pos = np.searchsorted(sorted_tags, conn.ravel())
+        if (pos >= sorted_tags.size).any() or (sorted_tags[pos] != conn.ravel()).any():
+            raise ValueError("element references an undefined node tag")
+        return order[pos].reshape(conn.shape).astype(np.int32)
+
+    cell_conn, cell_vals = [], []
+    facet_conn, facet_vals = [], []
+    for dim, phys, conn in blocks:
+        if dim == tdim:
+            cell_conn.append(_remap(conn))
+            cell_vals.append(np.full(len(conn), phys, dtype=np.int32))
+        elif dim == tdim - 1:
+            facet_conn.append(_remap(conn))
+            facet_vals.append(np.full(len(conn), phys, dtype=np.int32))
+    cells = np.concatenate(cell_conn, axis=0)
+    ctype = CellType.tetrahedron if tdim == 3 else CellType.triangle
+    mesh = Mesh(coords=np.ascontiguousarray(coords, dtype=np.float64), cells=cells, cell_type=ctype)
+
+    cvals = np.concatenate(cell_vals)
+    cell_tags = None
+    if (cvals != 0).any():
+        cell_tags = MeshTags(
+            mesh=mesh, dim=tdim,
+            indices=np.arange(mesh.num_cells, dtype=np.int32), values=cvals,
+        )
+    facet_tags = None
+    if facet_conn:
+        fconn = np.sort(np.concatenate(facet_conn, axis=0), axis=1)
+        fvals = np.concatenate(facet_vals)
+        facets = mesh.entities(tdim - 1)  # lexicographically enumerated
+        idx = _row_searchsorted(facets, fconn)
+        ok = (idx < facets.shape[0]) & (facets[np.minimum(idx, facets.shape[0] - 1)] == fconn).all(axis=1)
+        if not ok.all():
+            raise ValueError(
+                f"{path}: {int((~ok).sum())} tagged facets are not facets of the mesh"
+            )
+        facet_tags = MeshTags(
+            mesh=mesh, dim=tdim - 1,
+            indices=idx.astype(np.int32), values=fvals,
+        )
+    return mesh, cell_tags, facet_tags
+
+
+def _parse_msh2(sections):
+    """v2.2: $Nodes = 'tag x y z'; $Elements = 'tag type ntags tags... nodes...'
+    (tags[0] = physical group)."""
+    nl = sections["Nodes"]
+    n = int(nl[0])
+    tags = np.empty(n, dtype=np.int64)
+    coords = np.empty((n, 3), dtype=np.float64)
+    for i, line in enumerate(nl[1 : 1 + n]):
+        parts = line.split()
+        tags[i] = int(parts[0])
+        coords[i] = [float(x) for x in parts[1:4]]
+    el = sections["Elements"]
+    ne = int(el[0])
+    blocks: dict[tuple[int, int, int], list[list[int]]] = {}
+    for line in el[1 : 1 + ne]:
+        parts = [int(x) for x in line.split()]
+        etype = parts[1]
+        if etype not in _GMSH_TYPES:
+            continue
+        _, nn, dim = _GMSH_TYPES[etype]
+        ntags = parts[2]
+        phys = parts[3] if ntags >= 1 else 0
+        conn = parts[3 + ntags : 3 + ntags + nn]
+        blocks.setdefault((dim, phys, etype), []).append(conn)
+    out = [(dim, phys, np.asarray(rows, dtype=np.int64)) for (dim, phys, _), rows in blocks.items()]
+    return tags, coords, out
+
+
+def _parse_msh4(sections):
+    """v4.1: entity-block $Nodes/$Elements; physical tags resolved through
+    the $Entities section (first physical tag of each entity)."""
+    # entity (dim, tag) -> physical tag
+    phys_of: dict[tuple[int, int], int] = {}
+    if "Entities" in sections:
+        lines = sections["Entities"]
+        counts = [int(x) for x in lines[0].split()]  # points, curves, surfaces, volumes
+        li = 1
+        for dim, cnt in enumerate(counts):
+            for _ in range(cnt):
+                parts = lines[li].split()
+                li += 1
+                tag = int(parts[0])
+                # points: tag x y z numPhys phys...; others: tag bbox(6) numPhys phys...
+                off = 4 if dim == 0 else 7
+                nphys = int(parts[off])
+                phys_of[(dim, tag)] = int(parts[off + 1]) if nphys else 0
+    nl = sections["Nodes"]
+    nblocks, nnodes = int(nl[0].split()[0]), int(nl[0].split()[1])
+    tags = np.empty(nnodes, dtype=np.int64)
+    coords = np.empty((nnodes, 3), dtype=np.float64)
+    li, k = 1, 0
+    for _ in range(nblocks):
+        nb = int(nl[li].split()[3])
+        li += 1
+        for j in range(nb):
+            tags[k + j] = int(nl[li + j])
+        for j in range(nb):
+            coords[k + j] = [float(x) for x in nl[li + nb + j].split()[:3]]
+        li += 2 * nb
+        k += nb
+    el = sections["Elements"]
+    eblocks = int(el[0].split()[0])
+    li = 1
+    blocks = []
+    for _ in range(eblocks):
+        dim, etag, etype, nb = (int(x) for x in el[li].split())
+        li += 1
+        if etype not in _GMSH_TYPES:
+            li += nb
+            continue
+        _, nn, edim = _GMSH_TYPES[etype]
+        rows = np.empty((nb, nn), dtype=np.int64)
+        for j in range(nb):
+            rows[j] = [int(x) for x in el[li + j].split()[1 : 1 + nn]]
+        li += nb
+        blocks.append((edim, phys_of.get((dim, etag), 0), rows))
+    return tags, coords, blocks
+
+
+def write_mesh(path: str | Path, mesh: Mesh) -> Path:
+    """Write a mesh (and nothing else) as one ``.npz`` — the storage
+    counterpart of the reference's XDMF ``write_mesh``."""
+    path = Path(path)
+    np.savez_compressed(
+        path, coords=mesh.coords, cells=mesh.cells, cell_type=str(mesh.cell_type)
+    )
+    return path
+
+
+def read_mesh(path: str | Path) -> Mesh:
+    """Read a mesh written by :func:`write_mesh` (or a checkpoint npz)."""
+    with np.load(path, allow_pickle=False) as f:
+        ct = str(f["cell_type"]).split(".")[-1]  # "CellType.tetrahedron" -> name
+        return Mesh(
+            coords=np.asarray(f["coords"], dtype=np.float64),
+            cells=np.asarray(f["cells"], dtype=np.int32),
+            cell_type=CellType[ct],
+        )
