@@ -221,7 +221,13 @@ def read_msh(path: str | Path):
             sections[name].append(s)
     if "MeshFormat" not in sections or "Nodes" not in sections:
         raise ValueError(f"{path}: not an ASCII Gmsh mesh")
-    version = float(sections["MeshFormat"][0].split()[0])
+    fmt = sections["MeshFormat"][0].split()
+    version = float(fmt[0])
+    if len(fmt) > 1 and int(fmt[1]) != 0:
+        raise ValueError(
+            f"{path}: binary .msh is not supported — re-export with "
+            "'gmsh -save -format msh -bin 0' (ASCII)"
+        )
     if version >= 4.0:
         tags, coords, blocks = _parse_msh4(sections)
     elif version >= 2.0:
