@@ -1,0 +1,164 @@
+"""Gradient correctness of the differentiable simulation layer.
+
+Every gradient is checked against central finite differences in f64 —
+the ground truth that does not depend on the adjoint machinery being
+right.  (The reference has no adjoint path to mirror; conventions follow
+dolfin-adjoint-style PDE-constrained optimization tests.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+from fenicsx_beat_tpu import stimulation
+from fenicsx_beat_tpu.adjoint import build_diff_simulator, cg_implicit
+from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+
+
+def _fd(f, x, eps=1e-6):
+    x = np.asarray(x, dtype=np.float64)
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        xp = x.copy()
+        xm = x.copy()
+        xp.flat[i] += eps
+        xm.flat[i] -= eps
+        g.flat[i] = (float(f(xp)) - float(f(xm))) / (2 * eps)
+    return g
+
+
+def test_cg_implicit_gradients_match_fd():
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness_auto(V, 1.0)
+    mv = jnp.asarray(mass.vals)
+    kv = jnp.asarray(stiff.vals)
+    rng = np.random.default_rng(0)
+    b0 = rng.standard_normal(V.ndofs)
+    w = jnp.asarray(rng.standard_normal(V.ndofs))
+
+    def loss(g, b):
+        A = mass.with_values(mv + g * kv)  # SPD for g > 0
+        x = cg_implicit(lambda u: A @ u, jnp.asarray(b), precond_diag=A.diagonal())
+        return jnp.vdot(w, x)
+
+    g0 = 0.37
+    dg, db = jax.grad(loss, argnums=(0, 1))(g0, b0)
+    dg_fd = _fd(lambda g: loss(float(g), b0), np.array([g0]))[0]
+    np.testing.assert_allclose(float(dg), dg_fd, rtol=1e-6)
+    # a handful of b components
+    idx = [0, 7, 23]
+    for i in idx:
+        def f(bi, i=i):
+            b = b0.copy()
+            b[i] = bi
+            return loss(g0, b)
+
+        fd = _fd(f, np.array([b0[i]]))[0]
+        np.testing.assert_allclose(float(np.asarray(db)[i]), fd, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def small_sim():
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.3) & (x[1] < 0.3))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    probes = np.array([[0.15, 0.15], [0.7, 0.7]])
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=probes,
+        dt=0.1,
+        n_steps=30,
+    )
+    return sim
+
+
+def test_simulator_runs_and_depolarizes(small_sim):
+    traces = small_sim({"g": 0.002, "ionic": jnp.asarray(fhn.init_parameter_values())})
+    assert traces.shape == (30, 2)
+    # the stimulated probe leaves rest; the far probe barely moves in 3 ms
+    assert float(traces[-1, 0]) > float(traces[0, 0]) + 1.0
+    assert np.isfinite(np.asarray(traces)).all()
+
+
+def test_simulator_gradients_match_fd(small_sim):
+    ionic0 = np.asarray(fhn.init_parameter_values(), dtype=np.float64)
+    target = np.asarray(
+        small_sim({"g": 0.003, "ionic": jnp.asarray(ionic0), "stim_amplitude": 30.0})
+    )
+
+    def loss_np(g, amp):
+        out = small_sim(
+            {"g": float(g), "ionic": jnp.asarray(ionic0), "stim_amplitude": float(amp)}
+        )
+        return float(jnp.mean((out - target) ** 2))
+
+    def loss_jax(params):
+        out = small_sim({**params, "ionic": jnp.asarray(ionic0)})
+        return jnp.mean((out - target) ** 2)
+
+    p0 = {"g": 0.002, "stim_amplitude": 28.0}
+    grads = jax.grad(loss_jax)(p0)
+    fd_g = _fd(lambda g: loss_np(g, p0["stim_amplitude"]), np.array([p0["g"]]), eps=1e-7)[0]
+    fd_a = _fd(lambda a: loss_np(p0["g"], a), np.array([p0["stim_amplitude"]]), eps=1e-5)[0]
+    np.testing.assert_allclose(float(grads["g"]), fd_g, rtol=2e-4)
+    np.testing.assert_allclose(float(grads["stim_amplitude"]), fd_a, rtol=2e-4)
+
+
+def test_ionic_parameter_gradient_matches_fd(small_sim):
+    ionic0 = np.asarray(fhn.init_parameter_values(), dtype=np.float64)
+    pi = 0  # first ionic parameter (name-agnostic)
+    target = np.asarray(small_sim({"g": 0.002, "ionic": jnp.asarray(ionic0)}))
+
+    def loss_jax(ionic):
+        out = small_sim({"g": 0.002, "ionic": ionic})
+        return jnp.mean((out - target) ** 2)
+
+    ionic_p = ionic0.copy()
+    ionic_p[pi] *= 1.1  # move off the target so the gradient is nonzero
+    grad = np.asarray(jax.grad(loss_jax)(jnp.asarray(ionic_p)))
+
+    def f(x):
+        v = ionic_p.copy()
+        v[pi] = float(np.asarray(x).reshape(()))
+        return float(loss_jax(jnp.asarray(v)))
+
+    fd = _fd(f, np.array([ionic_p[pi]]), eps=1e-6)[0]
+    np.testing.assert_allclose(grad[pi], fd, rtol=2e-4, atol=1e-12)
+
+
+def test_gradient_descent_recovers_conductivity(small_sim):
+    """A few Adam steps move g toward the value that generated the data."""
+    import optax
+
+    ionic = jnp.asarray(fhn.init_parameter_values())
+    g_true = 0.003
+    target = small_sim({"g": g_true, "ionic": ionic})
+
+    def loss(log_g):
+        out = small_sim({"g": jnp.exp(log_g), "ionic": ionic})
+        return jnp.mean((out - target) ** 2)
+
+    log_g = jnp.log(jnp.asarray(0.001))
+    opt = optax.adam(0.2)
+    state = opt.init(log_g)
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0 = float(vg(log_g)[0])
+    for _ in range(25):
+        val, g = vg(log_g)
+        upd, state = opt.update(g, state)
+        log_g = optax.apply_updates(log_g, upd)
+    assert float(val) < 0.05 * l0  # loss collapsed
+    assert abs(float(jnp.exp(log_g)) - g_true) < 0.35 * g_true
