@@ -83,6 +83,7 @@ __author__ = "fenicsx-beat-tpu developers"
 __program_name__ = "fenicsx-beat-tpu"
 
 from . import (  # noqa: E402
+    adjoint,
     ecg,
     fused,
     geometry,
@@ -124,4 +125,5 @@ __all__ = [
     "FusedMonodomainSolver",
     "io",
     "models",
+    "adjoint",
 ]

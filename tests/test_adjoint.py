@@ -139,6 +139,39 @@ def test_ionic_parameter_gradient_matches_fd(small_sim):
     np.testing.assert_allclose(grad[pi], fd, rtol=2e-4, atol=1e-12)
 
 
+def test_strang_gradient_matches_fd():
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.3) & (x[1] < 0.3))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=np.array([[0.2, 0.2]]),
+        dt=0.1,
+        n_steps=15,
+        theta=0.5,  # Strang choreography
+        pde_theta=0.5,  # Crank-Nicolson PDE stage
+    )
+    ionic = jnp.asarray(fhn.init_parameter_values())
+    target = np.asarray(sim({"g": 0.003, "ionic": ionic}))
+
+    def loss(g):
+        return jnp.mean((sim({"g": g, "ionic": ionic}) - target) ** 2)
+
+    g0 = 0.0022
+    dg = float(jax.grad(loss)(g0))
+    fd = _fd(lambda g: float(loss(float(np.asarray(g).reshape(())))), np.array([g0]), eps=1e-7)[0]
+    np.testing.assert_allclose(dg, fd, rtol=2e-4)
+
+
 def test_gradient_descent_recovers_conductivity(small_sim):
     """A few Adam steps move g toward the value that generated the data."""
     import optax
