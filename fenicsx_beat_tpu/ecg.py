@@ -40,6 +40,8 @@ __all__ = [
     "detect_t_end",
     "QTIntervalResult",
     "qt_interval",
+    "apd",
+    "restitution_curve",
     "ECGRecovery",
     "Leads12",
     "example",
@@ -122,6 +124,86 @@ def qt_interval(
         window_end_offset=window_end_offset,
     )
     return QTIntervalResult(qt_interval=t[t_end] - t[r0], start_index=r0, end_index=t_end)
+
+
+def apd(
+    t: np.ndarray,
+    v: np.ndarray,
+    repolarization: float = 90.0,
+    threshold: float = 0.0,
+) -> np.ndarray:
+    """Per-beat action-potential durations APD_p from a voltage trace.
+
+    Beats are upward ``threshold`` crossings; for each beat, APD_p runs
+    from the (linearly interpolated) activation crossing to the first
+    time after the beat's peak where v falls below
+    ``v_peak - p/100 * (v_peak - v_rest)`` (v_rest = pre-upstroke
+    voltage).  Beats that do not repolarize before the trace (or the next
+    beat) ends are dropped.  Goes beyond the reference's analysis set
+    (its ``ecg.py`` stops at R-peak/T-end/QT); APD/DI are the standard
+    tissue-level restitution measures (pace_train/pvc protocols).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    up = np.nonzero((v[:-1] < threshold) & (v[1:] >= threshold))[0]
+    out = []
+    for k, u in enumerate(up):
+        end = up[k + 1] if k + 1 < len(up) else v.size - 1
+        # interpolated activation time at the threshold crossing
+        f = (threshold - v[u]) / (v[u + 1] - v[u])
+        t_act = t[u] + f * (t[u + 1] - t[u])
+        v_rest = v[max(u - 1, 0)]
+        seg = slice(u, end + 1)
+        pk = u + int(np.argmax(v[seg]))
+        v_peak = v[pk]
+        level = v_peak - (repolarization / 100.0) * (v_peak - v_rest)
+        below = np.nonzero(v[pk : end + 1] <= level)[0]
+        if below.size == 0:
+            continue  # beat does not repolarize inside this window
+        j = pk + below[0]
+        if j == pk:
+            continue
+        f = (level - v[j - 1]) / (v[j] - v[j - 1])
+        t_rep = t[j - 1] + f * (t[j] - t[j - 1])
+        out.append(t_rep - t_act)
+    return np.asarray(out)
+
+
+def restitution_curve(
+    t: np.ndarray,
+    v: np.ndarray,
+    repolarization: float = 90.0,
+    threshold: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(diastolic intervals, following APDs) from a paced voltage trace.
+
+    ``DI_k`` is the gap between beat k's APD_p repolarization and beat
+    k+1's activation; the returned pairs ``(DI_k, APD_{k+1})`` are the
+    standard S1-S2 / dynamic restitution relation (consumer of the
+    ``pace_train`` protocol)."""
+    t = np.asarray(t, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    up = np.nonzero((v[:-1] < threshold) & (v[1:] >= threshold))[0]
+    t_act = []
+    t_rep = []
+    for k, u in enumerate(up):
+        end = up[k + 1] if k + 1 < len(up) else v.size - 1
+        f = (threshold - v[u]) / (v[u + 1] - v[u])
+        ta = t[u] + f * (t[u + 1] - t[u])
+        v_rest = v[max(u - 1, 0)]
+        pk = u + int(np.argmax(v[u : end + 1]))
+        v_peak = v[pk]
+        level = v_peak - (repolarization / 100.0) * (v_peak - v_rest)
+        below = np.nonzero(v[pk : end + 1] <= level)[0]
+        if below.size == 0 or below[0] == 0:
+            continue
+        j = pk + below[0]
+        f = (level - v[j - 1]) / (v[j] - v[j - 1])
+        t_act.append(ta)
+        t_rep.append(t[j - 1] + f * (t[j] - t[j - 1]))
+    di = np.asarray([t_act[k + 1] - t_rep[k] for k in range(len(t_act) - 1)])
+    apds = np.asarray([t_rep[k + 1] - t_act[k + 1] for k in range(len(t_act) - 1)])
+    return di, apds
 
 
 @dataclass

@@ -119,3 +119,72 @@ def test_qt_interval():
         qt.end_index, qrs_peak_time + t_peak_offset_ms + 2 * t_width_ms / 3, atol=5
     )
     assert np.isclose(qt.qt_interval, qt.end_index - qt.start_index)
+
+
+def _synthetic_ap_train(cl=300.0, apd=(250.0, 230.0, 210.0), dt=0.5):
+    """Trapezoid AP train: rest -85, peak +40, 2-sample upstroke, linear
+    repolarization reaching rest exactly `apd_k` after activation."""
+    n_beats = len(apd)
+    T = cl * n_beats + 100.0
+    t = np.arange(0.0, T, dt)
+    v = np.full(t.size, -85.0)
+    for k, a in enumerate(apd):
+        t0 = 10.0 + k * cl
+        for i, ti in enumerate(t):
+            if t0 <= ti < t0 + 1.0:
+                v[i] = -85.0 + (ti - t0) * 125.0
+            elif t0 + 1.0 <= ti < t0 + a:
+                # linear from +40 down to rest at t0 + a
+                v[i] = 40.0 - (ti - (t0 + 1.0)) * 125.0 / (a - 1.0)
+    return t, v
+
+
+def test_apd_per_beat_values():
+    from fenicsx_beat_tpu.ecg import apd
+
+    t, v = _synthetic_ap_train()
+    a = apd(t, v, repolarization=90)
+    assert a.size == 3
+    # APD90 of the linear-repolarization trapezoid: activation at v=0
+    # (upstroke), repol to rest+0.1*(peak-rest) = -72.5 slightly before
+    # full rest; analytic within a sample of the nominal plateau lengths
+    assert np.all(np.diff(a) < 0)  # shortening train
+    for a_k, nominal in zip(a, (250.0, 230.0, 210.0)):
+        assert abs(a_k - 0.9 * nominal) < 8.0  # 90% repol of a linear ramp
+
+
+def test_restitution_curve_pairs():
+    from fenicsx_beat_tpu.ecg import restitution_curve
+
+    t, v = _synthetic_ap_train(cl=300.0, apd=(250.0, 230.0, 210.0))
+    di, apds = restitution_curve(t, v)
+    assert di.size == 2 and apds.size == 2
+    # DI_k = CL - APD_k (by construction), APD pairs follow the train
+    assert np.all(di > 0) and np.all(np.diff(di) > 0)  # shorter APD -> longer DI
+    assert np.all(np.diff(apds) < 0)
+
+
+def test_apd_on_real_single_cell_trace():
+    import jax.numpy as jnp
+
+    from fenicsx_beat_tpu.ecg import apd
+    from fenicsx_beat_tpu.models import tentusscher_panfilov_2006 as tp06
+    from fenicsx_beat_tpu.odesolver import ODESystemSolver
+
+    dt = 0.1
+    n_steps = 4000
+    solver = ODESystemSolver(
+        fun=tp06.generalized_rush_larsen,
+        states=np.tile(tp06.init_state_values()[:, None], (1, 1)),
+        parameters=tp06.init_parameter_values(stim_start=10.0),
+    )
+    vi = tp06.state_index("V")
+    tr = np.empty(n_steps)
+    tcur = 0.0
+    for i in range(n_steps):
+        solver.step(tcur, dt)
+        tr[i] = float(np.asarray(solver.states)[vi, 0])
+        tcur += dt
+    a = apd(np.arange(n_steps) * dt, tr, repolarization=90)
+    assert a.size >= 1
+    assert 150.0 < a[0] < 400.0  # physiological TP06 APD90
