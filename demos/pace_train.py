@@ -109,6 +109,24 @@ def main(argv=None):
         print(f"Conduction velocity: {cv:.4f} cm/ms = {cv * 10:.3f} m/s")
     else:
         print(f"Wave has not traversed the probes (t1={t1:.2f}, t2={t2:.2f})")
+
+    # restitution from the saved mid-tissue trace: (DI_k, APD_{k+1}) pairs
+    # over the pace train (ecg.apd/restitution_curve — beyond the
+    # reference's analysis set)
+    from fenicsx_beat_tpu.ecg import apd, restitution_curve
+    from fenicsx_beat_tpu.io import load_checkpoint
+
+    data = load_checkpoint(args.outdir / "voltage.npz")
+    mid_dof = int(np.argmin(np.abs(mesh.coords[:, 0] - 0.5 * L)))
+    trace = data.values[:, mid_dof]
+    apds = apd(data.times, trace, repolarization=90)
+    if apds.size:
+        print(f"APD90 per beat (ms): {np.array2string(apds, precision=1)}")
+    di, a_next = restitution_curve(data.times, trace)
+    if di.size:
+        print("restitution (DI -> APD90):")
+        for d, a in zip(di, a_next):
+            print(f"  {d:7.1f} -> {a:6.1f}")
     return solver
 
 
