@@ -56,20 +56,45 @@ def main(argv=None):
         extra = [*extra, "--quick"]
 
     if args.geodir is not None and args.geodir.suffix == ".msh" and args.geodir.is_file():
-        # ukb-atlas exports Gmsh files; read them directly
-        from fenicsx_beat_tpu.io import read_msh
+        # ukb-atlas exports Gmsh files; read them directly.  The BiV
+        # pipeline needs EPI/ENDO_LV/ENDO_RV facet tags — resolve them
+        # through the file's $PhysicalNames; anything missing degrades to
+        # the idealized pipeline instead of crashing downstream.
         from fenicsx_beat_tpu.geometry import Geometry
+        from fenicsx_beat_tpu.io import read_msh, read_msh_physical_names
 
         mesh, _ct, ffun = read_msh(args.geodir)
-        geo = Geometry(mesh=mesh, ffun=ffun, markers=None, f0=None)
-        print(f"Loaded Gmsh geometry: {mesh.num_vertices} nodes")
-        import demos.biv_endocardial as biv
+        names = {k.upper(): v for k, v in read_msh_physical_names(args.geodir).items()}
 
-        return biv.main(
-            ["-T", str(args.T), "--dt", str(args.dt), "-o", str(args.outdir), *extra],
-            geometry=geo,
+        def _find(*cands):
+            for c in cands:
+                if c in names:
+                    return names[c][1]
+            return None
+
+        epi = _find("EPI", "EPICARDIUM")
+        endo_lv = _find("ENDO_LV", "LV", "LV_ENDO", "ENDOCARDIUM_LV")
+        endo_rv = _find("ENDO_RV", "RV", "RV_ENDO", "ENDOCARDIUM_RV")
+        if ffun is not None and None not in (epi, endo_lv, endo_rv):
+            markers = {k: (tag, dim) for k, (dim, tag) in names.items()}
+            geo = Geometry(mesh=mesh, ffun=ffun, markers=markers, f0=None)
+            print(f"Loaded Gmsh geometry: {mesh.num_vertices} nodes, "
+                  f"markers {sorted(names)}")
+            import demos.biv_endocardial as biv
+
+            return biv.main(
+                ["-T", str(args.T), "--dt", str(args.dt), "-o", str(args.outdir), *extra],
+                geometry=geo,
+                endo_lv_marker=endo_lv,
+                endo_rv_marker=endo_rv,
+            )
+        missing = [n for n, v in
+                   (("EPI", epi), ("ENDO_LV", endo_lv), ("ENDO_RV", endo_rv)) if v is None]
+        print(
+            f"Gmsh file lacks required facet tags ({'ffun missing' if ffun is None else 'names missing: ' + ','.join(missing)}); "
+            "running the idealized pipeline instead."
         )
-    if args.geodir is not None and (
+    if args.geodir is not None and args.geodir.suffix != ".msh" and (
         args.geodir.is_file() or (args.geodir / "mesh.npz").is_file()
     ):
         geo = load_external_geometry(args.geodir)

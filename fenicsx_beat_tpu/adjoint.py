@@ -213,15 +213,23 @@ def build_diff_simulator(
 
         def b_stim(t):
             # chi * sum_s amp_s * window_s(t) * load_s ; t is not
-            # differentiated (window edges are zero-measure)
-            on = ((t >= win_start) & (t < win_start + win_dur)).astype(dtype)
+            # differentiated (window edges are zero-measure).  Inclusive
+            # window end, matching TimeWindow.indicator and the fused
+            # solver (stimulation.py:104, fused.py:485)
+            on = ((t >= win_start) & (t <= win_start + win_dur)).astype(dtype)
             return chi * ((amps * on) @ stim_mat)
 
         def ionic_step(states, t, sub_dt):
             return ode_fun(states, t, ionic, sub_dt)
 
         def pde_step(v, t):
-            rhs = chi * C_m * (Mop @ v) - (1.0 - th) * dt_f * (Kop @ v) + dt_f * b_stim(t)
+            # stimulus evaluated at the PDE theta point, matching the
+            # production solvers (fused.py:627, reference base_model.py:219)
+            rhs = (
+                chi * C_m * (Mop @ v)
+                - (1.0 - th) * dt_f * (Kop @ v)
+                + dt_f * b_stim(t + th * dt_f)
+            )
             return cg_implicit(
                 lambda u: A @ u,
                 rhs,

@@ -126,6 +126,37 @@ def qt_interval(
     return QTIntervalResult(qt_interval=t[t_end] - t[r0], start_index=r0, end_index=t_end)
 
 
+def _beat_intervals(t, v, repolarization, threshold):
+    """Per-beat (beat_index, t_activation, t_repolarization) from a trace.
+
+    Beats are upward ``threshold`` crossings; activation is the linearly
+    interpolated crossing, repolarization the first interpolated drop
+    below ``v_peak - p/100 * (v_peak - v_rest)`` after the beat's peak
+    (v_rest = pre-upstroke voltage).  Beats that do not repolarize before
+    the next beat (or the trace end) are omitted — note the beat INDEX is
+    kept so callers can detect the gap."""
+    t = np.asarray(t, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    up = np.nonzero((v[:-1] < threshold) & (v[1:] >= threshold))[0]
+    out = []
+    for k, u in enumerate(up):
+        end = up[k + 1] if k + 1 < len(up) else v.size - 1
+        f = (threshold - v[u]) / (v[u + 1] - v[u])
+        t_act = t[u] + f * (t[u + 1] - t[u])
+        v_rest = v[max(u - 1, 0)]
+        pk = u + int(np.argmax(v[u : end + 1]))
+        v_peak = v[pk]
+        level = v_peak - (repolarization / 100.0) * (v_peak - v_rest)
+        below = np.nonzero(v[pk : end + 1] <= level)[0]
+        if below.size == 0 or below[0] == 0:
+            continue  # beat does not repolarize inside this window
+        j = pk + below[0]
+        f = (level - v[j - 1]) / (v[j] - v[j - 1])
+        t_rep = t[j - 1] + f * (t[j] - t[j - 1])
+        out.append((k, t_act, t_rep))
+    return out
+
+
 def apd(
     t: np.ndarray,
     v: np.ndarray,
@@ -134,39 +165,12 @@ def apd(
 ) -> np.ndarray:
     """Per-beat action-potential durations APD_p from a voltage trace.
 
-    Beats are upward ``threshold`` crossings; for each beat, APD_p runs
-    from the (linearly interpolated) activation crossing to the first
-    time after the beat's peak where v falls below
-    ``v_peak - p/100 * (v_peak - v_rest)`` (v_rest = pre-upstroke
-    voltage).  Beats that do not repolarize before the trace (or the next
-    beat) ends are dropped.  Goes beyond the reference's analysis set
-    (its ``ecg.py`` stops at R-peak/T-end/QT); APD/DI are the standard
-    tissue-level restitution measures (pace_train/pvc protocols).
-    """
-    t = np.asarray(t, dtype=np.float64)
-    v = np.asarray(v, dtype=np.float64)
-    up = np.nonzero((v[:-1] < threshold) & (v[1:] >= threshold))[0]
-    out = []
-    for k, u in enumerate(up):
-        end = up[k + 1] if k + 1 < len(up) else v.size - 1
-        # interpolated activation time at the threshold crossing
-        f = (threshold - v[u]) / (v[u + 1] - v[u])
-        t_act = t[u] + f * (t[u + 1] - t[u])
-        v_rest = v[max(u - 1, 0)]
-        seg = slice(u, end + 1)
-        pk = u + int(np.argmax(v[seg]))
-        v_peak = v[pk]
-        level = v_peak - (repolarization / 100.0) * (v_peak - v_rest)
-        below = np.nonzero(v[pk : end + 1] <= level)[0]
-        if below.size == 0:
-            continue  # beat does not repolarize inside this window
-        j = pk + below[0]
-        if j == pk:
-            continue
-        f = (level - v[j - 1]) / (v[j] - v[j - 1])
-        t_rep = t[j - 1] + f * (t[j] - t[j - 1])
-        out.append(t_rep - t_act)
-    return np.asarray(out)
+    See :func:`_beat_intervals` for the beat model.  Goes beyond the
+    reference's analysis set (its ``ecg.py`` stops at R-peak/T-end/QT);
+    APD/DI are the standard tissue-level restitution measures
+    (pace_train/pvc protocols)."""
+    beats = _beat_intervals(t, v, repolarization, threshold)
+    return np.asarray([t_rep - t_act for _, t_act, t_rep in beats])
 
 
 def restitution_curve(
@@ -180,30 +184,18 @@ def restitution_curve(
     ``DI_k`` is the gap between beat k's APD_p repolarization and beat
     k+1's activation; the returned pairs ``(DI_k, APD_{k+1})`` are the
     standard S1-S2 / dynamic restitution relation (consumer of the
-    ``pace_train`` protocol)."""
-    t = np.asarray(t, dtype=np.float64)
-    v = np.asarray(v, dtype=np.float64)
-    up = np.nonzero((v[:-1] < threshold) & (v[1:] >= threshold))[0]
-    t_act = []
-    t_rep = []
-    for k, u in enumerate(up):
-        end = up[k + 1] if k + 1 < len(up) else v.size - 1
-        f = (threshold - v[u]) / (v[u + 1] - v[u])
-        ta = t[u] + f * (t[u + 1] - t[u])
-        v_rest = v[max(u - 1, 0)]
-        pk = u + int(np.argmax(v[u : end + 1]))
-        v_peak = v[pk]
-        level = v_peak - (repolarization / 100.0) * (v_peak - v_rest)
-        below = np.nonzero(v[pk : end + 1] <= level)[0]
-        if below.size == 0 or below[0] == 0:
-            continue
-        j = pk + below[0]
-        f = (level - v[j - 1]) / (v[j] - v[j - 1])
-        t_act.append(ta)
-        t_rep.append(t[j - 1] + f * (t[j] - t[j - 1]))
-    di = np.asarray([t_act[k + 1] - t_rep[k] for k in range(len(t_act) - 1)])
-    apds = np.asarray([t_rep[k + 1] - t_act[k + 1] for k in range(len(t_act) - 1)])
-    return di, apds
+    ``pace_train`` protocol).  Pairs are formed only between
+    CONSECUTIVE detected beats: if a beat fails to repolarize (short-DI
+    / alternans regimes), the pairs on both sides of the gap are
+    dropped rather than fabricating a DI that spans two beats."""
+    beats = _beat_intervals(t, v, repolarization, threshold)
+    di, apds = [], []
+    for (k0, _, rep0), (k1, act1, rep1) in zip(beats, beats[1:]):
+        if k1 != k0 + 1:
+            continue  # a non-repolarizing beat sits between: no valid pair
+        di.append(act1 - rep0)
+        apds.append(rep1 - act1)
+    return np.asarray(di), np.asarray(apds)
 
 
 @dataclass

@@ -235,12 +235,15 @@ def read_msh(path: str | Path):
     else:
         raise ValueError(f"{path}: unsupported msh version {version}")
 
-    tag_to_idx = {int(t): i for i, t in enumerate(tags)}
     tdim = max(d for d, _, _ in blocks)
-    gdim = tdim  # cardiac meshes are volume (or in-plane surface) meshes
-    coords = coords[:, :gdim]
+    if tdim < 3 and np.abs(coords[:, tdim:]).max(initial=0.0) > 1e-12:
+        raise NotImplementedError(
+            f"{path}: {tdim}D cells embedded in 3D (curved surface mesh) — "
+            "the PDE layer requires tdim == gdim; project or volumetrize "
+            "the mesh first"
+        )
+    coords = coords[:, :tdim]
 
-    del tag_to_idx  # vectorized remap below
     order = np.argsort(tags)
     sorted_tags = tags[order]
 
@@ -260,7 +263,7 @@ def read_msh(path: str | Path):
             facet_conn.append(_remap(conn))
             facet_vals.append(np.full(len(conn), phys, dtype=np.int32))
     cells = np.concatenate(cell_conn, axis=0)
-    ctype = CellType.tetrahedron if tdim == 3 else CellType.triangle
+    ctype = {3: CellType.tetrahedron, 2: CellType.triangle, 1: CellType.interval}[tdim]
     mesh = Mesh(coords=np.ascontiguousarray(coords, dtype=np.float64), cells=cells, cell_type=ctype)
 
     cvals = np.concatenate(cell_vals)
@@ -286,6 +289,27 @@ def read_msh(path: str | Path):
             indices=idx.astype(np.int32), values=fvals,
         )
     return mesh, cell_tags, facet_tags
+
+
+def read_msh_physical_names(path: str | Path) -> dict[str, tuple[int, int]]:
+    """``{name: (dim, physical tag)}`` from a .msh ``$PhysicalNames``
+    section (empty dict when absent) — lets callers resolve named regions
+    (EPI/ENDO_LV/...) to the tag values carried by :func:`read_msh`'s
+    MeshTags, the role gmsh physical groups play for dolfinx users."""
+    out: dict[str, tuple[int, int]] = {}
+    inside = False
+    for line in Path(path).read_text().splitlines():
+        s = line.strip()
+        if s == "$PhysicalNames":
+            inside = True
+            continue
+        if s == "$EndPhysicalNames":
+            break
+        if inside and '"' in s:
+            head, _, name = s.partition('"')
+            dim, tag = (int(x) for x in head.split()[:2])
+            out[name.rstrip('"')] = (dim, tag)
+    return out
 
 
 def _parse_msh2(sections):

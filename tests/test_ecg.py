@@ -188,3 +188,36 @@ def test_apd_on_real_single_cell_trace():
     a = apd(np.arange(n_steps) * dt, tr, repolarization=90)
     assert a.size >= 1
     assert 150.0 < a[0] < 400.0  # physiological TP06 APD90
+
+
+def test_restitution_skips_pairs_across_nonrepolarizing_beats():
+    from fenicsx_beat_tpu.ecg import apd, restitution_curve
+
+    # beat 2 of 3 repolarizes only to -20 mV (above its APD90 level
+    # ~-72.5) before beat 3 re-excites — an incomplete beat in the
+    # short-DI regime: no DI pair may span the gap it leaves
+    dt = 0.5
+    t = np.arange(0.0, 1000.0, dt)
+
+    def ramp(t0, t1, v0, v1, ti):
+        return v0 + (ti - t0) * (v1 - v0) / (t1 - t0)
+
+    v = np.full(t.size, -85.0)
+    for i, ti in enumerate(t):
+        if 10.0 <= ti < 11.0:
+            v[i] = ramp(10.0, 11.0, -85.0, 40.0, ti)      # beat 1 upstroke
+        elif 11.0 <= ti < 210.0:
+            v[i] = ramp(11.0, 210.0, 40.0, -85.0, ti)     # full repol
+        elif 300.0 <= ti < 301.0:
+            v[i] = ramp(300.0, 301.0, -85.0, 40.0, ti)    # beat 2 upstroke
+        elif 301.0 <= ti < 590.0:
+            v[i] = ramp(301.0, 590.0, 40.0, -20.0, ti)    # INCOMPLETE repol
+        elif 590.0 <= ti < 591.0:
+            v[i] = ramp(590.0, 591.0, -20.0, 40.0, ti)    # beat 3 re-excites
+        elif 591.0 <= ti < 790.0:
+            v[i] = ramp(591.0, 790.0, 40.0, -85.0, ti)    # full repol
+    a = apd(t, v)
+    assert a.size == 2  # the non-repolarizing beat is dropped
+    di, apds = restitution_curve(t, v)
+    # beats 1 and 3 are non-consecutive: NO pair may be fabricated
+    assert di.size == 0 and apds.size == 0

@@ -2,6 +2,7 @@
 ADIOS2/io4dolfinx, ``demos/pace_train.py:179-189,222-249`` — here in-repo)."""
 
 import numpy as np
+import pytest
 
 from fenicsx_beat_tpu import mesh as meshmod
 from fenicsx_beat_tpu.io import CheckpointWriter, VTUWriter, load_checkpoint
@@ -173,3 +174,52 @@ def test_mesh_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(m2.coords, m.coords)
     np.testing.assert_array_equal(m2.cells, m.cells)
     assert m2.cell_type == m.cell_type
+
+
+MSH22_NAMED = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+3
+1 5 "ENDO_LV"
+1 6 "EPI"
+2 7 "MYOCARDIUM"
+$EndPhysicalNames
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+4
+1 2 2 7 1 1 2 3
+2 2 2 7 1 1 3 4
+3 1 2 5 1 1 2
+4 1 2 6 1 3 4
+$EndElements
+"""
+
+
+def test_read_msh_physical_names(tmp_path):
+    from fenicsx_beat_tpu.io import read_msh, read_msh_physical_names
+
+    p = tmp_path / "named.msh"
+    p.write_text(MSH22_NAMED)
+    names = read_msh_physical_names(p)
+    assert names == {"ENDO_LV": (1, 5), "EPI": (1, 6), "MYOCARDIUM": (2, 7)}
+    mesh, ct, ft = read_msh(p)
+    # names resolve to the tag values the MeshTags carry
+    assert 5 in ft.values and 6 in ft.values
+    assert set(ct.values) == {7}
+
+
+def test_read_msh_rejects_embedded_surface(tmp_path):
+    from fenicsx_beat_tpu.io import read_msh
+
+    curved = MSH22_NAMED.replace("3 1 1 0", "3 1 1 0.3")  # node off-plane
+    p = tmp_path / "curved.msh"
+    p.write_text(curved)
+    with pytest.raises(NotImplementedError):
+        read_msh(p)
