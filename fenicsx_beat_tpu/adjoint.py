@@ -133,6 +133,7 @@ def build_diff_simulator(
     specs = stiffness_components if stiffness_components is not None else [1.0]
     mass = None
     kvals_list = []
+    ktail_list = []
     for spec in specs:
         m_i, k_i = fem.assemble_mass_stiffness_auto(V, spec)
         if mass is None:
@@ -142,12 +143,18 @@ def build_diff_simulator(
             mass, "offsets", None
         ):
             raise ValueError("stiffness components must share the mass pattern")
-        if getattr(k_i, "has_tail", False) or getattr(mass, "has_tail", False):
-            raise NotImplementedError(
-                "differentiable path on hybrid-tail (high-degree) meshes"
-            )
+        if getattr(k_i, "has_tail", False):
+            # hybrid apex tail (unstructured LV meshes): value-level
+            # combine like the main table — the pattern is shared across
+            # components by construction (same mesh, same assembly)
+            ktail_list.append(jnp.asarray(k_i.tail_vals, dtype=dtype))
+    has_tail = bool(getattr(mass, "has_tail", False))
+    if has_tail and len(ktail_list) != len(specs):
+        raise ValueError("stiffness components disagree on the tail pattern")
     mvals = jnp.asarray(mass.vals, dtype=dtype)
     kvals_stack = jnp.stack(kvals_list)  # [nK, ...vals shape]
+    mtail = jnp.asarray(mass.tail_vals, dtype=dtype) if has_tail else None
+    ktail_stack = jnp.stack(ktail_list) if has_tail else None
 
     # stimulus: TimeWindow only — amplitude is the differentiable knob
     stim_loads = []
@@ -197,7 +204,13 @@ def build_diff_simulator(
     def _operator_vals(g):
         g = jnp.atleast_1d(jnp.asarray(g, dtype=dtype))
         kv = jnp.tensordot(g, kvals_stack, axes=1)
-        return mvals, kv
+        kt = jnp.tensordot(g, ktail_stack, axes=1) if has_tail else None
+        return mvals, kv, kt
+
+    def _with_values(vals, tail_vals):
+        if has_tail:
+            return mass.with_values(vals, tail_vals)
+        return mass.with_values(vals)
 
     def simulate(params: dict) -> jnp.ndarray:
         g = params.get("g", 1.0)
@@ -205,10 +218,13 @@ def build_diff_simulator(
         amps = jnp.atleast_1d(
             jnp.asarray(params.get("stim_amplitude", default_amps), dtype=dtype)
         )
-        mv, kv = _operator_vals(g)
-        A = mass.with_values(chi * C_m * mv + th * dt_f * kv)
-        Mop = mass.with_values(mv)
-        Kop = mass.with_values(kv)
+        mv, kv, kt = _operator_vals(g)
+        A = _with_values(
+            chi * C_m * mv + th * dt_f * kv,
+            chi * C_m * mtail + th * dt_f * kt if has_tail else None,
+        )
+        Mop = _with_values(mv, mtail)
+        Kop = _with_values(kv, kt)
         diagA = A.diagonal()
 
         def b_stim(t):

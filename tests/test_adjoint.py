@@ -172,6 +172,48 @@ def test_strang_gradient_matches_fd():
     np.testing.assert_allclose(dg, fd, rtol=2e-4)
 
 
+def test_lv_hybrid_tail_gradient_matches_fd():
+    """Differentiable path on an unstructured LV mesh whose operator
+    carries the welded-apex COO tail."""
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=0.8)
+    mesh = geo.mesh
+    mass, _ = fem.assemble_mass_stiffness_auto(fem.functionspace(mesh, ("P", 1)), 1.0)
+    assert getattr(mass, "has_tail", False)  # the tail path is exercised
+
+    apex = mesh.coords[np.argmin(mesh.coords[:, 0])]
+    cells = meshmod.locate_entities(
+        mesh, 3, lambda x: (x[0] - apex[0]) ** 2 + x[1] ** 2 + x[2] ** 2 < 4.0
+    )
+    tags = meshmod.meshtags(mesh, 3, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=mesh.coords[mesh.cells[0]].mean(axis=0)[None, :],  # a centroid
+        dt=0.1,
+        n_steps=12,
+    )
+    ionic = jnp.asarray(fhn.init_parameter_values())
+    target = np.asarray(sim({"g": 0.01, "ionic": ionic}))
+
+    def loss(g):
+        return jnp.mean((sim({"g": g, "ionic": ionic}) - target) ** 2)
+
+    g0 = 0.006
+    dg = float(jax.grad(loss)(g0))
+    fd = _fd(lambda g: float(loss(float(np.asarray(g).reshape(())))), np.array([g0]), eps=1e-7)[0]
+    np.testing.assert_allclose(dg, fd, rtol=2e-4)
+
+
 def test_gradient_descent_recovers_conductivity(small_sim):
     """A few Adam steps move g toward the value that generated the data."""
     import optax
