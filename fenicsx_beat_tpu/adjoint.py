@@ -95,6 +95,8 @@ def build_diff_simulator(
     probe_points,
     dt: float,
     n_steps: int,
+    electrode_points=None,
+    sigma_b: float = 1.0,
     theta: float = 1.0,
     pde_theta: float = 1.0,
     C_m: float = 1.0,
@@ -107,6 +109,14 @@ def build_diff_simulator(
     dtype=jnp.float64,
 ) -> Callable[[dict], jnp.ndarray]:
     """Build ``simulate(params) -> probe voltages [n_steps, n_probes]``.
+
+    With ``electrode_points``, ``simulate`` instead returns
+    ``{"probes": [n_steps, n_probes], "ecg": [n_steps, n_electrodes]}``:
+    each step additionally recovers ``Im = -(1/C_m) Mass^{-1} K(g) v``
+    through a second implicit-diff CG and evaluates the pseudo-ECG
+    electrode potentials (``ecg.ECGRecovery`` weights) — so ECG-trace
+    losses differentiate w.r.t. the same parameters, the inverse problem
+    clinical personalization actually poses.
 
     ``params`` keys (all optional, all differentiable):
 
@@ -193,6 +203,14 @@ def build_diff_simulator(
     probe_dofs = jnp.asarray(probe_dofs)
     probe_w = jnp.asarray(probe_w, dtype=dtype)
 
+    W_e = None
+    if electrode_points is not None:
+        from .ecg import ECGRecovery
+
+        rec = ECGRecovery(v=fem.Function(V), sigma_b=sigma_b)
+        W_full = np.asarray(rec.electrode_weights(np.asarray(electrode_points)))
+        W_e = jnp.asarray(W_full[:, :n], dtype=dtype)  # [ne, n]
+
     states0 = jnp.asarray(np.asarray(init_states, dtype=np.float64), dtype=dtype)
     if states0.ndim == 1:
         states0 = jnp.tile(states0[:, None], (1, n))
@@ -268,10 +286,24 @@ def build_diff_simulator(
                 v = pde_step(states[v_index], t)
                 states = states.at[v_index].set(v)
             probe_v = (states[v_index][probe_dofs] * probe_w).sum(axis=1)
-            return states, probe_v
+            if W_e is None:
+                return states, probe_v
+            # pseudo-ECG: Im = -(1/C_m) Mass^{-1} K(g) v, phi = W Im
+            vv = states[v_index]
+            im = cg_implicit(
+                lambda u: Mop @ u,
+                Kop @ vv,
+                precond_diag=Mop.diagonal(),
+                rtol=cg_rtol,
+                atol=cg_atol,
+                maxiter=cg_maxiter,
+            ) * (-1.0 / C_m)
+            return states, (probe_v, W_e @ im)
 
         ts = jnp.arange(n_steps, dtype=dtype) * dt_f
         _final, traces = jax.lax.scan(jax.checkpoint(step), states0, ts)
-        return traces  # [n_steps, n_probes]
+        if W_e is None:
+            return traces  # [n_steps, n_probes]
+        return {"probes": traces[0], "ecg": traces[1]}
 
     return simulate

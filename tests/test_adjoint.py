@@ -172,6 +172,45 @@ def test_strang_gradient_matches_fd():
     np.testing.assert_allclose(dg, fd, rtol=2e-4)
 
 
+def test_ecg_trace_gradient_matches_fd():
+    """Fitting conductivity to a pseudo-ECG trace (the clinical inverse
+    problem): gradient through simulate -> Im recovery -> electrode
+    evaluation matches finite differences."""
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.3) & (x[1] < 0.3))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=np.array([[0.5, 0.5]]),
+        electrode_points=np.array([[2.0, 0.5], [-1.0, -1.0]]),
+        dt=0.1,
+        n_steps=20,
+    )
+    ionic = jnp.asarray(fhn.init_parameter_values())
+    out = sim({"g": 0.003, "ionic": ionic})
+    assert out["probes"].shape == (20, 1) and out["ecg"].shape == (20, 2)
+    assert np.isfinite(np.asarray(out["ecg"])).all()
+    assert np.abs(np.asarray(out["ecg"])).max() > 0
+    target = np.asarray(out["ecg"])
+
+    def loss(g):
+        return jnp.mean((sim({"g": g, "ionic": ionic})["ecg"] - target) ** 2)
+
+    g0 = 0.002
+    dg = float(jax.grad(loss)(g0))
+    fd = _fd(lambda g: float(loss(float(np.asarray(g).reshape(())))), np.array([g0]), eps=1e-7)[0]
+    np.testing.assert_allclose(dg, fd, rtol=2e-4)
+
+
 def test_lv_hybrid_tail_gradient_matches_fd():
     """Differentiable path on an unstructured LV mesh whose operator
     carries the welded-apex COO tail."""
