@@ -253,6 +253,50 @@ def test_lv_hybrid_tail_gradient_matches_fd():
     np.testing.assert_allclose(dg, fd, rtol=2e-4)
 
 
+def test_anisotropic_component_gradients_match_fd():
+    """K(g) = g_l K_fiber + g_t K_transverse: the gradient reaches each
+    component independently (the fiber/transverse personalization case)."""
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.3) & (x[1] < 0.3))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    f = np.array([1.0, 0.0])
+    K_l = np.outer(f, f)            # fiber component
+    K_t = np.eye(2) - K_l           # transverse component
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=np.array([[0.7, 0.2], [0.2, 0.7]]),  # along/across fiber
+        dt=0.1,
+        n_steps=20,
+        stiffness_components=[K_l, K_t],
+    )
+    ionic = jnp.asarray(fhn.init_parameter_values())
+    g_true = jnp.asarray([0.004, 0.001])
+    target = np.asarray(sim({"g": g_true, "ionic": ionic}))
+
+    def loss(g):
+        return jnp.mean((sim({"g": g, "ionic": ionic}) - target) ** 2)
+
+    g0 = np.array([0.003, 0.0015])
+    grad = np.asarray(jax.grad(loss)(jnp.asarray(g0)))
+    for i in range(2):
+        def f_i(x, i=i):
+            g = g0.copy()
+            g[i] = float(np.asarray(x).reshape(()))
+            return float(loss(jnp.asarray(g)))
+
+        fd = _fd(f_i, np.array([g0[i]]), eps=1e-7)[0]
+        np.testing.assert_allclose(grad[i], fd, rtol=3e-4)
+
+
 def test_gradient_descent_recovers_conductivity(small_sim):
     """A few Adam steps move g toward the value that generated the data."""
     import optax
