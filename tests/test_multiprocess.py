@@ -30,9 +30,12 @@ WORKER = textwrap.dedent(
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     port, pid = sys.argv[1], int(sys.argv[2])
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=2, process_id=pid)
     sys.path.insert(0, %(repo)r)
+    # through the package's own entry point (explicit kwargs re-raise on
+    # failure rather than degrading)
+    from fenicsx_beat_tpu.parallel.distributed import initialize_distributed
+    initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
     import jax.numpy as jnp
     from fenicsx_beat_tpu.geometry import get_2D_slab_mesh
     from fenicsx_beat_tpu import mesh as meshmod, stimulation
