@@ -205,11 +205,16 @@ def build_diff_simulator(
 
     W_e = None
     if electrode_points is not None:
-        from .ecg import ECGRecovery
+        # standalone weight computation: no ECGRecovery construction (its
+        # __post_init__ would redo the operator assembly done above)
+        from .ecg import electrode_weight_matrix
 
-        rec = ECGRecovery(v=fem.Function(V), sigma_b=sigma_b)
-        W_full = np.asarray(rec.electrode_weights(np.asarray(electrode_points)))
-        W_e = jnp.asarray(W_full[:, :n], dtype=dtype)  # [ne, n]
+        W_e = jnp.asarray(
+            np.asarray(
+                electrode_weight_matrix(V, np.asarray(electrode_points), sigma_b=sigma_b)
+            ),
+            dtype=dtype,
+        )  # [ne, n]
 
     states0 = jnp.asarray(np.asarray(init_states, dtype=np.float64), dtype=dtype)
     if states0.ndim == 1:
@@ -244,6 +249,7 @@ def build_diff_simulator(
         Mop = _with_values(mv, mtail)
         Kop = _with_values(kv, kt)
         diagA = A.diagonal()
+        diagM = Mop.diagonal() if W_e is not None else None
 
         def b_stim(t):
             # chi * sum_s amp_s * window_s(t) * load_s ; t is not
@@ -293,7 +299,7 @@ def build_diff_simulator(
             im = cg_implicit(
                 lambda u: Mop @ u,
                 Kop @ vv,
-                precond_diag=Mop.diagonal(),
+                precond_diag=diagM,
                 rtol=cg_rtol,
                 atol=cg_atol,
                 maxiter=cg_maxiter,

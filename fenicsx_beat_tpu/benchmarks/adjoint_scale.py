@@ -68,12 +68,21 @@ def run_adjoint_scale(dx: float, T: float = 20.0, dt: float = 0.05) -> dict:
     vg = jax.jit(jax.value_and_grad(loss))
     p = {"g": jnp.float32(0.001)}
 
+    # drain the tunnel's first-pull stall BEFORE any timing (the same
+    # pathology bench.py's link_pull_ms probe absorbs; an un-drained
+    # first call absorbs minutes of warm-up into "compile time")
+    np.asarray(jnp.ones((1024,), jnp.float32))
+
+    # AOT compile timings: lower+compile only, no execution, no transfer
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd(p))
+    fwd_c = fwd.lower(p).compile()
     fwd_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(vg(p))
+    vg_c = vg.lower(p).compile()
     vg_compile = time.perf_counter() - t0
+    jax.block_until_ready(fwd_c(p))
+    jax.block_until_ready(vg_c(p))
+    fwd, vg = fwd_c, vg_c
 
     def best_of(f, n=3):
         best = float("inf")

@@ -41,6 +41,7 @@ __all__ = [
     "QTIntervalResult",
     "qt_interval",
     "apd",
+    "electrode_weight_matrix",
     "restitution_curve",
     "ECGRecovery",
     "Leads12",
@@ -405,83 +406,18 @@ class ECGRecovery:
         """Device-resident ``[n_electrodes, n_pad]`` weight matrix W with
         ``phi_e = W @ Im``.
 
-        The electrode integral is linear in Im, so its quadrature
-        (identical rule + basis tabulation to :meth:`eval`) collapses into
-        per-dof weights ``W[e, j] = Σ_cells Σ_q w_q N_j(q) / (4 pi sigma_b
-        |x_q - p_e|)``.  Computed chunk-wise ON DEVICE from the mesh arrays
-        — no [nc, nq, gdim] host tables, no per-cell host loop — which is
-        what makes dx=0.05 (20.6M cells) ECG recovery minutes-scale
-        instead of hours (reference ``ecg.py:295-298`` re-assembles the
-        form per frame under MPI)."""
-        import jax
+        Delegates to :func:`electrode_weight_matrix` with this recovery's
+        padded layout."""
+        return electrode_weight_matrix(
+            self.V,
+            points,
+            sigma_b=self.sigma_b,
+            degree=degree,
+            n_pad=self._n_pad,
+            dtype=self._npdt,
+            cells_per_chunk=cells_per_chunk,
+        )
 
-        from .ops.quadrature import simplex_rule
-
-        mesh = self.mesh
-        tdim, gdim = mesh.tdim, mesh.gdim
-        pts, wts = simplex_rule(tdim, degree)  # [nq, tdim], [nq]
-        N = self.V.element.tabulate(tdim, pts)  # [nq, nd]
-        P = np.zeros((len(points), gdim))
-        for e, p in enumerate(points):
-            P[e, : min(len(p), gdim)] = np.asarray(p, dtype=np.float64)[:gdim]
-        sigma_b = float(self.sigma_b)
-        npdt = self._npdt
-
-        # coords as an explicit jit ARGUMENT, device_put once — a device
-        # closure constant would be pulled back to host at lowering
-        coords_d = jax.device_put(jnp.asarray(mesh.coords.astype(npdt)))
-        nq, nd = N.shape
-
-        @jax.jit
-        def chunk_weights(coords, cells_chunk, dofs_chunk, live, w_acc):
-            verts = coords[cells_chunk]  # [B, tdim+1, gdim]
-            edges = verts[:, 1:, :] - verts[:, :1, :]  # [B, tdim, gdim]
-            # Gram-determinant volume: covers gdim == tdim and embedded cells
-            G = jnp.einsum("cik,cjk->cij", edges, edges)
-            if tdim == 1:
-                detG = G[:, 0, 0]
-            elif tdim == 2:
-                detG = G[:, 0, 0] * G[:, 1, 1] - G[:, 0, 1] * G[:, 1, 0]
-            else:
-                detG = (
-                    G[:, 0, 0] * (G[:, 1, 1] * G[:, 2, 2] - G[:, 1, 2] * G[:, 2, 1])
-                    - G[:, 0, 1] * (G[:, 1, 0] * G[:, 2, 2] - G[:, 1, 2] * G[:, 2, 0])
-                    + G[:, 0, 2] * (G[:, 1, 0] * G[:, 2, 1] - G[:, 1, 1] * G[:, 2, 0])
-                )
-            # rule weights sum to the REFERENCE simplex volume 1/tdim!, so
-            # the physical quadrature weight is sqrt(det G) * w_q (the
-            # Jacobian norm), matching fem.cell_quadrature's volume*tdim!*w
-            jac = jnp.sqrt(jnp.abs(detG)) * live  # [B]
-            xq = verts[:, :1, :] + jnp.einsum("qd,cdg->cqg", jnp.asarray(pts, dtype=npdt), edges)
-            # [n_e, B, nq] inverse distances
-            diff = xq[None] - jnp.asarray(P, dtype=npdt)[:, None, None, :]
-            inv_r = 1.0 / jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-            wq = jac[:, None] * jnp.asarray(wts, dtype=npdt)[None, :]  # [B, nq]
-            scale = 1.0 / (4.0 * np.pi * sigma_b)
-            # [n_e, B, nd] per-cell dof contributions
-            contrib = scale * jnp.einsum("ebq,bq,qd->ebd", inv_r, wq, jnp.asarray(N, dtype=npdt))
-            for e in range(P.shape[0]):
-                w_acc = w_acc.at[e].set(
-                    w_acc[e].at[dofs_chunk.reshape(-1)].add(contrib[e].reshape(-1))
-                )
-            return w_acc
-
-        W = jnp.zeros((P.shape[0], self._n_pad), dtype=npdt)
-        nc = mesh.num_cells
-        B = min(cells_per_chunk, nc)
-        cell_dofs = self.V.cell_dofs
-        for c0 in range(0, nc, B):
-            c1 = min(c0 + B, nc)
-            idx = np.zeros(B, dtype=np.int64)
-            idx[: c1 - c0] = np.arange(c0, c1)
-            dofs = np.zeros((B, nd), dtype=np.int32)
-            dofs[: c1 - c0] = cell_dofs[c0:c1]
-            live = np.zeros(B, dtype=npdt)
-            live[: c1 - c0] = 1.0
-            W = chunk_weights(
-                coords_d, jnp.asarray(mesh.cells[idx]), jnp.asarray(dofs), jnp.asarray(live), W
-            )
-        return W
 
     def register_electrodes(self, points, degree: int = 4) -> None:
         """Precompute and hold device electrode weights for
@@ -499,6 +435,100 @@ class ECGRecovery:
                 raise RuntimeError("no recovered Im yet; call solve_device() first")
             im = self._im_device
         return np.asarray(self._phi(self._electrode_W, im))
+
+
+def electrode_weight_matrix(
+    V,
+    points,
+    sigma_b: float = 1.0,
+    degree: int = 4,
+    n_pad: int | None = None,
+    dtype=None,
+    cells_per_chunk: int = 1 << 20,
+) -> jnp.ndarray:
+    """Device-resident ``[n_electrodes, n_pad]`` weight matrix W with
+    ``phi_e = W @ Im``.
+
+    The electrode integral is linear in Im, so its quadrature collapses
+    into per-dof weights ``W[e, j] = Σ_cells Σ_q w_q N_j(q) / (4 pi
+    sigma_b |x_q - p_e|)``.  Computed chunk-wise ON DEVICE from the mesh
+    arrays — no [nc, nq, gdim] host tables, no per-cell host loop — which
+    is what makes dx=0.05 (20.6M cells) ECG recovery minutes-scale
+    instead of hours (reference ``ecg.py:295-298`` re-assembles the form
+    per frame under MPI).  Standalone so consumers that do NOT need the
+    recovery operators (``adjoint.build_diff_simulator``) avoid
+    :class:`ECGRecovery`'s assembly."""
+    import jax
+
+    from .ops.quadrature import simplex_rule
+
+    mesh = V.mesh
+    if n_pad is None:
+        n_pad = V.ndofs
+    tdim, gdim = mesh.tdim, mesh.gdim
+    pts, wts = simplex_rule(tdim, degree)  # [nq, tdim], [nq]
+    N = V.element.tabulate(tdim, pts)  # [nq, nd]
+    P = np.zeros((len(points), gdim))
+    for e, p in enumerate(points):
+        P[e, : min(len(p), gdim)] = np.asarray(p, dtype=np.float64)[:gdim]
+    sigma_b = float(sigma_b)
+    npdt = np.dtype(dtype) if dtype is not None else np.dtype(np.float64)
+
+    # coords as an explicit jit ARGUMENT, device_put once — a device
+    # closure constant would be pulled back to host at lowering
+    coords_d = jax.device_put(jnp.asarray(mesh.coords.astype(npdt)))
+    nq, nd = N.shape
+
+    @jax.jit
+    def chunk_weights(coords, cells_chunk, dofs_chunk, live, w_acc):
+        verts = coords[cells_chunk]  # [B, tdim+1, gdim]
+        edges = verts[:, 1:, :] - verts[:, :1, :]  # [B, tdim, gdim]
+        # Gram-determinant volume: covers gdim == tdim and embedded cells
+        G = jnp.einsum("cik,cjk->cij", edges, edges)
+        if tdim == 1:
+            detG = G[:, 0, 0]
+        elif tdim == 2:
+            detG = G[:, 0, 0] * G[:, 1, 1] - G[:, 0, 1] * G[:, 1, 0]
+        else:
+            detG = (
+                G[:, 0, 0] * (G[:, 1, 1] * G[:, 2, 2] - G[:, 1, 2] * G[:, 2, 1])
+                - G[:, 0, 1] * (G[:, 1, 0] * G[:, 2, 2] - G[:, 1, 2] * G[:, 2, 0])
+                + G[:, 0, 2] * (G[:, 1, 0] * G[:, 2, 1] - G[:, 1, 1] * G[:, 2, 0])
+            )
+        # rule weights sum to the REFERENCE simplex volume 1/tdim!, so
+        # the physical quadrature weight is sqrt(det G) * w_q (the
+        # Jacobian norm), matching fem.cell_quadrature's volume*tdim!*w
+        jac = jnp.sqrt(jnp.abs(detG)) * live  # [B]
+        xq = verts[:, :1, :] + jnp.einsum("qd,cdg->cqg", jnp.asarray(pts, dtype=npdt), edges)
+        # [n_e, B, nq] inverse distances
+        diff = xq[None] - jnp.asarray(P, dtype=npdt)[:, None, None, :]
+        inv_r = 1.0 / jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        wq = jac[:, None] * jnp.asarray(wts, dtype=npdt)[None, :]  # [B, nq]
+        scale = 1.0 / (4.0 * np.pi * sigma_b)
+        # [n_e, B, nd] per-cell dof contributions
+        contrib = scale * jnp.einsum("ebq,bq,qd->ebd", inv_r, wq, jnp.asarray(N, dtype=npdt))
+        for e in range(P.shape[0]):
+            w_acc = w_acc.at[e].set(
+                w_acc[e].at[dofs_chunk.reshape(-1)].add(contrib[e].reshape(-1))
+            )
+        return w_acc
+
+    W = jnp.zeros((P.shape[0], n_pad), dtype=npdt)
+    nc = mesh.num_cells
+    B = min(cells_per_chunk, nc)
+    cell_dofs = V.cell_dofs
+    for c0 in range(0, nc, B):
+        c1 = min(c0 + B, nc)
+        idx = np.zeros(B, dtype=np.int64)
+        idx[: c1 - c0] = np.arange(c0, c1)
+        dofs = np.zeros((B, nd), dtype=np.int32)
+        dofs[: c1 - c0] = cell_dofs[c0:c1]
+        live = np.zeros(B, dtype=npdt)
+        live[: c1 - c0] = 1.0
+        W = chunk_weights(
+            coords_d, jnp.asarray(mesh.cells[idx]), jnp.asarray(dofs), jnp.asarray(live), W
+        )
+    return W
 
 
 def _check_attr(attr) -> None:
