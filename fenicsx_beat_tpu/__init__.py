@@ -84,6 +84,7 @@ __program_name__ = "fenicsx-beat-tpu"
 
 from . import (  # noqa: E402
     adjoint,
+    bidomain,
     ecg,
     fused,
     geometry,
@@ -95,6 +96,7 @@ from . import (  # noqa: E402
     single_cell,
     utils,
 )
+from .bidomain import BidomainSolver
 from .ecg import ECGRecovery
 from .fused import FusedMonodomainSolver
 from .monodomain_solver import MonodomainSplittingSolver
@@ -126,4 +128,6 @@ __all__ = [
     "io",
     "models",
     "adjoint",
+    "bidomain",
+    "BidomainSolver",
 ]

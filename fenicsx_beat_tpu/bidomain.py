@@ -1,0 +1,278 @@
+"""Bidomain cardiac electrophysiology: transmembrane AND extracellular
+potentials.
+
+Beyond the reference's scope (fenicsx-beat is monodomain-only — its JOSS
+paper and ``src/beat/monodomain_model.py``); the bidomain model is the
+physical parent the monodomain reduction comes from, needed whenever the
+extracellular field matters (defibrillation shocks, plunge-electrode
+potentials, genuinely unequal anisotropy ratios):
+
+.. math::
+
+    C_m \\partial_t v + I_{ion} &= \\nabla\\cdot(M_i \\nabla(v + u_e)) + I_s \\\\
+    0 &= \\nabla\\cdot(M_i \\nabla v) + \\nabla\\cdot((M_i + M_e)\\nabla u_e)
+
+Discretization (theta rule on v, same operator conventions as
+``base_model.py``: ``K(M)`` is the SPD stiffness of ``-div(M grad)``):
+
+.. math::
+
+    \\begin{bmatrix} C_m M + \\theta\\,dt\\,K_i & dt\\,K_i \\\\
+                     dt\\,K_i & (dt/\\theta)(K_i + K_e) \\end{bmatrix}
+    \\begin{bmatrix} v' \\\\ u_e \\end{bmatrix} =
+    \\begin{bmatrix} (C_m M - (1-\\theta)dt\\,K_i)\\,v + dt\\,b_s \\\\
+                     -(dt/\\theta)(1-\\theta)\\,K_i\\,v \\end{bmatrix}
+
+The block operator is symmetric positive semidefinite (nullspace =
+constant u_e, to which the right-hand side is automatically orthogonal
+because stiffness rows sum to zero), so the SAME Jacobi-PCG the
+monodomain solvers use runs on the stacked ``[2, n]`` vector — TPU-wise
+the solve is just two extra SpMV streams per CG iteration.  Operator
+splitting (Godunov/Strang) and the ionic layer are shared with the
+monodomain solvers unchanged.
+
+Verified by exact reduction: with proportional conductivities
+``M_e = lam * M_i`` the bidomain ``v`` equals the monodomain solution
+with ``M = lam/(1+lam) * M_i`` step for step, and
+``u_e = -(theta v' + (1-theta) v)/(1+lam)`` up to its floating constant
+(``tests/test_bidomain.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fem
+from .base_model import Status
+from .conductivities import as_cell_tensors
+from .ops.cg import cg
+from .stimulation import TimeWindow, separable_stimulus_terms
+from .telemetry import BaseMonitor, NullMonitor
+
+__all__ = ["BidomainSolver"]
+
+
+@dataclass
+class BidomainSolver:
+    """Operator-splitting bidomain solver (jitted per-chunk ``lax.scan``).
+
+    Same constructor vocabulary as :class:`~fenicsx_beat_tpu.fused.
+    FusedMonodomainSolver` plus the second conductivity: ``M_i`` is the
+    intracellular tensor (any spec `as_cell_tensors` accepts), ``M_e``
+    the extracellular one.  ``theta`` picks the splitting (1 = Godunov,
+    0.5 = Strang); ``pde_theta`` the PDE time rule."""
+
+    mesh: Any
+    M_i: Any
+    M_e: Any
+    ode_fun: Callable
+    init_states: np.ndarray
+    parameters: np.ndarray | None
+    v_index: int = 0
+    I_s: Any = None
+    theta: float = 1.0
+    pde_theta: float = 0.5
+    C_m: float = 1.0
+    cg_rtol: float = 1e-8
+    cg_atol: float = 1e-10
+    cg_maxiter: int = 1000
+    monitor: BaseMonitor = field(default_factory=NullMonitor)
+    dtype: Any = None
+
+    def __post_init__(self):
+        from .config import default_dtype
+
+        self.dtype = self.dtype or default_dtype()
+        self.V = fem.functionspace(self.mesh, ("P", 1))
+        n = self._n = self.V.ndofs
+
+        Mi = as_cell_tensors(self.M_i, self.mesh)
+        Me = as_cell_tensors(self.M_e, self.mesh)
+        mass, k_i = fem.assemble_mass_stiffness_auto(self.V, Mi, dtype=self.dtype)
+        mass2, k_e = fem.assemble_mass_stiffness_auto(self.V, Me, dtype=self.dtype)
+        # same mesh + assembler => shared pattern; combine is value-level
+        k_ie = k_i.combine(1.0, k_e, 1.0)
+        self._mass, self._k_i, self._k_ie = mass, k_i, k_ie
+
+        # stimulus terms: the shared machinery of the fused/OO solvers
+        stimuli = (
+            self.I_s
+            if isinstance(self.I_s, list)
+            else ([self.I_s] if self.I_s is not None else [])
+        )
+        quads = []
+        for s in stimuli:
+            ents = s.dz.entities()
+            if len(ents) == 0:
+                continue
+            quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
+            if isinstance(s.expr, TimeWindow):
+                quads.append((quad, s.expr.indicator, s))
+            else:
+                expr = s.expr if callable(s.expr) else (lambda x, t, _v=s.expr: _v * jnp.ones_like(x[0]))
+                quads.append((quad, expr, None))
+        self._stim_quads = quads
+        terms, b_units = separable_stimulus_terms(quads)
+        self._stim_terms = terms
+        self._b_units = [jnp.asarray(np.asarray(b), dtype=self.dtype) for b in b_units]
+
+        init = np.asarray(self.init_states, dtype=np.float64)
+        states = np.tile(init[:, None], (1, n)) if init.ndim == 1 else init
+        self.states = jnp.asarray(states, dtype=self.dtype)
+        self.u_e = jnp.zeros((n,), dtype=self.dtype)
+        params = (
+            None
+            if self.parameters is None
+            else jnp.asarray(np.asarray(self.parameters, dtype=np.float64), dtype=self.dtype)
+        )
+        self._params = params
+        self._build_step()
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        mass, k_i, k_ie = self._mass, self._k_i, self._k_ie
+        C_m = float(self.C_m)
+        th_pde = float(self.pde_theta)
+        th = float(self.theta)
+        strang = abs(th - 0.5) < 1e-12
+        vi = self.v_index
+        ode_fun = self.ode_fun
+        params = self._params
+        terms, b_units = self._stim_terms, self._b_units
+        rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
+
+        def b_stim(t, amps):
+            b = 0.0
+            for i, quad, expr, b_idx, window in terms:
+                if b_idx is not None:
+                    start, dur = window
+                    on = jnp.where((t >= start) & (t <= start + dur), 1.0, 0.0)
+                    b = b + (amps[i] * on) * b_units[b_idx]
+                else:
+                    b = b + amps[i] * quad.assemble_load(expr, t)
+            return b
+
+        def one_step(carry, t, dt, amps):
+            states, u_e, dvu = carry
+            # splitting choreography (monodomain_solver.py:53-116 there)
+            tent_dt = (0.5 if strang else 1.0) * dt
+            states = ode_fun(states, t, params, tent_dt)
+            v = states[vi]
+            ts = t + th_pde * dt  # stimulus at the PDE theta point
+            rhs_v = (
+                C_m * (mass @ v)
+                - (1.0 - th_pde) * dt * (k_i @ v)
+                + dt * b_stim(ts, amps)
+            )
+            rhs_u = -(dt / th_pde) * (1.0 - th_pde) * (k_i @ v)
+            b = jnp.stack([rhs_v, rhs_u])
+
+            def deflate(x):
+                # remove the constant-u_e nullspace component: CG on the
+                # singular-consistent system is exact-arithmetic-safe, but
+                # in f32 rounding feeds the nullspace and the Krylov basis
+                # loses orthogonality (measured: divergence to 1e8 within
+                # 20 steps); projecting in/out of the matvec keeps the
+                # iteration on the regular subspace
+                return x.at[1].add(-jnp.mean(x[1]))
+
+            def matvec(x):
+                x = deflate(x)
+                xv, xu = x[0], x[1]
+                yv = C_m * (mass @ xv) + th_pde * dt * (k_i @ xv) + dt * (k_i @ xu)
+                yu = dt * (k_i @ xv) + (dt / th_pde) * (k_ie @ xu)
+                return deflate(jnp.stack([yv, yu]))
+
+            diag = jnp.stack(
+                [
+                    C_m * mass.diagonal() + th_pde * dt * k_i.diagonal(),
+                    (dt / th_pde) * k_ie.diagonal(),
+                ]
+            )
+            x0 = jnp.stack([v, u_e]) + dvu
+            x0 = x0.at[1].add(-jnp.mean(x0[1]))
+            b = b.at[1].add(-jnp.mean(b[1]))
+            x, info = cg(
+                matvec, b, x0, precond_diag=diag, rtol=rtol, atol=atol,
+                maxiter=maxiter,
+            )
+            v_new, u_new = x[0], x[1]
+            dvu = x - jnp.stack([v, u_e])  # warm-start increment
+            states = states.at[vi].set(v_new)
+            if strang:
+                states = ode_fun(states, t + 0.5 * dt, params, 0.5 * dt)
+            return (states, u_new, dvu), (info.iterations, info.converged)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=5)
+        def run_chunk(states, u_e, t0, dt, amps, n_steps):
+            dvu0 = jnp.zeros((2, states.shape[1]), dtype=states.dtype)
+
+            def body(carry, k):
+                t = t0 + k * dt
+                return one_step(carry, t, dt, amps)
+
+            (states, u_e, _), (iters, convs) = jax.lax.scan(
+                body, (states, u_e, dvu0), jnp.arange(n_steps)
+            )
+            # ground the floating extracellular constant to zero mean
+            u_e = u_e - jnp.mean(u_e)
+            return states, u_e, jnp.max(iters), jnp.all(convs)
+
+        self._run_chunk = run_chunk
+
+    # ------------------------------------------------------------------
+    @property
+    def v(self) -> jnp.ndarray:
+        return self.states[self.v_index]
+
+    def stimulus_amplitudes(self) -> jnp.ndarray:
+        amps = [
+            float(s.expr.amplitude) if (s is not None and hasattr(s.expr, "amplitude")) else 1.0
+            for _, _, s in self._stim_quads
+        ]
+        return jnp.asarray(amps or [0.0], dtype=self.dtype)
+
+    def solve(
+        self,
+        interval: tuple[float, float],
+        dt: float,
+        save_freq: int | None = None,
+        save_callback: Callable | None = None,
+    ) -> Status:
+        """March (T0, T] in fused chunks; ``save_callback(t, v, u_e)``
+        receives host copies at chunk boundaries."""
+        T0, T = interval
+        n_total = int(round((T - T0) / dt))
+        chunk = save_freq or n_total
+        amps = self.stimulus_amplitudes()
+        t = float(T0)
+        ok = True
+        done = 0
+        while done < n_total:
+            n = min(chunk, n_total - done)
+            self.states, self.u_e, iters, conv = self._run_chunk(
+                self.states,
+                self.u_e,
+                jnp.asarray(t, dtype=self.dtype),
+                jnp.asarray(dt, dtype=self.dtype),
+                amps,
+                n,
+            )
+            done += n
+            t = T0 + done * dt
+            ok = ok and bool(conv)
+            from .ops.cg import CGInfo
+
+            self.monitor.record_ksp(
+                CGInfo(iterations=int(iters), residual_norm=np.nan, converged=bool(conv))
+            )
+            if save_callback is not None:
+                save_callback(t, np.asarray(self.v), np.asarray(self.u_e))
+        return Status.OK if ok else Status.NOT_CONVERGING

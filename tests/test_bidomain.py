@@ -1,0 +1,147 @@
+"""Bidomain solver gates.
+
+The load-bearing gate is the EXACT monodomain reduction: with
+proportional conductivities ``M_e = lam * M_i`` the bidomain equations
+collapse to the monodomain equation with ``M = lam/(1+lam) * M_i``
+(substitute the second equation into the first), so the bidomain ``v``
+must match the monodomain solver step for step to solver tolerance —
+validating the block operator, the theta rule, the stimulus coupling and
+the splitting choreography all at once.  (No reference counterpart:
+fenicsx-beat is monodomain-only.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+from fenicsx_beat_tpu import stimulation
+from fenicsx_beat_tpu.bidomain import BidomainSolver
+from fenicsx_beat_tpu.fused import FusedMonodomainSolver
+from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+
+
+def _setup(nx=10):
+    mesh = meshmod.create_unit_square(None, nx, nx)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.3) & (x[1] < 0.3))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+
+    def make_stim(amp=30.0, duration=1.0):
+        return stimulation.Stimulus(
+            expr=stimulation.TimeWindow(amplitude=amp, start=0.0, duration=duration),
+            dZ=stimulation.dx(mesh, subdomain_data=tags),
+            marker=1,
+        )
+
+    return mesh, make_stim
+
+
+@pytest.mark.parametrize("theta", [1.0, 0.5])
+def test_proportional_conductivities_reduce_to_monodomain(theta):
+    mesh, make_stim = _setup()
+    lam = 2.0
+    g_i = 0.004
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    common = dict(
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=params,
+        v_index=fhn.state_index("v"),
+        theta=theta,
+        pde_theta=0.5,
+    )
+    n_steps, dt = 20, 0.1
+
+    bi = BidomainSolver(
+        mesh=mesh, M_i=g_i, M_e=lam * g_i, I_s=make_stim(),
+        cg_rtol=1e-11, cg_atol=1e-13, **common,
+    )
+    bi.solve((0.0, n_steps * dt), dt=dt)
+
+    mono = FusedMonodomainSolver(
+        mesh=mesh, M=(lam / (1.0 + lam)) * g_i, I_s=make_stim(), **common,
+    )
+    mono.solve((0.0, n_steps * dt), dt=dt)
+
+    v_bi = np.asarray(bi.v)
+    v_mono = np.asarray(mono.v)[: v_bi.size]  # fused may pad the node axis
+    # two independent iterative solvers accumulate ~CG-tol error per step;
+    # 2e-4 mV over a 125 mV range after 20 steps pins the equivalence
+    assert np.abs(v_bi - v_mono).max() < 2e-4
+    # u_e tracks -(theta_pde v' + (1-theta_pde) v)/(1+lam) up to a constant
+    u = np.asarray(bi.u_e)
+    assert abs(u.mean()) < 1e-10  # grounded to zero mean
+    # the extracellular field is genuinely nonzero under stimulation
+    assert np.abs(u).max() > 1e-4
+
+
+def test_unequal_anisotropy_differs_from_monodomain():
+    """With non-proportional conductivities there is NO monodomain
+    equivalent — the bidomain solution must measurably differ (this is
+    the physics the model exists for)."""
+    mesh, make_stim = _setup()
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    common = dict(
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=params,
+        v_index=fhn.state_index("v"),
+        theta=1.0,
+        pde_theta=0.5,
+    )
+    Mi = np.diag([0.004, 0.0004])   # fiber along x
+    Me = np.diag([0.002, 0.0035])   # classic unequal anisotropy ratios
+    bi = BidomainSolver(mesh=mesh, M_i=Mi, M_e=Me, I_s=make_stim(), **common)
+    bi.solve((0.0, 2.0), dt=0.1)
+    # harmonic-mean style monodomain stand-in
+    Meff = np.linalg.inv(np.linalg.inv(Mi) + np.linalg.inv(Me))
+    mono = FusedMonodomainSolver(mesh=mesh, M=Meff, I_s=make_stim(), **common)
+    mono.solve((0.0, 2.0), dt=0.1)
+    v_bi = np.asarray(bi.v)
+    v_mono = np.asarray(mono.v)[: v_bi.size]
+    assert np.abs(v_bi - v_mono).max() > 0.1  # genuinely different physics
+    assert np.isfinite(v_bi).all() and np.abs(np.asarray(bi.u_e)).max() > 1e-4
+
+
+def test_extracellular_consistency_and_status():
+    """The discrete second equation holds at the solution (to CG tol) and
+    a starved CG surfaces NOT_CONVERGING."""
+    from fenicsx_beat_tpu.base_model import Status
+
+    mesh, make_stim = _setup(nx=8)
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    bi = BidomainSolver(
+        mesh=mesh, M_i=0.004, M_e=0.006, I_s=make_stim(),
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=params, v_index=fhn.state_index("v"),
+        theta=1.0, pde_theta=1.0, cg_rtol=1e-12, cg_atol=1e-14,
+    )
+    # one step; check eq2: K_i v' + (K_i + K_e) u_e = 0 (theta_pde = 1)
+    status = bi.solve((0.0, 0.1), dt=0.1)
+    assert status == Status.OK
+    r = np.asarray(bi._k_i @ bi.v) + np.asarray(bi._k_ie @ bi.u_e)
+    assert np.abs(r).max() < 1e-7
+
+    starved = BidomainSolver(
+        mesh=mesh, M_i=0.004, M_e=0.006, I_s=make_stim(),
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=params, v_index=fhn.state_index("v"),
+        theta=1.0, cg_maxiter=1,
+    )
+    assert starved.solve((0.0, 0.2), dt=0.1) == Status.NOT_CONVERGING
+
+
+def test_wave_propagates_with_extracellular_field():
+    mesh, make_stim = _setup(nx=16)
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    bi = BidomainSolver(
+        mesh=mesh, M_i=0.004, M_e=0.008, I_s=make_stim(amp=100.0, duration=2.0),
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=params, v_index=fhn.state_index("v"), theta=0.5,
+    )
+    seen = []
+    bi.solve((0.0, 30.0), dt=0.1, save_freq=100,
+             save_callback=lambda t, v, u: seen.append((t, v.max(), np.abs(u).max())))
+    assert seen[-1][1] > 0.0          # depolarization happened
+    assert max(s[2] for s in seen) > 0.5  # a real extracellular signal
