@@ -80,6 +80,9 @@ def main(argv=None):
     status = solver.solve((0.0, args.T), dt=args.dt, save_freq=max(1, int(2.0 / args.dt)), save_callback=cb)
     writer.close()
     print(f"status: {status}; wrote {args.outdir}/fields (v and u_e point fields)")
+    from fenicsx_beat_tpu.base_model import Status
+
+    assert status == Status.OK, f"solver did not converge: {status}"
     assert max(r[2] for r in rows) > 0.1, "no extracellular signal developed"
     return solver
 

@@ -91,31 +91,46 @@ class BidomainSolver:
         self.V = fem.functionspace(self.mesh, ("P", 1))
         n = self._n = self.V.ndofs
 
+        if not 0.0 < self.theta <= 1.0:
+            raise ValueError(f"splitting theta must lie in (0, 1], got {self.theta}")
+        if not 0.0 < self.pde_theta <= 1.0:
+            raise ValueError(f"pde_theta must lie in (0, 1], got {self.pde_theta}")
+
         Mi = as_cell_tensors(self.M_i, self.mesh)
         Me = as_cell_tensors(self.M_e, self.mesh)
         mass, k_i = fem.assemble_mass_stiffness_auto(self.V, Mi, dtype=self.dtype)
-        mass2, k_e = fem.assemble_mass_stiffness_auto(self.V, Me, dtype=self.dtype)
+        # the fused assembly kernels produce mass+stiffness in ONE pass, so
+        # the second mass is a by-product, not a second pipeline
+        _, k_e = fem.assemble_mass_stiffness_auto(self.V, Me, dtype=self.dtype)
         # same mesh + assembler => shared pattern; combine is value-level
         k_ie = k_i.combine(1.0, k_e, 1.0)
         self._mass, self._k_i, self._k_ie = mass, k_i, k_ie
 
-        # stimulus terms: the shared machinery of the fused/OO solvers
-        stimuli = (
-            self.I_s
-            if isinstance(self.I_s, list)
-            else ([self.I_s] if self.I_s is not None else [])
-        )
+        # dtype-aware solver tolerances (fused.py does the same): the
+        # defaults are f64-grade; f32 (the TPU path) cannot reach 1e-8
+        if jnp.dtype(self.dtype).itemsize == 4:
+            self.cg_rtol = max(self.cg_rtol, 1e-6)
+            self.cg_atol = max(self.cg_atol, 1e-7)
+
+        # stimulus normalization + quadrature: the shared machinery of the
+        # fused/OO solvers (callables/scalars wrap into Stimulus there)
+        from .base_model import _as_expr, _transform_I_s
+        from .stimulation import dx as dx_measure
+
+        stimuli = _transform_I_s(self.I_s, dx_measure(self.mesh))
         quads = []
         for s in stimuli:
             ents = s.dz.entities()
             if len(ents) == 0:
                 continue
-            quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
+            if s.dz.integral_type() == "cell":
+                quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
+            else:
+                quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
             if isinstance(s.expr, TimeWindow):
                 quads.append((quad, s.expr.indicator, s))
             else:
-                expr = s.expr if callable(s.expr) else (lambda x, t, _v=s.expr: _v * jnp.ones_like(x[0]))
-                quads.append((quad, expr, None))
+                quads.append((quad, _as_expr(s.expr), None))
         self._stim_quads = quads
         terms, b_units = separable_stimulus_terms(quads)
         self._stim_terms = terms
@@ -135,11 +150,19 @@ class BidomainSolver:
 
     # ------------------------------------------------------------------
     def _build_step(self):
-        mass, k_i, k_ie = self._mass, self._k_i, self._k_ie
+        # one-shot host->device push; the operator value streams ride the
+        # jit call as an explicit operand pytree (closure constants are
+        # re-shipped per execution over a remote-TPU tunnel — the exact
+        # pathology fused.py:252-258 measured at ~22 s/chunk)
+        self._operands = (
+            self._mass.to_device(),
+            self._k_i.to_device(),
+            self._k_ie.to_device(),
+        )
         C_m = float(self.C_m)
         th_pde = float(self.pde_theta)
         th = float(self.theta)
-        strang = abs(th - 0.5) < 1e-12
+        godunov = np.isclose(th, 1.0)
         vi = self.v_index
         ode_fun = self.ode_fun
         params = self._params
@@ -157,11 +180,13 @@ class BidomainSolver:
                     b = b + amps[i] * quad.assemble_load(expr, t)
             return b
 
-        def one_step(carry, t, dt, amps):
+        def one_step(ops, carry, t, dt, amps):
+            mass, k_i, k_ie = ops
             states, u_e, dvu = carry
-            # splitting choreography (monodomain_solver.py:53-116 there)
-            tent_dt = (0.5 if strang else 1.0) * dt
-            states = ode_fun(states, t, params, tent_dt)
+            # general theta splitting: tentative theta*dt ionic step, PDE
+            # over dt, corrective (1-theta)*dt ionic step (the reference's
+            # choreography, monodomain_solver.py:53-116 there)
+            states = ode_fun(states, t, params, th * dt)
             v = states[vi]
             ts = t + th_pde * dt  # stimulus at the PDE theta point
             rhs_v = (
@@ -204,28 +229,28 @@ class BidomainSolver:
             v_new, u_new = x[0], x[1]
             dvu = x - jnp.stack([v, u_e])  # warm-start increment
             states = states.at[vi].set(v_new)
-            if strang:
-                states = ode_fun(states, t + 0.5 * dt, params, 0.5 * dt)
-            return (states, u_new, dvu), (info.iterations, info.converged)
+            if not godunov:
+                states = ode_fun(states, t + th * dt, params, (1.0 - th) * dt)
+            return (states, u_new, dvu), (info.iterations, info.residual_norm, info.converged)
 
         from functools import partial
 
-        @partial(jax.jit, static_argnums=5)
-        def run_chunk(states, u_e, t0, dt, amps, n_steps):
+        @partial(jax.jit, static_argnums=6)
+        def run_chunk(ops, states, u_e, t0, dt, amps, n_steps):
             dvu0 = jnp.zeros((2, states.shape[1]), dtype=states.dtype)
 
             def body(carry, k):
                 t = t0 + k * dt
-                return one_step(carry, t, dt, amps)
+                return one_step(ops, carry, t, dt, amps)
 
-            (states, u_e, _), (iters, convs) = jax.lax.scan(
+            (states, u_e, _), (iters, rnorms, convs) = jax.lax.scan(
                 body, (states, u_e, dvu0), jnp.arange(n_steps)
             )
             # ground the floating extracellular constant to zero mean
             u_e = u_e - jnp.mean(u_e)
-            return states, u_e, jnp.max(iters), jnp.all(convs)
+            return states, u_e, jnp.max(iters), rnorms[-1], jnp.all(convs)
 
-        self._run_chunk = run_chunk
+        self._run_chunk = lambda *a: run_chunk(self._operands, *a)
 
     # ------------------------------------------------------------------
     @property
@@ -255,9 +280,11 @@ class BidomainSolver:
         t = float(T0)
         ok = True
         done = 0
+        from .ops.cg import CGInfo
+
         while done < n_total:
             n = min(chunk, n_total - done)
-            self.states, self.u_e, iters, conv = self._run_chunk(
+            self.states, self.u_e, iters, rnorm, conv = self._run_chunk(
                 self.states,
                 self.u_e,
                 jnp.asarray(t, dtype=self.dtype),
@@ -268,10 +295,12 @@ class BidomainSolver:
             done += n
             t = T0 + done * dt
             ok = ok and bool(conv)
-            from .ops.cg import CGInfo
-
             self.monitor.record_ksp(
-                CGInfo(iterations=int(iters), residual_norm=np.nan, converged=bool(conv))
+                CGInfo(
+                    iterations=int(iters),
+                    residual_norm=float(rnorm),
+                    converged=bool(conv),
+                )
             )
             if save_callback is not None:
                 save_callback(t, np.asarray(self.v), np.asarray(self.u_e))

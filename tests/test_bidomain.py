@@ -145,3 +145,55 @@ def test_wave_propagates_with_extracellular_field():
              save_callback=lambda t, v, u: seen.append((t, v.max(), np.abs(u).max())))
     assert seen[-1][1] > 0.0          # depolarization happened
     assert max(s[2] for s in seen) > 0.5  # a real extracellular signal
+
+
+def test_constructor_vocabulary_matches_fused():
+    """Bare-callable/scalar I_s and general theta values are accepted like
+    FusedMonodomainSolver (review findings: they previously crashed or
+    were silently coerced to Godunov)."""
+    import jax.numpy as jnp2
+
+    mesh, _ = _setup(nx=6)
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    common = dict(
+        mesh=mesh, M_i=0.004, M_e=0.008,
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=params, v_index=fhn.state_index("v"),
+    )
+    # bare callable stimulus over the whole domain
+    bi = BidomainSolver(I_s=lambda x, t: 10.0 * jnp2.ones_like(x[0]), **common)
+    assert bi.solve((0.0, 0.2), dt=0.1) is not None
+    # general theta (neither Godunov nor Strang) runs the corrective step
+    bi2 = BidomainSolver(I_s=None, theta=0.7, **common)
+    bi2.solve((0.0, 0.2), dt=0.1)
+    with pytest.raises(ValueError):
+        BidomainSolver(I_s=None, theta=0.0, **common)
+    with pytest.raises(ValueError):
+        BidomainSolver(I_s=None, pde_theta=1.5, **common)
+
+
+def test_facet_stimulus_uses_facet_quadrature():
+    """A ds-measure stimulus integrates over boundary facets (previously
+    facet indices were silently treated as cell indices)."""
+    mesh, _ = _setup(nx=6)
+    fdim = mesh.tdim - 1
+    facets = mesh.exterior_facets()
+    tags = meshmod.meshtags(mesh, fdim, facets, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=50.0, start=0.0, duration=1.0),
+        dZ=stimulation.ds(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    bi = BidomainSolver(
+        mesh=mesh, M_i=0.004, M_e=0.008, I_s=I_s,
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=params, v_index=fhn.state_index("v"), theta=1.0,
+    )
+    bi.solve((0.0, 0.5), dt=0.1)
+    v = np.asarray(bi.v)
+    coords = mesh.coords
+    on_b = (np.isclose(coords[:, 0], 0) | np.isclose(coords[:, 0], 1)
+            | np.isclose(coords[:, 1], 0) | np.isclose(coords[:, 1], 1))
+    # boundary nodes received the surface stimulus; interior lags
+    assert v[on_b].mean() > v[~on_b].mean() + 0.5
