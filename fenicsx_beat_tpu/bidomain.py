@@ -159,6 +159,14 @@ class BidomainSolver:
             self._k_i.to_device(),
             self._k_ie.to_device(),
         )
+        # spectral (DCT) preconditioner for the elliptic u_e block on
+        # structured grids: collapses the O(1/h) Jacobi-CG iteration
+        # growth to near-O(1) (ops/spectral.py; docs/DESIGN.md §6b)
+        from .ops.spectral import stencil_dct_solver
+
+        self._u_dct = None
+        if hasattr(self._k_ie, "offsets"):
+            self._u_dct = stencil_dct_solver(self._k_ie, self.mesh, dtype=self.dtype)
         C_m = float(self.C_m)
         th_pde = float(self.pde_theta)
         th = float(self.theta)
@@ -168,6 +176,7 @@ class BidomainSolver:
         params = self._params
         terms, b_units = self._stim_terms, self._b_units
         rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
+        u_dct = self._u_dct
 
         def b_stim(t, amps):
             b = 0.0
@@ -213,18 +222,28 @@ class BidomainSolver:
                 yu = dt * (k_i @ xv) + (dt / th_pde) * (k_ie @ xu)
                 return deflate(jnp.stack([yv, yu]))
 
-            diag = jnp.stack(
-                [
-                    C_m * mass.diagonal() + th_pde * dt * k_i.diagonal(),
-                    (dt / th_pde) * k_ie.diagonal(),
-                ]
-            )
+            diag_v = C_m * mass.diagonal() + th_pde * dt * k_i.diagonal()
+            if u_dct is not None:
+                # block preconditioner: Jacobi on the mass-dominated v
+                # block, spectral DCT inverse on the elliptic u block
+                # (system u-block is (dt/theta) K_ie -> scale by theta/dt)
+                def precond(r):
+                    zv = r[0] / diag_v
+                    zu = (th_pde / dt) * u_dct(r[1])
+                    zu = zu - jnp.mean(zu)
+                    return jnp.stack([zv, zu])
+
+                prec_kwargs = dict(precond=precond)
+            else:
+                prec_kwargs = dict(
+                    precond_diag=jnp.stack([diag_v, (dt / th_pde) * k_ie.diagonal()])
+                )
             x0 = jnp.stack([v, u_e]) + dvu
             x0 = x0.at[1].add(-jnp.mean(x0[1]))
             b = b.at[1].add(-jnp.mean(b[1]))
             x, info = cg(
-                matvec, b, x0, precond_diag=diag, rtol=rtol, atol=atol,
-                maxiter=maxiter,
+                matvec, b, x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                **prec_kwargs,
             )
             v_new, u_new = x[0], x[1]
             dvu = x - jnp.stack([v, u_e])  # warm-start increment

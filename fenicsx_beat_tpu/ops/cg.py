@@ -36,8 +36,13 @@ def cg(
     atol: float = 1e-12,
     maxiter: int = 1000,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+    precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, CGInfo]:
-    """Solve A x = b for SPD A with Jacobi-preconditioned CG."""
+    """Solve A x = b for SPD A with preconditioned CG.
+
+    ``precond`` (a general SPD preconditioner application ``z = P^{-1} r``,
+    e.g. the DCT solver of :mod:`..ops.spectral`) takes precedence over
+    the Jacobi ``precond_diag``."""
     if dot is None:
         dot = lambda a, c: jnp.vdot(a, c)  # noqa: E731
     if x0 is None:
@@ -45,6 +50,8 @@ def cg(
     minv = None if precond_diag is None else 1.0 / precond_diag
 
     def apply_prec(r):
+        if precond is not None:
+            return precond(r)
         return r if minv is None else r * minv
 
     r0 = b - matvec(x0)

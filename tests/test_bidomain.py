@@ -197,3 +197,64 @@ def test_facet_stimulus_uses_facet_quadrature():
             | np.isclose(coords[:, 1], 0) | np.isclose(coords[:, 1], 1))
     # boundary nodes received the surface stimulus; interior lags
     assert v[on_b].mean() > v[~on_b].mean() + 0.5
+
+
+def test_dct_preconditioner_engages_and_scales():
+    """On structured grids the spectral u-block preconditioner engages and
+    keeps CG iterations nearly mesh-independent (Jacobi grows O(1/h):
+    measured 190/step at 48^2 before, ~12 after)."""
+    from fenicsx_beat_tpu.telemetry import PerformanceMonitor
+
+    maxes = {}
+    for nx in (16, 48):
+        mesh = meshmod.create_unit_square(None, nx, nx)
+        cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.25) & (x[1] < 0.25))
+        tags = meshmod.meshtags(mesh, 2, cells, 1)
+        I_s = stimulation.Stimulus(
+            expr=stimulation.TimeWindow(amplitude=120.0, start=0.0, duration=2.0),
+            dZ=stimulation.dx(mesh, subdomain_data=tags),
+            marker=1,
+        )
+        iters = []
+
+        class Mon(PerformanceMonitor):
+            def record_ksp(self, info):
+                iters.append(info.iterations)
+
+        bi = BidomainSolver(
+            mesh=mesh, M_i=np.diag([0.004, 0.0004]), M_e=np.diag([0.002, 0.0035]),
+            I_s=I_s, ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+            parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+            v_index=fhn.state_index("v"), theta=0.5, monitor=Mon(),
+        )
+        assert bi._u_dct is not None  # structured grid detected
+        bi.solve((0.0, 1.0), dt=0.1, save_freq=1)
+        maxes[nx] = max(iters)
+    assert maxes[16] < 40 and maxes[48] < 60
+    assert maxes[48] < 3 * maxes[16]  # near-mesh-independent
+
+
+def test_dct_solver_inverts_model_operator():
+    """stencil_dct_solver is the (near-)exact inverse of the constant
+    interior stencil: applying operator then solver round-trips interior-
+    supported fields."""
+    from fenicsx_beat_tpu.ops.sparse import ell_to_stencil
+    from fenicsx_beat_tpu.ops.spectral import grid_shape, stencil_dct_solver
+
+    mesh = meshmod.create_unit_square(None, 12, 12)
+    assert grid_shape(mesh) == (13, 13)
+    V = fem.functionspace(mesh, ("P", 1))
+    mass, stiff = fem.assemble_mass_stiffness_auto(V, 1.0)
+    st = stiff if hasattr(stiff, "offsets") else ell_to_stencil(stiff)
+    # precondition A = mass + stiff (SPD, no nullspace) with the DCT
+    # inverse of its own stencil: CG should converge in a handful of its
+    A = mass.combine(1.0, st, 1.0)
+    solver = stencil_dct_solver(A, mesh)
+    assert solver is not None
+    from fenicsx_beat_tpu.ops.cg import cg
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(V.ndofs))
+    x, info = cg(lambda u: A @ u, b, precond=solver, rtol=1e-10, maxiter=200)
+    assert bool(info.converged) and int(info.iterations) <= 25
+    np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), atol=1e-8)
