@@ -258,3 +258,40 @@ def test_dct_solver_inverts_model_operator():
     x, info = cg(lambda u: A @ u, b, precond=solver, rtol=1e-10, maxiter=200)
     assert bool(info.converged) and int(info.iterations) <= 25
     np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), atol=1e-8)
+
+
+def test_dct_preconditioner_3d_box():
+    """grid_shape + the spectral solver engage on 3D structured boxes."""
+    from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+    from fenicsx_beat_tpu.ops.spectral import grid_shape
+    from fenicsx_beat_tpu.telemetry import PerformanceMonitor
+
+    geo = get_3D_slab_geometry(None, dx=0.5, Lx=4.0, Ly=2.0, Lz=2.0)
+    mesh = geo.mesh
+    assert grid_shape(mesh) == (9, 5, 5)
+    cells = meshmod.locate_entities(mesh, 3, lambda x: x[0] < 1.0)
+    tags = meshmod.meshtags(mesh, 3, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=100.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    iters = []
+
+    class Mon(PerformanceMonitor):
+        def record_ksp(self, info):
+            iters.append(info.iterations)
+
+    bi = BidomainSolver(
+        mesh=mesh, M_i=np.diag([0.004, 0.0004, 0.0004]),
+        M_e=np.diag([0.002, 0.0035, 0.0035]),
+        I_s=I_s, ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"), theta=1.0, monitor=Mon(),
+    )
+    assert bi._u_dct is not None
+    from fenicsx_beat_tpu.base_model import Status
+
+    assert bi.solve((0.0, 0.5), dt=0.1, save_freq=1) == Status.OK
+    assert max(iters) < 60
+    assert np.isfinite(np.asarray(bi.v)).all()
