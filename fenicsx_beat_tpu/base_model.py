@@ -173,24 +173,10 @@ class BaseModel(abc.ABC):
         effect on the next step without recompilation: each entry is
         ``(quad, expr_fn, stim_or_None)`` — when the stimulus is present
         its live amplitude multiplies the traced indicator."""
-        from .stimulation import TimeWindow
+        from .stimulation import stimulus_quadratures
 
         qdeg = int(self.parameters.get("quadrature_degree", 4))
-        out = []
-        for s in self._I_s:
-            measure = s.dz
-            ents = measure.entities()
-            if len(ents) == 0:
-                continue
-            if measure.integral_type() == "cell":
-                quad = fem.cell_quadrature(self.V, ents, degree=qdeg, dtype=self._dtype)
-            else:
-                quad = fem.facet_quadrature(self.V, ents, degree=qdeg, dtype=self._dtype)
-            if isinstance(s.expr, TimeWindow):
-                out.append((quad, s.expr.indicator, s))
-            else:
-                out.append((quad, _as_expr(s.expr), None))
-        return out
+        return stimulus_quadratures(self.V, self._I_s, degree=qdeg, dtype=self._dtype)
 
     def _stimulus_amplitudes(self) -> jnp.ndarray:
         """Live amplitude vector (1.0 slots for non-TimeWindow exprs)."""

@@ -51,7 +51,7 @@ from . import fem
 from .base_model import Status
 from .conductivities import as_cell_tensors
 from .ops.cg import cg
-from .stimulation import TimeWindow, separable_stimulus_terms
+from .stimulation import separable_stimulus_terms
 from .telemetry import BaseMonitor, NullMonitor
 
 __all__ = ["BidomainSolver"]
@@ -114,25 +114,15 @@ class BidomainSolver:
 
         # stimulus normalization + quadrature: the shared machinery of the
         # fused/OO solvers (callables/scalars wrap into Stimulus there)
-        from .base_model import _as_expr, _transform_I_s
+        from .base_model import _transform_I_s
         from .stimulation import dx as dx_measure
+        from .stimulation import stimulus_quadratures
 
         stimuli = _transform_I_s(self.I_s, dx_measure(self.mesh))
-        quads = []
-        for s in stimuli:
-            ents = s.dz.entities()
-            if len(ents) == 0:
-                continue
-            if s.dz.integral_type() == "cell":
-                quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
-            else:
-                quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
-            if isinstance(s.expr, TimeWindow):
-                quads.append((quad, s.expr.indicator, s))
-            else:
-                quads.append((quad, _as_expr(s.expr), None))
-        self._stim_quads = quads
-        terms, b_units = separable_stimulus_terms(quads)
+        self._stim_quads = stimulus_quadratures(
+            self.V, stimuli, degree=4, dtype=self.dtype
+        )
+        terms, b_units = separable_stimulus_terms(self._stim_quads)
         self._stim_terms = terms
         self._b_units = [jnp.asarray(np.asarray(b), dtype=self.dtype) for b in b_units]
 
@@ -154,19 +144,29 @@ class BidomainSolver:
         # jit call as an explicit operand pytree (closure constants are
         # re-shipped per execution over a remote-TPU tunnel — the exact
         # pathology fused.py:252-258 measured at ~22 s/chunk)
+        # spectral (DCT) preconditioner for the elliptic u_e block on
+        # structured grids with constant coefficients: collapses the
+        # O(1/h) Jacobi-CG iteration growth to near-O(1)
+        # (ops/spectral.py; docs/DESIGN.md §6b); heterogeneous or
+        # unstructured cases decline to Jacobi
+        from .ops.spectral import dct_solve, stencil_dct_eigenvalues
+
+        spec = None
+        if hasattr(self._k_ie, "offsets"):
+            spec = stencil_dct_eigenvalues(self._k_ie, self.mesh, dtype=self.dtype)
+        self._dct_dims = spec[1] if spec is not None else None
+        # the eigenvalue array rides the operand pytree like the operator
+        # streams (a device closure constant would be re-shipped per
+        # execution over a remote-TPU tunnel, fused.py:252-258)
         self._operands = (
             self._mass.to_device(),
             self._k_i.to_device(),
             self._k_ie.to_device(),
+            jax.device_put(jnp.asarray(spec[0])) if spec is not None else None,
         )
-        # spectral (DCT) preconditioner for the elliptic u_e block on
-        # structured grids: collapses the O(1/h) Jacobi-CG iteration
-        # growth to near-O(1) (ops/spectral.py; docs/DESIGN.md §6b)
-        from .ops.spectral import stencil_dct_solver
-
-        self._u_dct = None
-        if hasattr(self._k_ie, "offsets"):
-            self._u_dct = stencil_dct_solver(self._k_ie, self.mesh, dtype=self.dtype)
+        self._u_dct = spec is not None  # exposed for tests
+        u_dims = self._dct_dims
+        _dct_solve = dct_solve
         C_m = float(self.C_m)
         th_pde = float(self.pde_theta)
         th = float(self.theta)
@@ -176,7 +176,6 @@ class BidomainSolver:
         params = self._params
         terms, b_units = self._stim_terms, self._b_units
         rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
-        u_dct = self._u_dct
 
         def b_stim(t, amps):
             b = 0.0
@@ -190,7 +189,7 @@ class BidomainSolver:
             return b
 
         def one_step(ops, carry, t, dt, amps):
-            mass, k_i, k_ie = ops
+            mass, k_i, k_ie, u_lam = ops
             states, u_e, dvu = carry
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
@@ -223,13 +222,13 @@ class BidomainSolver:
                 return deflate(jnp.stack([yv, yu]))
 
             diag_v = C_m * mass.diagonal() + th_pde * dt * k_i.diagonal()
-            if u_dct is not None:
+            if u_lam is not None:
                 # block preconditioner: Jacobi on the mass-dominated v
                 # block, spectral DCT inverse on the elliptic u block
                 # (system u-block is (dt/theta) K_ie -> scale by theta/dt)
                 def precond(r):
                     zv = r[0] / diag_v
-                    zu = (th_pde / dt) * u_dct(r[1])
+                    zu = (th_pde / dt) * _dct_solve(r[1], u_lam, u_dims)
                     zu = zu - jnp.mean(zu)
                     return jnp.stack([zv, zu])
 
@@ -267,7 +266,9 @@ class BidomainSolver:
             )
             # ground the floating extracellular constant to zero mean
             u_e = u_e - jnp.mean(u_e)
-            return states, u_e, jnp.max(iters), rnorms[-1], jnp.all(convs)
+            # worst-step stats so the recorded CGInfo triple is
+            # self-consistent (max iterations WITH max residual)
+            return states, u_e, jnp.max(iters), jnp.max(rnorms), jnp.all(convs)
 
         self._run_chunk = lambda *a: run_chunk(self._operands, *a)
 

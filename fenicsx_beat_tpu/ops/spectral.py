@@ -18,6 +18,13 @@ constant-coefficient stencil acts on the DCT-II mode (k₁,…,k_D) as
 ``c · Π_a cos(π k_a d_a / N_a)`` (the antisymmetric sine cross-terms of
 diagonal pairs fall outside the cosine basis and are dropped — this is a
 preconditioner, spectral equivalence is enough).
+
+The model requires genuinely constant coefficients and unambiguous
+offset decoding, so :func:`stencil_dct_eigenvalues` declines (returns
+``None`` → callers fall back to Jacobi) when interior rows differ
+(heterogeneous conductivity), when any axis has fewer than 4 nodes
+(offset decoding is ambiguous and there is no interior row), or when an
+offset does not decode to a within-reach grid displacement.
 """
 
 from __future__ import annotations
@@ -27,7 +34,12 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["grid_shape", "stencil_dct_solver"]
+__all__ = [
+    "grid_shape",
+    "stencil_dct_eigenvalues",
+    "dct_solve",
+    "stencil_dct_solver",
+]
 
 
 def grid_shape(mesh) -> tuple[int, ...] | None:
@@ -37,10 +49,7 @@ def grid_shape(mesh) -> tuple[int, ...] | None:
     ``ix*(Ny*Nz) + iy*Nz + iz`` over a uniform product grid."""
     coords = mesh.coords
     n, gdim = coords.shape
-    axes = []
-    for a in range(gdim):
-        u = np.unique(coords[:, a])
-        axes.append(u)
+    axes = [np.unique(coords[:, a]) for a in range(gdim)]
     if int(np.prod([len(u) for u in axes])) != n:
         return None
     dims = tuple(len(u) for u in axes)
@@ -55,37 +64,44 @@ def grid_shape(mesh) -> tuple[int, ...] | None:
     return dims
 
 
-def _decode_offsets(offsets, dims):
-    """Flat stencil offsets -> per-axis displacements, or None."""
-    strides = np.ones(len(dims), dtype=np.int64)
+def _strides(dims) -> np.ndarray:
+    s = np.ones(len(dims), dtype=np.int64)
     for a in range(len(dims) - 2, -1, -1):
-        strides[a] = strides[a + 1] * dims[a + 1]
+        s[a] = s[a + 1] * dims[a + 1]
+    return s
+
+
+def _decode_offsets(offsets, dims):
+    """Flat stencil offsets -> per-axis displacements with |d_a| <= 1 (the
+    P1 simplex reach), or ``None``.  Requires every axis >= 4 nodes so the
+    decode is unambiguous (a 2- or 3-node axis lets a wraparound multi-jump
+    masquerade as a neighbor displacement)."""
+    if any(N < 4 for N in dims):
+        return None
+    strides = _strides(dims)
     out = []
     for o in offsets:
-        best = None
-        # search small displacement vectors (P1 stencils reach +-1/axis)
-        rng = range(-2, 3)
-        for d in np.ndindex(*([5] * len(dims))):
-            disp = tuple(rng[i] for i in d)
+        hit = None
+        for d in np.ndindex(*([3] * len(dims))):
+            disp = tuple(x - 1 for x in d)  # each in {-1, 0, 1}
             if int(np.dot(disp, strides)) == int(o):
-                if best is None or sum(abs(x) for x in disp) < sum(abs(x) for x in best):
-                    best = disp
-        if best is None:
+                hit = disp
+                break
+        if hit is None:
             return None
-        out.append(best)
+        out.append(hit)
     return out
 
 
-def stencil_dct_solver(stencil, mesh, dtype=None) -> Callable | None:
-    """Inverse-by-DCT of the constant interior stencil of ``stencil`` on
-    ``mesh``'s structured grid: returns ``apply(r) -> z`` with
-    ``z ≈ stencil⁻¹ r`` (exact for the constant-coefficient model
-    operator), or ``None`` when the mesh is not a tensor grid or the
-    offsets do not decode to grid displacements.  The zero-frequency
-    eigenvalue (stiffness nullspace) is replaced by the mean positive
-    eigenvalue — callers deflate the constant anyway."""
-    from jax.scipy.fft import dctn, idctn
+def stencil_dct_eigenvalues(stencil, mesh, dtype=None):
+    """``(lam [dims], dims)`` for the DCT-II eigenvalue model of
+    ``stencil``'s constant interior row, or ``None`` when the mesh is not
+    a tensor grid, the coefficients are not constant across interior rows
+    (heterogeneous conductivity), or the offsets do not decode.
 
+    ``lam`` is a host numpy array so callers can thread it through a jit
+    operand pytree (a device closure constant would be re-shipped per
+    execution over a remote-TPU tunnel)."""
     dims = grid_shape(mesh)
     if dims is None:
         return None
@@ -93,12 +109,23 @@ def stencil_dct_solver(stencil, mesh, dtype=None) -> Callable | None:
     if disps is None:
         return None
     vals = np.asarray(stencil.vals)
-    # interior row: center of the grid
-    strides = np.ones(len(dims), dtype=np.int64)
-    for a in range(len(dims) - 2, -1, -1):
-        strides[a] = strides[a + 1] * dims[a + 1]
-    center = int(np.dot([d // 2 for d in dims], strides))
+    strides = _strides(dims)
+    center_idx = [d // 2 for d in dims]
+    center = int(np.dot(center_idx, strides))
     c = vals[center]
+    # constancy guard: the model is built from ONE row; decline when other
+    # interior rows disagree (e.g. per-cell scar conductivities) — a
+    # mis-scaled global preconditioner is worse than Jacobi
+    probes = []
+    for a in range(len(dims)):
+        for d in (-1, 1):
+            idx = list(center_idx)
+            idx[a] += d
+            if 0 < idx[a] < dims[a] - 1:
+                probes.append(int(np.dot(idx, strides)))
+    for p in probes:
+        if not np.allclose(vals[p], c, rtol=1e-8, atol=1e-12 * np.abs(c).max()):
+            return None
 
     lam = np.zeros(dims)
     for coef, disp in zip(c, disps):
@@ -110,15 +137,38 @@ def stencil_dct_solver(stencil, mesh, dtype=None) -> Callable | None:
             shape[a] = N_a
             term = term * cos.reshape(shape)
         lam += coef * term
-    pos = lam[np.abs(lam) > 1e-12 * np.abs(lam).max()]
-    floor = float(np.abs(pos).min()) if pos.size else 1.0
-    lam = np.where(np.abs(lam) < 1e-12 * np.abs(lam).max(), np.mean(np.abs(pos)) if pos.size else 1.0, lam)
+    scale = np.abs(lam).max()
+    pos = lam[np.abs(lam) > 1e-12 * scale]
+    if pos.size == 0:
+        return None
+    floor = float(np.abs(pos).min())
+    lam = np.where(np.abs(lam) < 1e-12 * scale, np.mean(np.abs(pos)), lam)
     lam = np.maximum(lam, 0.25 * floor)  # SPD guard for the dropped cross-terms
-    lam_j = jnp.asarray(lam, dtype=dtype or vals.dtype)
-    dims_t = tuple(dims)
+    npdt = np.dtype(jnp.dtype(dtype).name) if dtype is not None else vals.dtype
+    return lam.astype(npdt), dims
+
+
+def dct_solve(r: jnp.ndarray, lam: jnp.ndarray, dims: tuple[int, ...]) -> jnp.ndarray:
+    """Apply the DCT-diagonal inverse: ``z ≈ stencil⁻¹ r`` for the model
+    operator whose eigenvalues are ``lam`` (from
+    :func:`stencil_dct_eigenvalues`)."""
+    from jax.scipy.fft import dctn, idctn
+
+    R = dctn(r.reshape(dims), type=2, norm="ortho")
+    return idctn(R / lam.reshape(dims), type=2, norm="ortho").reshape(r.shape)
+
+
+def stencil_dct_solver(stencil, mesh, dtype=None) -> Callable | None:
+    """Convenience closure form of the solver (eigenvalues captured —
+    prefer :func:`stencil_dct_eigenvalues` + :func:`dct_solve` with the
+    eigenvalues threaded as a jit operand when calling from jitted code)."""
+    out = stencil_dct_eigenvalues(stencil, mesh, dtype=dtype)
+    if out is None:
+        return None
+    lam, dims = out
+    lam_j = jnp.asarray(lam)
 
     def apply(r):
-        R = dctn(r.reshape(dims_t), type=2, norm="ortho")
-        return idctn(R / lam_j, type=2, norm="ortho").reshape(r.shape)
+        return dct_solve(r, lam_j, dims)
 
     return apply

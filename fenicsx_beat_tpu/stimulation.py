@@ -124,6 +124,35 @@ class Stimulus(NamedTuple):
         self.expr.amplitude = amp
 
 
+def stimulus_quadratures(V, stimuli, degree: int = 4, dtype=None):
+    """Quadrature triples ``(quad, expr, stim)`` for a list of
+    :class:`Stimulus` — the setup block every solver (OO, fused, sharded,
+    bidomain) needs before :func:`separable_stimulus_terms`: entity
+    extraction, cell vs facet quadrature by the measure's integral type,
+    and TimeWindow-vs-general expr dispatch.  One definition so the
+    solvers cannot drift (``stim`` is the originating Stimulus for
+    TimeWindow entries — its live amplitude multiplies the traced
+    indicator — and ``None`` otherwise)."""
+    from . import fem  # lazy: avoids a module-import cycle
+    from .base_model import _as_expr
+
+    out = []
+    for s in stimuli:
+        measure = s.dz
+        ents = measure.entities()
+        if len(ents) == 0:
+            continue
+        if measure.integral_type() == "cell":
+            quad = fem.cell_quadrature(V, ents, degree=degree, dtype=dtype)
+        else:
+            quad = fem.facet_quadrature(V, ents, degree=degree, dtype=dtype)
+        if isinstance(s.expr, TimeWindow):
+            out.append((quad, s.expr.indicator, s))
+        else:
+            out.append((quad, _as_expr(s.expr), None))
+    return out
+
+
 def separable_stimulus_terms(stim_quads):
     """Shared precompute of separable (TimeWindow) stimulus terms.
 

@@ -227,7 +227,7 @@ def test_dct_preconditioner_engages_and_scales():
             parameters=fhn.init_parameter_values(stim_amplitude=0.0),
             v_index=fhn.state_index("v"), theta=0.5, monitor=Mon(),
         )
-        assert bi._u_dct is not None  # structured grid detected
+        assert bi._u_dct  # structured grid detected
         bi.solve((0.0, 1.0), dt=0.1, save_freq=1)
         maxes[nx] = max(iters)
     assert maxes[16] < 40 and maxes[48] < 60
@@ -289,9 +289,31 @@ def test_dct_preconditioner_3d_box():
         parameters=fhn.init_parameter_values(stim_amplitude=0.0),
         v_index=fhn.state_index("v"), theta=1.0, monitor=Mon(),
     )
-    assert bi._u_dct is not None
+    assert bi._u_dct
     from fenicsx_beat_tpu.base_model import Status
 
     assert bi.solve((0.0, 0.5), dt=0.1, save_freq=1) == Status.OK
     assert max(iters) < 60
     assert np.isfinite(np.asarray(bi.v)).all()
+
+
+def test_dct_declines_on_heterogeneous_conductivity():
+    """Per-cell (scar-like) conductivity breaks the constant-stencil model;
+    the spectral preconditioner must decline (fall back to Jacobi) rather
+    than mis-precondition globally."""
+    mesh, make_stim = _setup(nx=12)
+    nc = mesh.num_cells
+    mids = mesh.coords[mesh.cells].mean(axis=1)
+    scale = np.where((mids[:, 0] > 0.4) & (mids[:, 0] < 0.6), 1e-3, 1.0)
+    Mi = scale[:, None, None] * (0.004 * np.eye(2))[None]
+    assert Mi.shape == (nc, 2, 2)
+    params = fhn.init_parameter_values(stim_amplitude=0.0)
+    bi = BidomainSolver(
+        mesh=mesh, M_i=Mi, M_e=0.006, I_s=make_stim(),
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=params, v_index=fhn.state_index("v"), theta=1.0,
+    )
+    assert not bi._u_dct  # declined
+    from fenicsx_beat_tpu.base_model import Status
+
+    assert bi.solve((0.0, 0.3), dt=0.1) == Status.OK  # Jacobi still solves
