@@ -1,0 +1,216 @@
+"""Smoothed-aggregation AMG gates (ops/amg.py).
+
+Replaces hypre BoomerAMG reach (reference ``src/beat/base_model.py:140-157``,
+``utils.py:196-205``).  The load-bearing gate is near-mesh-independent CG
+iteration counts on the UNSTRUCTURED LV ellipsoid — exactly where the DCT
+spectral preconditioner (ops/spectral.py) declines and round-3 fell back
+to Jacobi with O(1/h) iteration growth.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsx_beat_tpu import fem
+from fenicsx_beat_tpu import mesh as meshmod
+from fenicsx_beat_tpu.conductivities import as_cell_tensors, conductivity_tensor
+from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+from fenicsx_beat_tpu.ops.amg import amg_apply, build_amg, operator_to_csr
+from fenicsx_beat_tpu.ops.cg import cg
+
+
+def _pcg_iters(K, *, semidefinite, precond="amg", rtol=1e-8, **amg_kwargs):
+    """CG iteration count for K x = b with the chosen preconditioner."""
+    n = K.shape[0]
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    if semidefinite:
+        b -= b.mean()
+    Kd = K.to_device()
+    defl = (lambda y: y - jnp.mean(y)) if semidefinite else (lambda y: y)
+    matvec = lambda x: defl(Kd @ defl(x))  # noqa: E731
+    if precond == "amg":
+        h = build_amg(K, dtype=np.float64, semidefinite=semidefinite, **amg_kwargs)
+        hd = h.to_device()
+        kw = dict(precond=lambda r: defl(amg_apply(hd, r)))
+    else:
+        d = Kd.diagonal()
+        kw = dict(precond_diag=jnp.where(d != 0, d, 1.0))
+    x, info = cg(matvec, jnp.asarray(b), rtol=rtol, atol=0.0, maxiter=5000, **kw)
+    assert bool(info.converged), f"{precond} CG failed to converge"
+    # the iterate genuinely solves the system (not just the monitor)
+    r = np.asarray(matvec(x)) - b
+    assert np.linalg.norm(r) <= 1.1 * rtol * np.linalg.norm(b)
+    return int(info.iterations)
+
+
+def _lv_stiffness(psize_ref, aniso=False):
+    geo = get_lv_ellipsoid_geometry(psize_ref=psize_ref)
+    V = fem.functionspace(geo.mesh, ("P", 1))
+    if not aniso:
+        _, K = fem.assemble_mass_stiffness(V, 1.0)
+        return K
+    # the bidomain extracellular operator: K(M_i) + K(M_e), Niederer
+    # conductivities along the rule-based helical fibers
+    Mi = as_cell_tensors(
+        conductivity_tensor(0.17 / 1.4, 0.019 / 1.4, geo.f0), geo.mesh
+    )
+    Me = as_cell_tensors(
+        conductivity_tensor(0.62 / 1.4, 0.24 / 1.4, geo.f0), geo.mesh
+    )
+    _, Ki = fem.assemble_mass_stiffness(V, Mi)
+    _, Ke = fem.assemble_mass_stiffness(V, Me)
+    return Ki.combine(1.0, Ke, 1.0)
+
+
+def test_mesh_independent_iterations_unstructured_lv():
+    """THE round-4 gate: on the unstructured LV ellipsoid (semidefinite
+    pure-stiffness operator, apex COO tail) AMG-PCG iteration counts stay
+    near-flat across >= 3 refinements while Jacobi grows like O(1/h)."""
+    amg_its, jac_its = [], []
+    for ps in (1.2, 0.8, 0.55):
+        K = _lv_stiffness(ps)
+        amg_its.append(_pcg_iters(K, semidefinite=True, precond="amg"))
+        jac_its.append(_pcg_iters(K, semidefinite=True, precond="jacobi"))
+    # Jacobi shows the O(1/h) pathology this module removes
+    assert jac_its[-1] > 1.3 * jac_its[0]
+    # AMG: bounded (< 3x the structured-DCT 8-14 its/step) and near-flat
+    # between the two genuinely multilevel refinements (the coarsest mesh
+    # sits below coarse_n and is solved exactly: its == 1)
+    assert max(amg_its) < 30
+    assert amg_its[2] <= amg_its[1] + 5
+    assert max(amg_its) * 3 < min(jac_its)
+
+
+def test_anisotropic_lv_operator():
+    """The realistic bidomain elliptic block: fiber-aligned anisotropy
+    (~9:1 intracellular) on the unstructured LV."""
+    K = _lv_stiffness(0.7, aniso=True)
+    its = _pcg_iters(K, semidefinite=True, precond="amg")
+    jac = _pcg_iters(K, semidefinite=True, precond="jacobi")
+    assert its < 42  # < 3x the structured-DCT 8-14 band
+    assert its * 2 < jac
+
+
+def test_heterogeneous_structured_stencil_input():
+    """Per-cell coefficient jumps on a structured box: the DCT
+    preconditioner declines (non-constant rows) but the stencil-format
+    operator feeds AMG directly via operator_to_csr."""
+    m = meshmod.create_box(None, ((0, 0, 0), (1, 1, 1)), (12, 12, 12))
+    V = fem.functionspace(m, ("P", 1))
+    Mc = np.tile(np.eye(3), (m.num_cells, 1, 1))
+    left = m.coords[m.cells].mean(axis=1)[:, 0] < 0.5  # spatial half
+    Mc[left] *= 10.0  # 10x jump across the x = 0.5 plane
+    _, K = fem.assemble_mass_stiffness_auto(V, Mc)
+    assert hasattr(K, "offsets")  # exercises the StencilMatrix bridge
+    from fenicsx_beat_tpu.ops.spectral import stencil_dct_eigenvalues
+
+    assert stencil_dct_eigenvalues(K, m) is None  # DCT really does decline
+    its = _pcg_iters(K, semidefinite=True, precond="amg")
+    assert its < 25
+
+
+def test_operator_to_csr_matches_spmv():
+    """The CSR bridge reproduces the device SpMV for both formats,
+    including the LV apex COO tail."""
+    K_ell = _lv_stiffness(0.8)
+    assert K_ell.has_tail  # the apex rows spill — the bridge must add them
+    m = meshmod.create_box(None, ((0, 0, 0), (1, 1, 1)), (5, 5, 5))
+    V = fem.functionspace(m, ("P", 1))
+    _, K_st = fem.assemble_mass_stiffness_auto(V, 1.0)
+    assert hasattr(K_st, "offsets")
+    for K in (K_ell, K_st):
+        A = operator_to_csr(K)
+        x = np.random.default_rng(1).standard_normal(K.shape[1])
+        np.testing.assert_allclose(
+            A @ x, np.asarray(K.to_device() @ jnp.asarray(x)), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_dirichlet_masked_rows_terminate_and_solve():
+    """Masked Dirichlet elimination (utils.laplace_solve style) leaves
+    fully decoupled zero rows; the hierarchy must exclude them from
+    coarsening (no stall) and the masked solve must match a dense one."""
+    import scipy.sparse as sp
+
+    m = meshmod.create_unit_square(None, 30, 30)  # 961 dofs: > coarse_n,
+    # so the hierarchy genuinely coarsens past the decoupled rows
+    V = fem.functionspace(m, ("P", 1))
+    _, K = fem.assemble_mass_stiffness(V, 1.0)
+    A = operator_to_csr(K)
+    coords = m.coords
+    bc = (coords[:, 0] < 1e-12) | (coords[:, 0] > 1 - 1e-12)
+    free = ~bc
+    D = sp.diags(free.astype(float))
+    Am = (D @ A @ D).tocsr()
+
+    h = build_amg(Am, dtype=np.float64, semidefinite=False)
+    # no level keeps the 30 decoupled boundary dofs on the coarse grid
+    assert h.coarse_inv.shape[0] < free.sum()
+    hd = h.to_device()
+
+    rng = np.random.default_rng(3)
+    b = np.where(free, rng.standard_normal(A.shape[0]), 0.0)
+    Kd = K.to_device()
+    freej = jnp.asarray(free)
+    matvec = lambda v: jnp.where(freej, Kd @ jnp.where(freej, v, 0.0), 0.0)  # noqa: E731
+    x, info = cg(
+        matvec, jnp.asarray(b), precond=lambda r: amg_apply(hd, r),
+        rtol=1e-10, atol=0.0, maxiter=200,
+    )
+    assert bool(info.converged)
+    x_dense = np.zeros(A.shape[0])
+    x_dense[free] = np.linalg.solve(A.todense()[np.ix_(free, free)], b[free])
+    np.testing.assert_allclose(np.asarray(x), x_dense, rtol=1e-7, atol=1e-9)
+
+
+def test_vcycle_is_symmetric_positive():
+    """The V-cycle with equal pre/post Chebyshev smoothing and zero
+    initial guess is a fixed SPD operator — the CG-validity condition."""
+    m = meshmod.create_unit_square(None, 9, 9)
+    V = fem.functionspace(m, ("P", 1))
+    M, K = fem.assemble_mass_stiffness(V, 1.0)
+    A = K.combine(1.0, M, 0.5)  # shifted: definite, still elliptic
+    h = build_amg(A, dtype=np.float64, semidefinite=False).to_device()
+    n = A.shape[0]
+    Z = np.asarray(jnp.stack([amg_apply(h, jnp.eye(n)[i]) for i in range(n)]))
+    np.testing.assert_allclose(Z, Z.T, rtol=1e-10, atol=1e-12)
+    w = np.linalg.eigvalsh(0.5 * (Z + Z.T))
+    assert w.min() > 0
+
+
+def test_small_operator_is_exact_dense_solve():
+    """Below coarse_n the hierarchy is just the dense (pseudo-)inverse:
+    CG converges in one iteration."""
+    m = meshmod.create_unit_square(None, 6, 6)
+    V = fem.functionspace(m, ("P", 1))
+    _, K = fem.assemble_mass_stiffness(V, 1.0)
+    its = _pcg_iters(K, semidefinite=True, precond="amg")
+    assert its <= 2
+
+
+def test_float32_hierarchy():
+    """dtype=float32 (the TPU path) builds a f32 hierarchy and still
+    preconditions to f32-grade tolerance."""
+    K = _lv_stiffness(0.9)
+    h = build_amg(K, dtype=jnp.float32, semidefinite=True)
+    assert h.levels[0].dinv.dtype == np.float32
+    assert h.coarse_inv.dtype == np.float32
+    hd = h.to_device()
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(K.shape[0]).astype(np.float32)
+    b -= b.mean()
+    Kd = K.to_device()
+    K32 = Kd.with_values(
+        jnp.asarray(Kd.vals, dtype=jnp.float32),
+        None if Kd.tail_vals is None else jnp.asarray(Kd.tail_vals, jnp.float32),
+    )
+    defl = lambda y: y - jnp.mean(y)  # noqa: E731
+    x, info = cg(
+        lambda v: defl(K32 @ defl(v)),
+        jnp.asarray(b),
+        precond=lambda r: defl(amg_apply(hd, r)),
+        rtol=1e-5, atol=0.0, maxiter=100,
+    )
+    assert bool(info.converged)
+    assert x.dtype == jnp.float32
