@@ -83,6 +83,14 @@ class BidomainSolver:
     cg_maxiter: int = 1000
     monitor: BaseMonitor = field(default_factory=NullMonitor)
     dtype: Any = None
+    # elliptic u_e-block preconditioner: "auto" picks the DCT spectral
+    # inverse on constant-coefficient structured grids and smoothed-
+    # aggregation AMG everywhere else (unstructured meshes, per-cell
+    # heterogeneous conductivities) — the TPU-native counterpart of the
+    # reference's CG + hypre BoomerAMG default (reference
+    # src/beat/base_model.py:140-157); "jacobi" keeps the round-3
+    # diagonal fallback (exposed for tests/benchmarks)
+    u_precond: str = "auto"
 
     def __post_init__(self):
         from .config import default_dtype
@@ -149,24 +157,46 @@ class BidomainSolver:
         # O(1/h) Jacobi-CG iteration growth to near-O(1)
         # (ops/spectral.py; docs/DESIGN.md §6b); heterogeneous or
         # unstructured cases decline to Jacobi
+        from .ops.amg import amg_apply, build_amg
         from .ops.spectral import dct_solve, stencil_dct_eigenvalues
 
+        if self.u_precond not in ("auto", "dct", "amg", "jacobi"):
+            raise ValueError(
+                f"u_precond must be auto/dct/amg/jacobi, got {self.u_precond!r}"
+            )
         spec = None
-        if hasattr(self._k_ie, "offsets"):
+        if hasattr(self._k_ie, "offsets") and self.u_precond in ("auto", "dct"):
             spec = stencil_dct_eigenvalues(self._k_ie, self.mesh, dtype=self.dtype)
+        if spec is None and self.u_precond == "dct":
+            raise ValueError(
+                "u_precond='dct' requires a constant-coefficient structured "
+                "grid (stencil operator with constant interior rows)"
+            )
+        hier = None
+        if spec is None and self.u_precond in ("auto", "amg"):
+            # smoothed-aggregation AMG wherever the DCT declines: the
+            # elliptic block is pure stiffness, iteration-bound under
+            # Jacobi (O(1/h) growth, docs/DESIGN.md §6b); the hierarchy
+            # is semidefinite-aware (nullspace = constant u_e)
+            hier = build_amg(self._k_ie, dtype=self.dtype, semidefinite=True)
         self._dct_dims = spec[1] if spec is not None else None
-        # the eigenvalue array rides the operand pytree like the operator
-        # streams (a device closure constant would be re-shipped per
-        # execution over a remote-TPU tunnel, fused.py:252-258)
+        # the eigenvalue array / AMG hierarchy ride the operand pytree
+        # like the operator streams (a device closure constant would be
+        # re-shipped per execution over a remote-TPU tunnel,
+        # fused.py:252-258)
+        k_ie_dev = self._k_ie.to_device()
         self._operands = (
             self._mass.to_device(),
             self._k_i.to_device(),
-            self._k_ie.to_device(),
+            k_ie_dev,
             jax.device_put(jnp.asarray(spec[0])) if spec is not None else None,
+            hier.to_device(level0_A=k_ie_dev) if hier is not None else None,
         )
         self._u_dct = spec is not None  # exposed for tests
+        self._u_amg = hier is not None  # exposed for tests
         u_dims = self._dct_dims
         _dct_solve = dct_solve
+        _amg_apply = amg_apply
         C_m = float(self.C_m)
         th_pde = float(self.pde_theta)
         th = float(self.theta)
@@ -189,7 +219,7 @@ class BidomainSolver:
             return b
 
         def one_step(ops, carry, t, dt, amps):
-            mass, k_i, k_ie, u_lam = ops
+            mass, k_i, k_ie, u_lam, u_amg = ops
             states, u_e, dvu = carry
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
@@ -222,13 +252,19 @@ class BidomainSolver:
                 return deflate(jnp.stack([yv, yu]))
 
             diag_v = C_m * mass.diagonal() + th_pde * dt * k_i.diagonal()
-            if u_lam is not None:
+            if u_lam is not None or u_amg is not None:
                 # block preconditioner: Jacobi on the mass-dominated v
-                # block, spectral DCT inverse on the elliptic u block
-                # (system u-block is (dt/theta) K_ie -> scale by theta/dt)
+                # block, spectral DCT inverse (structured constant-coeff)
+                # or SA-AMG V-cycle (everything else) on the elliptic u
+                # block (system u-block is (dt/theta) K_ie -> scale by
+                # theta/dt)
                 def precond(r):
                     zv = r[0] / diag_v
-                    zu = (th_pde / dt) * _dct_solve(r[1], u_lam, u_dims)
+                    if u_lam is not None:
+                        zu = _dct_solve(r[1], u_lam, u_dims)
+                    else:
+                        zu = _amg_apply(u_amg, r[1])
+                    zu = (th_pde / dt) * zu
                     zu = zu - jnp.mean(zu)
                     return jnp.stack([zv, zu])
 

@@ -273,18 +273,22 @@ class AMGHierarchy:
     def n_levels(self) -> int:
         return len(self.levels) + 1
 
-    def to_device(self) -> "AMGHierarchy":
-        """One-shot host->device push (see ``ELLMatrix.to_device``)."""
+    def to_device(self, level0_A=None) -> "AMGHierarchy":
+        """One-shot host->device push (see ``ELLMatrix.to_device``).
+
+        ``level0_A``: an already-on-device copy of the fine operator to
+        share (the caller's solve path typically ships the same matrix in
+        its own operand pytree — avoid holding it in HBM twice)."""
         put = jax.device_put
         levels = tuple(
             AMGLevel(
-                A=lv.A.to_device(),
+                A=(level0_A if (i == 0 and level0_A is not None) else lv.A.to_device()),
                 dinv=put(jnp.asarray(lv.dinv)),
                 lmax=put(jnp.asarray(lv.lmax)),
                 P=lv.P.to_device(),
                 R=lv.R.to_device(),
             )
-            for lv in self.levels
+            for i, lv in enumerate(self.levels)
         )
         return AMGHierarchy(
             levels=levels,

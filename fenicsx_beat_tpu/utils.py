@@ -87,14 +87,20 @@ def laplace_solve(
     rtol: float = 1e-10,
     atol: float = 1e-14,
     maxiter: int = 10_000,
+    precond: str = "auto",
 ) -> np.ndarray:
-    """Solve  -Laplace(u) = 0  with Dirichlet BCs via masked Jacobi-CG.
+    """Solve  -Laplace(u) = 0  with Dirichlet BCs via masked PCG.
 
     Replaces the PETSc CG+BoomerAMG solves at reference
     ``utils.py:190-208,311-341``.  Dirichlet rows are eliminated by
     masking inside the jitted operator (free dofs solve
-    K_ff u_f = -K_fb g).
+    K_ff u_f = -K_fb g).  ``precond='auto'`` uses the SA-AMG hierarchy
+    (:mod:`.ops.amg` — the in-repo BoomerAMG counterpart) above 5k dofs,
+    where Jacobi-CG's O(1/h) iteration growth starts to dominate the
+    setup cost; 'jacobi' forces the diagonal path.
     """
+    if precond not in ("auto", "amg", "jacobi"):
+        raise ValueError(f"precond must be auto/amg/jacobi, got {precond!r}")
     _, K = fem.assemble_mass_stiffness(V, 1.0)
     n = V.ndofs
     u_bc = np.zeros(n)
@@ -110,8 +116,24 @@ def laplace_solve(
         return jnp.where(freej, K @ jnp.where(freej, v, 0.0), 0.0)
 
     b = jnp.where(freej, -(K @ u_bcj), 0.0)
-    diag = jnp.where(freej, K.diagonal(), 1.0)
-    x, info = cg(matvec, b, precond_diag=diag, rtol=rtol, atol=atol, maxiter=maxiter)
+    use_amg = precond == "amg" or (precond == "auto" and n >= 5000)
+    if use_amg:
+        import scipy.sparse as sp
+
+        from .ops.amg import amg_apply, build_amg, operator_to_csr
+
+        # explicit masked matrix D_f K D_f: Dirichlet rows become fully
+        # decoupled zero rows, which the hierarchy excludes from
+        # coarsening (ops/amg.py)
+        D = sp.diags(free.astype(np.float64))
+        hier = build_amg(D @ operator_to_csr(K) @ D).to_device()
+        x, info = cg(
+            matvec, b, precond=lambda r: amg_apply(hier, r),
+            rtol=rtol, atol=atol, maxiter=maxiter,
+        )
+    else:
+        diag = jnp.where(freej, K.diagonal(), 1.0)
+        x, info = cg(matvec, b, precond_diag=diag, rtol=rtol, atol=atol, maxiter=maxiter)
     if not bool(info.converged):
         logger.warning(
             "Laplace CG did not converge: %d iters, residual %g",

@@ -314,6 +314,86 @@ def test_dct_declines_on_heterogeneous_conductivity():
         parameters=params, v_index=fhn.state_index("v"), theta=1.0,
     )
     assert not bi._u_dct  # declined
+    assert bi._u_amg  # ...and the SA-AMG hierarchy took over (round 4)
     from fenicsx_beat_tpu.base_model import Status
 
-    assert bi.solve((0.0, 0.3), dt=0.1) == Status.OK  # Jacobi still solves
+    assert bi.solve((0.0, 0.3), dt=0.1) == Status.OK
+
+
+def _lv_setup(psize_ref=0.8):
+    from fenicsx_beat_tpu.conductivities import conductivity_tensor
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=psize_ref)
+    mesh = geo.mesh
+    # apex stimulus region
+    apex_x = mesh.coords[:, 0].min()
+    cells = meshmod.locate_entities(mesh, 3, lambda x: x[0] < apex_x + 2.0)
+    tags = meshmod.meshtags(mesh, 3, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=80.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    M_i = conductivity_tensor(0.17 / 1.4, 0.019 / 1.4, geo.f0)
+    M_e = conductivity_tensor(0.62 / 1.4, 0.24 / 1.4, geo.f0)
+    return mesh, M_i, M_e, I_s
+
+
+def test_amg_u_precond_on_unstructured_lv():
+    """On the unstructured anisotropic LV ellipsoid — exactly where the
+    DCT declines and round 3 was iteration-bound — the SA-AMG u-block
+    preconditioner engages under 'auto', cuts worst-step CG iterations
+    vs Jacobi by >= 2x, and produces the same solution."""
+    from fenicsx_beat_tpu.base_model import Status
+    from fenicsx_beat_tpu.telemetry import PerformanceMonitor
+
+    mesh, M_i, M_e, I_s = _lv_setup()
+    results = {}
+    for precond in ("auto", "jacobi"):
+        iters = []
+
+        class Mon(PerformanceMonitor):
+            def record_ksp(self, info):
+                iters.append(info.iterations)
+
+        bi = BidomainSolver(
+            mesh=mesh, M_i=M_i, M_e=M_e, I_s=I_s,
+            ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+            parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+            v_index=fhn.state_index("v"), theta=1.0, monitor=Mon(),
+            u_precond=precond, cg_rtol=1e-10, cg_atol=1e-12,
+        )
+        assert bi._u_amg == (precond == "auto")
+        assert not bi._u_dct
+        assert bi.solve((0.0, 0.5), dt=0.1, save_freq=1) == Status.OK
+        results[precond] = (max(int(i) for i in iters),
+                            np.asarray(bi.v), np.asarray(bi.u_e))
+    amg_its, v_amg, u_amg = results["auto"]
+    jac_its, v_jac, u_jac = results["jacobi"]
+    assert amg_its * 2 <= jac_its, f"AMG {amg_its} vs Jacobi {jac_its}"
+    # both preconditioners solve the SAME system to the same tight
+    # tolerance: the physics must agree
+    np.testing.assert_allclose(v_amg, v_jac, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(u_amg, u_jac, rtol=0, atol=5e-5)
+
+
+def test_u_precond_validation():
+    mesh, make_stim = _setup(nx=4)
+    kwargs = dict(
+        mesh=mesh, M_i=0.004, M_e=0.008, I_s=make_stim(),
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+    )
+    with pytest.raises(ValueError, match="u_precond"):
+        BidomainSolver(u_precond="spectral-ish", **kwargs)
+    # 'dct' on a mesh where the model declines must raise, not silently
+    # fall back: the caller asked for a specific preconditioner
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=1.2)
+    kwargs["mesh"] = geo.mesh
+    kwargs["I_s"] = None
+    with pytest.raises(ValueError, match="structured"):
+        BidomainSolver(u_precond="dct", **kwargs)

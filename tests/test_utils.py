@@ -195,3 +195,30 @@ def test_vector_space_assembly_guard():
     V3 = fem.functionspace(mesh, ("P", 1, (3,)))
     with pytest.raises(NotImplementedError, match="blocked"):
         fem.assemble_mass_stiffness(V3, 1.0)
+
+
+def test_laplace_solve_amg_matches_jacobi():
+    """The SA-AMG path of laplace_solve (the in-repo BoomerAMG
+    counterpart, reference ``utils.py:196-205``) reproduces the Jacobi
+    path to solver tolerance and engages automatically above 5k dofs."""
+    N = 80  # 6561 dofs: over the auto threshold
+    mesh = meshmod.create_unit_square(None, N, N)
+    fdim = mesh.tdim - 1
+    tol = 1e-8
+    f_lo = meshmod.locate_entities_boundary(mesh, fdim, lambda x: x[0] <= tol)
+    f_hi = meshmod.locate_entities_boundary(mesh, fdim, lambda x: x[0] >= 1 - tol)
+    V = fem.functionspace(mesh, ("P", 1))
+    lo = fem.locate_dofs_topological(V, fdim, f_lo)
+    hi = fem.locate_dofs_topological(V, fdim, f_hi)
+    bcs = [fem.dirichletbc(0.0, lo, V), fem.dirichletbc(1.0, hi, V)]
+
+    arr_amg = beat.utils.laplace_solve(V, bcs)  # auto -> AMG at this size
+    arr_jac = beat.utils.laplace_solve(V, bcs, precond="jacobi")
+    np.testing.assert_allclose(arr_amg, arr_jac, rtol=0, atol=1e-7)
+    # the solution is the linear transmural coordinate
+    np.testing.assert_allclose(arr_amg, mesh.coords[:, 0], rtol=0, atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="precond"):
+        beat.utils.laplace_solve(V, bcs, precond="boomer")
