@@ -46,7 +46,14 @@ import numpy as np
 
 from .sparse import ELLMatrix, StencilMatrix, coo_to_ell
 
-__all__ = ["AMGLevel", "AMGHierarchy", "build_amg", "amg_apply", "operator_to_csr"]
+__all__ = [
+    "AMGLevel",
+    "AMGHierarchy",
+    "build_amg",
+    "amg_apply",
+    "chebyshev_smooth",
+    "operator_to_csr",
+]
 
 
 # ----------------------------------------------------------------------
@@ -407,13 +414,14 @@ def build_amg(
 # ----------------------------------------------------------------------
 # device-side application
 # ----------------------------------------------------------------------
-def _chebyshev(A, dinv, lmax, b, x, degree: int, lmin_frac: float):
+def chebyshev_smooth(Amv, dinv, lmax, b, x, degree: int, lmin_frac: float = 1.0 / 30.0):
     """Degree-``degree`` Chebyshev polynomial smoother on the Jacobi-
     preconditioned operator ``D^-1 A`` targeting the spectrum slice
     ``[lmin_frac*lmax, 1.01*lmax]`` (the hypre/pyamg convention).
-    ``x=None`` means a zero initial guess (saves the first SpMV).  A
-    fixed polynomial in ``A`` — symmetric, so equal pre/post smoothing
-    keeps the V-cycle SPD."""
+    ``Amv`` is the matvec callable (a local matrix ``@`` or a sharded
+    halo-exchange SpMV under ``shard_map``); ``x=None`` means a zero
+    initial guess (saves the first SpMV).  A fixed polynomial in ``A`` —
+    symmetric, so equal pre/post smoothing keeps the V-cycle SPD."""
     lo = lmin_frac * lmax
     hi = 1.01 * lmax
     th = 0.5 * (hi + lo)
@@ -424,11 +432,11 @@ def _chebyshev(A, dinv, lmax, b, x, degree: int, lmin_frac: float):
         r = b
         x = jnp.zeros_like(b)
     else:
-        r = b - A @ x
+        r = b - Amv(x)
     d = (dinv * r) / th
     for _ in range(degree - 1):
         x = x + d
-        r = r - A @ d
+        r = r - Amv(d)
         rho_new = 1.0 / (2.0 * sigma - rho)
         d = (rho * rho_new) * d + (2.0 * rho_new / delta) * (dinv * r)
         rho = rho_new
@@ -443,9 +451,10 @@ def amg_apply(h: AMGHierarchy, r: jnp.ndarray) -> jnp.ndarray:
         if k == len(h.levels):
             return h.coarse_inv @ rk
         lv = h.levels[k]
-        x = _chebyshev(lv.A, lv.dinv, lv.lmax, rk, None, h.degree, h.lmin_frac)
+        Amv = lambda v: lv.A @ v  # noqa: E731
+        x = chebyshev_smooth(Amv, lv.dinv, lv.lmax, rk, None, h.degree, h.lmin_frac)
         rc = lv.R @ (rk - lv.A @ x)
         x = x + (lv.P @ cycle(k + 1, rc))
-        return _chebyshev(lv.A, lv.dinv, lv.lmax, rk, x, h.degree, h.lmin_frac)
+        return chebyshev_smooth(Amv, lv.dinv, lv.lmax, rk, x, h.degree, h.lmin_frac)
 
     return cycle(0, r)

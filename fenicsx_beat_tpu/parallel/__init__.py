@@ -15,4 +15,5 @@ from .distributed import (  # noqa: F401
     is_coordinator,
     make_device_mesh,
 )
+from .bidomain import ShardedBidomainSolver  # noqa: F401
 from .solver import ShardedMonodomainSolver  # noqa: F401

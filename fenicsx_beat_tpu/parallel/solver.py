@@ -38,7 +38,113 @@ from ..stimulation import TimeWindow, dx as dx_measure
 from ..telemetry import BaseMonitor, NullMonitor
 from .partition import Partition1D, pad_global, partition_ell, partition_quadrature
 
-__all__ = ["ShardedMonodomainSolver"]
+__all__ = ["ShardedMonodomainSolver", "PartitionedStimuli", "partition_stimuli"]
+
+
+@dataclass
+class PartitionedStimuli:
+    """Stimulus data laid out for the 1-D node partition (separable
+    TimeWindow unit vectors + per-device quadrature tables for general
+    space-time expressions); shared by the sharded monodomain and
+    bidomain solvers."""
+
+    stimuli: list  # amps-slot-aligned: Stimulus or None (general exprs)
+    b_units: np.ndarray  # [n_separable, n_pad]
+    windows: list
+    win_amp_idx: list
+    gen_tables: tuple
+    gen_Ns: list
+    gen_exprs: list
+    gen_amp_idx: list
+
+    def amplitudes(self, dtype) -> jnp.ndarray:
+        """Live amplitude vector (read each chunk; 1.0 for non-TimeWindow
+        exprs whose value is baked into the traced callable)."""
+        amps = [
+            float(s.expr.amplitude) if s is not None else 1.0 for s in self.stimuli
+        ]
+        return jnp.asarray(amps or [0.0], dtype=dtype)
+
+
+def ell_adjacency(mass) -> tuple[np.ndarray, np.ndarray]:
+    """CSR adjacency ``(indptr, cols)`` straight from a padded-ELL
+    structure, for RCM reordering (pad entries repeat the row index —
+    harmless self-loops for RCM; tail-spilled apex edges are omitted,
+    which only perturbs the heuristic ordering near the apex — the
+    partition halo bound still verifies the result)."""
+    n = mass.shape[0]
+    mcols = np.asarray(mass.cols)
+    rowids = np.broadcast_to(np.arange(n, dtype=mcols.dtype)[:, None], mcols.shape)
+    live = np.count_nonzero(mcols != rowids, axis=1) + 1
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(live, out=indptr[1:])
+    keep = (mcols != rowids).ravel()
+    diag = np.arange(n, dtype=np.int32)
+    ucols = np.empty(int(indptr[-1]), dtype=np.int32)
+    # per-row: own index first, then the off-diagonal columns
+    ucols[indptr[:-1]] = diag
+    fill = np.ones(int(indptr[-1]), dtype=bool)
+    fill[indptr[:-1]] = False
+    ucols[fill] = mcols.ravel()[keep].astype(np.int32)
+    return indptr, ucols
+
+
+def partition_stimuli(
+    V, mesh: Mesh, I_s, part: Partition1D, perm, iperm, dtype
+) -> PartitionedStimuli:
+    """Normalize + partition stimuli: TimeWindow protocols stay separable
+    (b(t) = sum_s window_s(t) * b_s, one precomputed unit vector each);
+    everything else gets per-device quadrature tables and is assembled
+    inside the sharded step at the traced time t (the reference assembles
+    these over each MPI rank's cells via DOLFINx)."""
+    from ..stimulation import separable_stimulus_terms
+
+    stimuli = _transform_I_s(I_s, dZ=dx_measure(mesh))
+    stim_quads = []
+    for s in stimuli:
+        ents = s.dz.entities()
+        if len(ents) == 0:
+            continue
+        if s.dz.integral_type() == "cell":
+            quad = fem.cell_quadrature(V, ents, degree=4, dtype=dtype)
+        else:
+            quad = fem.facet_quadrature(V, ents, degree=4, dtype=dtype)
+        if isinstance(s.expr, TimeWindow):
+            stim_quads.append((quad, s.expr.indicator, s))
+        else:
+            stim_quads.append((quad, _as_expr(s.expr), None))
+    terms, b_units_host = separable_stimulus_terms(stim_quads)
+    b_units, windows, win_amp_idx = [], [], []
+    gen_tables, gen_exprs, gen_Ns, gen_amp_idx = [], [], [], []
+    for slot, quad, expr, b_idx, window in terms:
+        if b_idx is not None:
+            b_unit = b_units_host[b_idx]
+            if perm is not None:
+                b_unit = b_unit[perm]
+            b_units.append(pad_global(b_unit, part))
+            windows.append(window)
+            win_amp_idx.append(slot)
+        else:
+            X3, W3, N, D3, O3 = partition_quadrature(quad, part, iperm)
+            gen_tables.append((X3, W3, D3, O3))
+            gen_Ns.append(N)
+            gen_exprs.append(expr)
+            gen_amp_idx.append(slot)
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    return PartitionedStimuli(
+        stimuli=[sq[2] for sq in stim_quads],
+        b_units=(
+            np.stack(b_units).astype(npdt)
+            if b_units
+            else np.zeros((0, part.n_pad), dtype=npdt)
+        ),
+        windows=windows,
+        win_amp_idx=win_amp_idx,
+        gen_tables=tuple(gen_tables),
+        gen_Ns=gen_Ns,
+        gen_exprs=gen_exprs,
+        gen_amp_idx=gen_amp_idx,
+    )
 
 
 @dataclass
@@ -184,26 +290,7 @@ class ShardedMonodomainSolver:
                 indptr = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(np.bincount(urows, minlength=n), out=indptr[1:])
             else:
-                # adjacency straight from the padded-ELL structure (pad
-                # entries repeat the row index — harmless self-loops for
-                # RCM; tail-spilled apex edges are omitted, which only
-                # perturbs the heuristic ordering near the apex — the
-                # halo bound below still verifies the partition)
-                mcols = np.asarray(mass.cols)
-                rowids = np.broadcast_to(
-                    np.arange(n, dtype=mcols.dtype)[:, None], mcols.shape
-                )
-                live = np.count_nonzero(mcols != rowids, axis=1) + 1
-                indptr = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(live, out=indptr[1:])
-                keep = (mcols != rowids).ravel()
-                diag = np.arange(n, dtype=np.int32)
-                ucols = np.empty(int(indptr[-1]), dtype=np.int32)
-                # per-row: own index first, then the off-diagonal columns
-                ucols[indptr[:-1]] = diag
-                fill = np.ones(int(indptr[-1]), dtype=bool)
-                fill[indptr[:-1]] = False
-                ucols[fill] = mcols.ravel()[keep].astype(np.int32)
+                indptr, ucols = ell_adjacency(mass)
             perm = rcm_ordering(indptr, ucols).astype(np.int64)
             iperm = np.empty(n, dtype=np.int64)
             iperm[perm] = np.arange(n, dtype=np.int64)
@@ -245,58 +332,19 @@ class ShardedMonodomainSolver:
         self._vals_mass = vals_mass
         self._vals_stiff = vals_stiff
 
-        # Stimuli: TimeWindow protocols stay separable (b(t) = sum_s
-        # window_s(t) * b_s, one precomputed unit vector each); everything
-        # else gets per-device quadrature tables and is assembled inside
-        # the sharded step at the traced time t (the reference assembles
-        # these over each MPI rank's cells via DOLFINx).
-        from ..stimulation import separable_stimulus_terms
-
-        stimuli = _transform_I_s(self.I_s, dZ=dx_measure(self.mesh))
-        stim_quads = []
-        for s in stimuli:
-            ents = s.dz.entities()
-            if len(ents) == 0:
-                continue
-            if s.dz.integral_type() == "cell":
-                quad = fem.cell_quadrature(self.V, ents, degree=4, dtype=self.dtype)
-            else:
-                quad = fem.facet_quadrature(self.V, ents, degree=4, dtype=self.dtype)
-            if isinstance(s.expr, TimeWindow):
-                stim_quads.append((quad, s.expr.indicator, s))
-            else:
-                stim_quads.append((quad, _as_expr(s.expr), None))
-        terms, b_units_host = separable_stimulus_terms(stim_quads)
-        b_units, windows, win_amp_idx = [], [], []
-        gen_tables, gen_exprs, gen_Ns, gen_amp_idx = [], [], [], []
-        # amps-slot-aligned: Stimulus or None (general)
-        self._stimuli = [sq[2] for sq in stim_quads]
-        for slot, quad, expr, b_idx, window in terms:
-            if b_idx is not None:
-                b_unit = b_units_host[b_idx]
-                if self._perm is not None:
-                    b_unit = b_unit[self._perm]
-                b_units.append(pad_global(b_unit, self.part))
-                windows.append(window)
-                win_amp_idx.append(slot)
-            else:
-                X3, W3, N, D3, O3 = partition_quadrature(quad, self.part, self._iperm)
-                gen_tables.append((X3, W3, D3, O3))
-                gen_Ns.append(N)
-                gen_exprs.append(expr)
-                gen_amp_idx.append(slot)
-        npdt = np.dtype(jnp.dtype(self.dtype).name)
-        self._b_units = (
-            np.stack(b_units).astype(npdt)
-            if b_units
-            else np.zeros((0, self.part.n_pad), dtype=npdt)
+        st_part = partition_stimuli(
+            self.V, self.mesh, self.I_s, self.part, self._perm, self._iperm, self.dtype
         )
-        self._windows = windows
-        self._win_amp_idx = win_amp_idx
-        self._gen_tables = tuple(gen_tables)
-        self._gen_Ns = gen_Ns
-        self._gen_exprs = gen_exprs
-        self._gen_amp_idx = gen_amp_idx
+        # amps-slot-aligned: Stimulus or None (general)
+        self._stimuli = st_part.stimuli
+        self._b_units = st_part.b_units
+        self._windows = st_part.windows
+        self._win_amp_idx = st_part.win_amp_idx
+        self._gen_tables = st_part.gen_tables
+        self._gen_Ns = st_part.gen_Ns
+        self._gen_exprs = st_part.gen_exprs
+        self._gen_amp_idx = st_part.gen_amp_idx
+        npdt = np.dtype(jnp.dtype(self.dtype).name)
 
         init = np.asarray(self.init_states, dtype=np.float64)
         if init.ndim == 1:
