@@ -10,8 +10,10 @@ respect to
   of pre-assembled unit stiffness operators — isotropic scale, per-region
   scales, or fiber/transverse components),
 * ionic model parameters (the ``parameters`` vector of any in-repo model),
-* stimulus amplitudes (``TimeWindow`` windows; start/duration are step
-  functions of zero-measure support and are intentionally not exposed).
+* stimulus amplitudes — ``TimeWindow`` windows, ``RandomActivation``
+  patterns, and facet (``ds``) stimuli alike (start/duration/delays are
+  step functions of zero-measure support and are intentionally not
+  exposed).
 
 The one non-differentiable construct — the CG ``lax.while_loop`` — is
 wrapped in :func:`jax.lax.custom_linear_solve` (implicit
@@ -124,8 +126,10 @@ def build_diff_simulator(
       isotropic stiffness) or vector ``[len(stiffness_components)]``
       combining pre-assembled components.
     * ``"ionic"`` — the ionic model's ``parameters`` vector.
-    * ``"stim_amplitude"`` — TimeWindow amplitude(s), scalar or
-      ``[n_stimuli]``.
+    * ``"stim_amplitude"`` — stimulus amplitude(s), scalar or
+      ``[n_stimuli]``: TimeWindow (separable precomputed load),
+      RandomActivation and other amplitude-carrying expressions
+      (in-trace quadrature assembly), cell or facet measures.
 
     ``stiffness_components``: optional list of conductivity specs (each
     accepted by :func:`fem.assemble_mass_stiffness_auto`); assembled once
@@ -166,31 +170,62 @@ def build_diff_simulator(
     mtail = jnp.asarray(mass.tail_vals, dtype=dtype) if has_tail else None
     ktail_stack = jnp.stack(ktail_list) if has_tail else None
 
-    # stimulus: TimeWindow only — amplitude is the differentiable knob
+    # stimuli: TimeWindow protocols keep the separable fast path (one
+    # precomputed unit load each, amplitude the differentiable knob);
+    # everything else — RandomActivation patterns, arbitrary space-time
+    # callables — is assembled in-trace from static quadrature tables at
+    # each step (reference supports both kinds: ``stimulation.py:99-106``
+    # there for ``ds`` facet measures, ``stimulation.py:279-363`` for
+    # random activation).  When the expression carries an ``amplitude``
+    # attribute (TimeWindow, RandomActivation) it stays differentiable
+    # via the ``stim_amplitude`` parameter slot.
     stim_loads = []
     windows = []
+    win_slots: list[int] = []
+    gen_quads = []
+    gen_exprs = []
+    gen_slots: list[int] = []
     if I_s is None:
         stimuli = []
     elif hasattr(I_s, "expr"):  # a single Stimulus (itself a tuple subclass)
         stimuli = [I_s]
     else:
         stimuli = list(I_s)
-    for s in stimuli:
-        if not isinstance(s.expr, TimeWindow):
-            raise NotImplementedError(
-                "build_diff_simulator supports TimeWindow stimuli; wrap "
-                "general expressions in a TimeWindow or extend adjoint.py"
-            )
+    for slot, s in enumerate(stimuli):
         ents = s.dz.entities()
-        if s.dz.integral_type() != "cell":
-            raise NotImplementedError("facet stimuli on the differentiable path")
-        quad = fem.cell_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
-        stim_loads.append(jnp.asarray(np.asarray(quad.assemble_load_host()), dtype=dtype))
-        windows.append((float(s.expr.start), float(s.expr.duration)))
-        if not hasattr(s.expr, "amplitude"):
-            raise ValueError("TimeWindow stimulus lacks an amplitude")
+        if s.dz.integral_type() == "cell":
+            quad = fem.cell_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
+        else:
+            # facet (ds) stimuli: surface quadrature, same contract
+            # (reference semantics: ``stimulation.py:99-106`` there)
+            quad = fem.facet_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
+        if isinstance(s.expr, TimeWindow):
+            stim_loads.append(
+                jnp.asarray(np.asarray(quad.assemble_load_host()), dtype=dtype)
+            )
+            windows.append((float(s.expr.start), float(s.expr.duration)))
+            win_slots.append(slot)
+        else:
+            expr = s.expr
+            if hasattr(expr, "amplitude") and hasattr(expr, "__dataclass_fields__"):
+                from dataclasses import replace as _dc_replace
+
+                # factor the amplitude out so the traced callable is the
+                # unit pattern and the amplitude rides the params slot
+                expr = _dc_replace(expr, amplitude=1.0)
+            elif not callable(expr):
+                val = float(expr)
+                expr = lambda x, t, _v=val: _v * jnp.ones_like(x[0])  # noqa: E731
+            gen_quads.append(quad)
+            gen_exprs.append(expr)
+            gen_slots.append(slot)
     default_amps = jnp.asarray(
-        [float(s.expr.amplitude) for s in stimuli] or [0.0], dtype=dtype
+        [
+            float(s.expr.amplitude) if hasattr(s.expr, "amplitude") else 1.0
+            for s in stimuli
+        ]
+        or [0.0],
+        dtype=dtype,
     )
     stim_mat = (
         jnp.stack(stim_loads) if stim_loads else jnp.zeros((1, n), dtype=dtype)
@@ -198,6 +233,7 @@ def build_diff_simulator(
     win_arr = np.asarray(windows if windows else [(0.0, 0.0)], dtype=np.float64)
     win_start = jnp.asarray(win_arr[:, 0], dtype=dtype)
     win_dur = jnp.asarray(win_arr[:, 1], dtype=dtype)
+    win_slot_arr = np.asarray(win_slots if win_slots else [0], dtype=np.int64)
 
     probe_dofs, probe_w = fem.point_evaluation_tables(V, np.asarray(probe_points))
     probe_dofs = jnp.asarray(probe_dofs)
@@ -241,6 +277,8 @@ def build_diff_simulator(
         amps = jnp.atleast_1d(
             jnp.asarray(params.get("stim_amplitude", default_amps), dtype=dtype)
         )
+        # a scalar amplitude applies to every stimulus slot
+        amps = jnp.broadcast_to(amps, (max(len(stimuli), 1),))
         mv, kv, kt = _operator_vals(g)
         A = _with_values(
             chi * C_m * mv + th * dt_f * kv,
@@ -257,7 +295,16 @@ def build_diff_simulator(
             # window end, matching TimeWindow.indicator and the fused
             # solver (stimulation.py:104, fused.py:485)
             on = ((t >= win_start) & (t <= win_start + win_dur)).astype(dtype)
-            return chi * ((amps * on) @ stim_mat)
+            b = chi * ((amps[win_slot_arr] * on) @ stim_mat) if stim_loads else 0.0
+            # general expressions (RandomActivation, facet patterns,
+            # arbitrary callables): in-trace quadrature assembly
+            for j, quad in enumerate(gen_quads):
+                b = b + chi * amps[gen_slots[j]] * quad.assemble_load(
+                    gen_exprs[j], t
+                ).astype(dtype)
+            if stim_loads or gen_quads:
+                return b
+            return jnp.zeros((n,), dtype=dtype)
 
         def ionic_step(states, t, sub_dt):
             return ode_fun(states, t, ionic, sub_dt)

@@ -387,3 +387,100 @@ def test_gradient_descent_recovers_conductivity(small_sim):
         log_g = optax.apply_updates(log_g, upd)
     assert float(val) < 0.05 * l0  # loss collapsed
     assert abs(float(jnp.exp(log_g)) - g_true) < 0.35 * g_true
+
+
+def test_facet_stimulus_gradient_matches_fd():
+    """Round-4 closure of adjoint.py's facet refusal: a ds-measure
+    TimeWindow stimulus differentiates w.r.t. conductivity AND amplitude
+    (reference facet-stimulus semantics: ``stimulation.py:99-106`` there)."""
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    fdim = mesh.tdim - 1
+    facets = mesh.exterior_facets()
+    # left-edge facets only
+    mids = mesh.coords[mesh.entities(fdim)[facets]].mean(axis=1)
+    left = facets[mids[:, 0] < 1e-10]
+    tags = meshmod.meshtags(mesh, fdim, left, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=40.0, start=0.0, duration=1.0),
+        dZ=stimulation.ds(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    probes = np.array([[0.1, 0.5], [0.6, 0.5]])
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=probes,
+        dt=0.1,
+        n_steps=20,
+    )
+    ionic0 = jnp.asarray(np.asarray(fhn.init_parameter_values(), dtype=np.float64))
+    target = np.asarray(sim({"g": 0.004, "ionic": ionic0, "stim_amplitude": 40.0}))
+    # the boundary stimulus genuinely drives the solution
+    assert np.abs(target).max() > 1.0
+
+    def loss_jax(params):
+        return jnp.mean((sim({**params, "ionic": ionic0}) - target) ** 2)
+
+    p0 = {"g": 0.003, "stim_amplitude": 36.0}
+    grads = jax.grad(loss_jax)(p0)
+
+    def loss_np(g, amp):
+        return float(loss_jax({"g": float(g), "stim_amplitude": float(amp)}))
+
+    fd_g = _fd(lambda g: loss_np(g, p0["stim_amplitude"]), np.array([p0["g"]]), eps=1e-7)[0]
+    fd_a = _fd(lambda a: loss_np(p0["g"], a), np.array([p0["stim_amplitude"]]), eps=1e-5)[0]
+    np.testing.assert_allclose(float(grads["g"]), fd_g, rtol=2e-4)
+    np.testing.assert_allclose(float(grads["stim_amplitude"]), fd_a, rtol=2e-4)
+
+
+def test_random_activation_gradient_matches_fd():
+    """Round-4 closure of adjoint.py's RandomActivation refusal: the
+    multi-point activation pattern (Purkinje-like, reference
+    ``stimulation.py:279-363``) differentiates w.r.t. its amplitude via
+    in-trace quadrature assembly."""
+    mesh = meshmod.create_unit_square(None, 8, 8)
+    cells = np.arange(mesh.num_cells)
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    expr = stimulation.generate_random_activation(
+        mesh=mesh,
+        time=None,
+        points=np.array([[0.25, 0.25], [0.75, 0.75]]),
+        delays=np.array([0.0, 0.5]),
+        stim_start=0.0,
+        stim_duration=1.0,
+        stim_amplitude=50.0,
+        tol=0.15,
+    )
+    I_s = stimulation.Stimulus(
+        expr=expr, dZ=stimulation.dx(mesh, subdomain_data=tags), marker=1
+    )
+    probes = np.array([[0.25, 0.25], [0.75, 0.75]])
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=probes,
+        dt=0.1,
+        n_steps=20,
+    )
+    ionic0 = jnp.asarray(np.asarray(fhn.init_parameter_values(), dtype=np.float64))
+    target = np.asarray(sim({"g": 0.003, "ionic": ionic0, "stim_amplitude": 50.0}))
+    assert np.abs(target).max() > 1.0  # the pattern drives the tissue
+
+    def loss_jax(params):
+        return jnp.mean((sim({**params, "ionic": ionic0}) - target) ** 2)
+
+    p0 = {"g": 0.003, "stim_amplitude": 44.0}
+    grads = jax.grad(loss_jax)(p0)
+    assert float(grads["stim_amplitude"]) != 0.0
+
+    def loss_np(amp):
+        return float(loss_jax({"g": p0["g"], "stim_amplitude": float(amp)}))
+
+    fd_a = _fd(loss_np, np.array([p0["stim_amplitude"]]), eps=1e-5)[0]
+    np.testing.assert_allclose(float(grads["stim_amplitude"]), fd_a, rtol=2e-4)
