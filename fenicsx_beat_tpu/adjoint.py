@@ -109,6 +109,7 @@ def build_diff_simulator(
     cg_atol: float = 1e-12,
     cg_maxiter: int = 1000,
     dtype=jnp.float64,
+    checkpoint_segments: int | None = None,
 ) -> Callable[[dict], jnp.ndarray]:
     """Build ``simulate(params) -> probe voltages [n_steps, n_probes]``.
 
@@ -140,7 +141,18 @@ def build_diff_simulator(
     ``theta=0.5`` Strang — ``monodomain_solver.py:53-116`` there); the
     PDE stage is the ``pde_theta`` rule of ``base_model.py:83-96``.  Each
     step is ``jax.checkpoint``-ed so reverse-mode memory stays O(1) in
-    ``n_steps`` per checkpoint segment."""
+    ``n_steps`` per checkpoint segment.
+
+    ``checkpoint_segments``: two-level (nested) gradient checkpointing
+    for long horizons.  The flat per-step scheme still stores every
+    step's carry (the scan saves its inputs), so a full beat at
+    production scale (20k steps x 442k nodes x 19 TP06 states, f32 =
+    672 GB of carries) cannot fit HBM.  With ``K = checkpoint_segments``
+    the loop becomes a checkpointed scan of K segments of
+    ``m = n_steps/K`` checkpointed steps: peak carry memory drops to
+    ``(K + m) * carry_bytes`` (minimized near ``K = sqrt(n_steps)``) at
+    the cost of ONE extra forward recomputation of each segment —
+    the classic treeverse tradeoff.  ``n_steps`` must divide evenly."""
     V = fem.functionspace(mesh, ("P", 1))
     n = V.ndofs
 
@@ -354,7 +366,25 @@ def build_diff_simulator(
             return states, (probe_v, W_e @ im)
 
         ts = jnp.arange(n_steps, dtype=dtype) * dt_f
-        _final, traces = jax.lax.scan(jax.checkpoint(step), states0, ts)
+        if checkpoint_segments and checkpoint_segments > 1:
+            K = int(checkpoint_segments)
+            if n_steps % K:
+                raise ValueError(
+                    f"checkpoint_segments={K} must divide n_steps={n_steps}"
+                )
+            m = n_steps // K
+
+            def segment(states, ts_seg):
+                return jax.lax.scan(jax.checkpoint(step), states, ts_seg)
+
+            _final, traces = jax.lax.scan(
+                jax.checkpoint(segment), states0, ts.reshape(K, m)
+            )
+            traces = jax.tree_util.tree_map(
+                lambda a: a.reshape(n_steps, *a.shape[2:]), traces
+            )
+        else:
+            _final, traces = jax.lax.scan(jax.checkpoint(step), states0, ts)
         if W_e is None:
             return traces  # [n_steps, n_probes]
         return {"probes": traces[0], "ecg": traces[1]}

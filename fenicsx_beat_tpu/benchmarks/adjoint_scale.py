@@ -110,13 +110,125 @@ def run_adjoint_scale(dx: float, T: float = 20.0, dt: float = 0.05) -> dict:
     }
 
 
+def run_full_beat(
+    dx: float = 0.1,
+    T: float = 1000.0,
+    dt: float = 0.05,
+    segments: int = 125,
+    model: str = "tp06",
+) -> dict:
+    """The clinical-fit horizon: value_and_grad over ONE FULL BEAT
+    (20k steps at dt=0.05) at the production dx=0.1 resolution, memory-
+    bounded by two-level nested checkpointing (``checkpoint_segments`` —
+    flat per-step checkpointing stores every step's carry: 672 GB for
+    TP06 at this scale; nested K=125 x m=160 stores (K+m) carries
+    ~= 9.6 GB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..adjoint import build_diff_simulator
+    from ..geometry import get_3D_slab_geometry
+    from ..mesh import locate_entities, meshtags
+    from ..stimulation import Stimulus, TimeWindow
+    from ..stimulation import dx as dx_measure
+
+    if model == "tp06":
+        from ..models import tentusscher_panfilov_2006 as mod
+
+        v_name, params = "V", mod.init_parameter_values(stim_amplitude=0.0)
+    else:
+        from ..models import fitzhughnagumo as mod
+
+        v_name, params = "v", mod.init_parameter_values(stim_amplitude=0.0)
+
+    geo = get_3D_slab_geometry(None, dx=dx, Lx=20.0, Ly=7.0, Lz=3.0)
+    mesh = geo.mesh
+    cells = locate_entities(
+        mesh, 3, lambda x: (x[0] <= 1.5) & (x[1] <= 1.5) & (x[2] <= 1.5)
+    )
+    tags = meshtags(mesh, 3, cells, 1)
+    I_s = Stimulus(
+        expr=TimeWindow(amplitude=50.0, start=0.0, duration=2.0),
+        dZ=dx_measure(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    n_steps = int(round(T / dt))
+    probes = np.array([[20.0, 7.0, 3.0], [10.0, 3.5, 1.5], [0.0, 0.0, 0.0]])
+    sim = build_diff_simulator(
+        mesh,
+        ode_fun=mod.generalized_rush_larsen if model == "tp06" else mod.forward_euler,
+        init_states=mod.init_state_values(),
+        v_index=mod.state_index(v_name),
+        I_s=I_s,
+        probe_points=probes,
+        dt=dt,
+        n_steps=n_steps,
+        dtype=jnp.float32,
+        cg_rtol=1e-6,
+        cg_atol=1e-8,
+        checkpoint_segments=segments,
+    )
+    ionic = jnp.asarray(np.asarray(params), jnp.float32)
+
+    def loss(p):
+        out = sim({**p, "ionic": ionic})
+        return jnp.mean(out**2)
+
+    p = {"g": jnp.float32(1.0)}
+    np.asarray(jnp.ones((1024,), jnp.float32))  # drain the first-pull stall
+
+    t0 = time.perf_counter()
+    fwd_c = jax.jit(loss).lower(p).compile()
+    fwd_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vg_c = jax.jit(jax.value_and_grad(loss)).lower(p).compile()
+    vg_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    val0 = jax.block_until_ready(fwd_c(p))
+    fwd_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    val, grad = jax.block_until_ready(vg_c(p))
+    vg_s = time.perf_counter() - t0
+    mem = vg_c.memory_analysis()
+    return {
+        "case": "full_beat",
+        "model": model,
+        "dx": dx,
+        "n_nodes": int(mesh.num_vertices),
+        "n_steps": n_steps,
+        "dt": dt,
+        "checkpoint_segments": segments,
+        "forward_s": round(fwd_s, 2),
+        "value_and_grad_s": round(vg_s, 2),
+        "adjoint_overhead_x": round(vg_s / fwd_s, 2),
+        "forward_compile_s": round(fwd_compile, 1),
+        "value_and_grad_compile_s": round(vg_compile, 1),
+        "peak_hbm_gb": (
+            round(mem.temp_size_in_bytes / 2**30, 2)
+            if mem is not None and hasattr(mem, "temp_size_in_bytes")
+            else None
+        ),
+        "loss": float(val),
+        "grad_g": float(grad["g"]),
+        "grad_finite": bool(np.isfinite(float(grad["g"]))),
+    }
+
+
 def main() -> int:
     import jax
 
-    dxs = [float(a) for a in sys.argv[1:]] or [0.2, 0.1]
+    args = [a for a in sys.argv[1:]]
+    full_beat = "--full-beat" in args
+    args = [a for a in args if a != "--full-beat"]
+    dxs = [float(a) for a in args] or [0.2, 0.1]
     out = {"backend": jax.default_backend(), "model": "FitzHugh-Nagumo", "configs": []}
     for dx in dxs:
         row = run_adjoint_scale(dx)
+        print(row, file=sys.stderr)
+        out["configs"].append(row)
+    if full_beat:
+        row = run_full_beat()
         print(row, file=sys.stderr)
         out["configs"].append(row)
     Path("ADJOINT_SCALE.json").write_text(json.dumps(out, indent=2) + "\n")

@@ -196,7 +196,9 @@ _GMSH_TYPES = {
 
 
 def read_msh(path: str | Path):
-    """Read an ASCII Gmsh ``.msh`` file (format 2.2 or 4.1).
+    """Read a Gmsh ``.msh`` file: ASCII format 2.2 or 4.1, or BINARY
+    format 4.1 (Gmsh's default output mode — real users' meshes arrive
+    binary first).
 
     Returns ``(mesh, cell_tags, facet_tags)``: cells are the
     highest-dimension elements; physical tags on cells/facets become
@@ -207,33 +209,41 @@ def read_msh(path: str | Path):
     """
     from .mesh import MeshTags, _row_searchsorted
 
-    text = Path(path).read_text()
-    sections: dict[str, list[str]] = {}
-    name = None
-    for line in text.splitlines():
-        s = line.strip()
-        if s.startswith("$End"):
-            name = None
-        elif s.startswith("$"):
-            name = s[1:]
-            sections[name] = []
-        elif name is not None:
-            sections[name].append(s)
-    if "MeshFormat" not in sections or "Nodes" not in sections:
-        raise ValueError(f"{path}: not an ASCII Gmsh mesh")
-    fmt = sections["MeshFormat"][0].split()
+    raw = Path(path).read_bytes()
+    head = raw[:128].split(b"\n")
+    if not head or not head[0].strip().startswith(b"$MeshFormat"):
+        raise ValueError(f"{path}: not a Gmsh mesh (missing $MeshFormat)")
+    fmt = head[1].split()
     version = float(fmt[0])
-    if len(fmt) > 1 and int(fmt[1]) != 0:
-        raise ValueError(
-            f"{path}: binary .msh is not supported — re-export with "
-            "'gmsh -save -format msh -bin 0' (ASCII)"
-        )
-    if version >= 4.0:
-        tags, coords, blocks = _parse_msh4(sections)
-    elif version >= 2.0:
-        tags, coords, blocks = _parse_msh2(sections)
+    is_binary = len(fmt) > 1 and int(fmt[1]) != 0
+    if is_binary:
+        if version < 4.0:
+            raise ValueError(
+                f"{path}: binary .msh v{version} is not supported — "
+                "re-export as v4.1 ('gmsh -save') or ASCII ('-bin 0')"
+            )
+        tags, coords, blocks = _parse_msh4_binary(raw, int(fmt[2]))
     else:
-        raise ValueError(f"{path}: unsupported msh version {version}")
+        text = raw.decode()
+        sections: dict[str, list[str]] = {}
+        name = None
+        for line in text.splitlines():
+            s = line.strip()
+            if s.startswith("$End"):
+                name = None
+            elif s.startswith("$"):
+                name = s[1:]
+                sections[name] = []
+            elif name is not None:
+                sections[name].append(s)
+        if "MeshFormat" not in sections or "Nodes" not in sections:
+            raise ValueError(f"{path}: not an ASCII Gmsh mesh")
+        if version >= 4.0:
+            tags, coords, blocks = _parse_msh4(sections)
+        elif version >= 2.0:
+            tags, coords, blocks = _parse_msh2(sections)
+        else:
+            raise ValueError(f"{path}: unsupported msh version {version}")
 
     tdim = max(d for d, _, _ in blocks)
     if tdim < 3 and np.abs(coords[:, tdim:]).max(initial=0.0) > 1e-12:
@@ -388,6 +398,134 @@ def _parse_msh4(sections):
             rows[j] = [int(x) for x in el[li + j].split()[1 : 1 + nn]]
         li += nb
         blocks.append((edim, phys_of.get((dim, etag), 0), rows))
+    return tags, coords, blocks
+
+
+class _BinCursor:
+    """Sequential reader over a binary .msh buffer: ASCII section marker
+    lines interleaved with packed binary payloads (binary sections cannot
+    be located by scanning for ``$End`` markers — the payload bytes can
+    contain anything — so the walk must be strictly sequential with
+    spec-known record sizes)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def line(self) -> str:
+        end = self.data.index(b"\n", self.pos)
+        out = self.data[self.pos : end].decode(errors="replace").strip()
+        self.pos = end + 1
+        return out
+
+    def skip_newline(self) -> None:
+        while self.pos < len(self.data) and self.data[self.pos : self.pos + 1] in (
+            b"\n",
+            b"\r",
+        ):
+            self.pos += 1
+
+    def read(self, dtype: np.dtype, count: int) -> np.ndarray:
+        nbytes = dtype.itemsize * count
+        out = np.frombuffer(self.data, dtype=dtype, count=count, offset=self.pos)
+        self.pos += nbytes
+        return out
+
+
+def _parse_msh4_binary(data: bytes, data_size: int):
+    """Binary MSH 4.1 (the default ``gmsh -save`` output): same entity-
+    block structure as the ASCII v4.1 parser, records packed per the
+    published spec (size_t = ``data_size`` bytes; endianness detected
+    from the one-int probe after the $MeshFormat line)."""
+    cur = _BinCursor(data)
+    if cur.line() != "$MeshFormat":
+        raise ValueError("binary .msh: missing $MeshFormat")
+    cur.line()  # "4.1 1 <data_size>"
+    # endianness probe: the int 1 written in the file's native order
+    one_le = np.frombuffer(data, dtype="<i4", count=1, offset=cur.pos)[0]
+    bo = "<" if one_le == 1 else ">"
+    cur.pos += 4
+    i4 = np.dtype(f"{bo}i4")
+    f8 = np.dtype(f"{bo}f8")
+    szt = np.dtype(f"{bo}u{data_size}")
+    cur.skip_newline()
+    if cur.line() != "$EndMeshFormat":
+        raise ValueError("binary .msh: malformed $MeshFormat")
+
+    phys_of: dict[tuple[int, int], int] = {}
+    tags = coords = None
+    blocks = []
+    while cur.pos < len(data):
+        sec = cur.line()
+        if not sec.startswith("$"):
+            continue
+        name = sec[1:]
+        if name == "PhysicalNames":
+            # ASCII even inside binary files (per spec)
+            nn = int(cur.line())
+            for _ in range(nn):
+                cur.line()
+            cur.line()  # $EndPhysicalNames
+        elif name == "Entities":
+            counts = cur.read(szt, 4)
+            for dim in range(4):
+                for _ in range(int(counts[dim])):
+                    tag = int(cur.read(i4, 1)[0])
+                    # points carry x,y,z; higher dims a 6-double bbox
+                    cur.read(f8, 3 if dim == 0 else 6)
+                    nphys = int(cur.read(szt, 1)[0])
+                    phys = cur.read(i4, nphys)
+                    phys_of[(dim, tag)] = int(phys[0]) if nphys else 0
+                    if dim > 0:
+                        nbound = int(cur.read(szt, 1)[0])
+                        cur.read(i4, nbound)
+            cur.skip_newline()
+            if cur.line() != "$EndEntities":
+                raise ValueError("binary .msh: malformed $Entities")
+        elif name == "Nodes":
+            hdr = cur.read(szt, 4)
+            nblocks, nnodes = int(hdr[0]), int(hdr[1])
+            tags = np.empty(nnodes, dtype=np.int64)
+            coords = np.empty((nnodes, 3), dtype=np.float64)
+            k = 0
+            for _ in range(nblocks):
+                cur.read(i4, 3)  # entityDim, entityTag, parametric
+                nb = int(cur.read(szt, 1)[0])
+                tags[k : k + nb] = cur.read(szt, nb).astype(np.int64)
+                coords[k : k + nb] = (
+                    cur.read(f8, 3 * nb).astype(np.float64).reshape(nb, 3)
+                )
+                k += nb
+            cur.skip_newline()
+            if cur.line() != "$EndNodes":
+                raise ValueError("binary .msh: malformed $Nodes")
+        elif name == "Elements":
+            hdr = cur.read(szt, 4)
+            nblocks = int(hdr[0])
+            for _ in range(nblocks):
+                edim, etag, etype = (int(x) for x in cur.read(i4, 3))
+                nb = int(cur.read(szt, 1)[0])
+                if etype not in _GMSH_TYPES:
+                    # unknown element type: record size is unknowable;
+                    # the four supported types cover P1 simplex meshes
+                    raise ValueError(
+                        f"binary .msh: unsupported element type {etype}"
+                    )
+                _, nn, dim = _GMSH_TYPES[etype]
+                rec = cur.read(szt, nb * (1 + nn)).astype(np.int64).reshape(nb, 1 + nn)
+                blocks.append((dim, phys_of.get((edim, etag), 0), rec[:, 1:]))
+            cur.skip_newline()
+            if cur.line() != "$EndElements":
+                raise ValueError("binary .msh: malformed $Elements")
+            break  # everything needed is in hand
+        else:
+            raise ValueError(
+                f"binary .msh: section ${name} before $Elements is not "
+                "supported (binary sections cannot be skipped blindly)"
+            )
+        cur.skip_newline()
+    if tags is None:
+        raise ValueError("binary .msh: no $Nodes section")
     return tags, coords, blocks
 
 

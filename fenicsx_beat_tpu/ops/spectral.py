@@ -148,14 +148,37 @@ def stencil_dct_eigenvalues(stencil, mesh, dtype=None):
     return lam.astype(npdt), dims
 
 
+def _dct_matrix(N: int, dtype) -> jnp.ndarray:
+    """Orthonormal DCT-II matrix (scipy ``norm='ortho'`` convention):
+    ``C[k, n] = s_k cos(pi (n + 1/2) k / N)``.  Built from static shapes
+    at trace time, so XLA constant-folds it into the executable."""
+    n = jnp.arange(N, dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32)
+    k = n[:, None]
+    C = jnp.cos(jnp.pi * (n + 0.5) * k / N)
+    s = jnp.where(k == 0, jnp.sqrt(1.0 / N), jnp.sqrt(2.0 / N))
+    return (s * C).astype(dtype)
+
+
 def dct_solve(r: jnp.ndarray, lam: jnp.ndarray, dims: tuple[int, ...]) -> jnp.ndarray:
     """Apply the DCT-diagonal inverse: ``z ≈ stencil⁻¹ r`` for the model
     operator whose eigenvalues are ``lam`` (from
-    :func:`stencil_dct_eigenvalues`)."""
-    from jax.scipy.fft import dctn, idctn
+    :func:`stencil_dct_eigenvalues`).
 
-    R = dctn(r.reshape(dims), type=2, norm="ortho")
-    return idctn(R / lam.reshape(dims), type=2, norm="ortho").reshape(r.shape)
+    Implemented as separable per-axis MATMULS, not FFTs: at solver grid
+    sizes (e.g. 201 x 71 x 31 at dx=0.1) the transform is a few tiny
+    dense products that ride the MXU, while ``jax.scipy.fft.dctn`` on
+    awkward (non-power-of-2) axis lengths lowers to padded/Bluestein
+    FFTs that dominated the dx=0.1 bidomain step wall (measured ~11x
+    monodomain before, ~2x after this change; BIDOMAIN_SCALE.json)."""
+    x = r.reshape(dims)
+    for a, N in enumerate(dims):
+        C = _dct_matrix(N, x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(C, x, axes=(1, a)), 0, a)
+    x = x / lam.reshape(dims)
+    for a, N in enumerate(dims):
+        C = _dct_matrix(N, x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(C.T, x, axes=(1, a)), 0, a)
+    return x.reshape(r.shape)
 
 
 def stencil_dct_solver(stencil, mesh, dtype=None) -> Callable | None:

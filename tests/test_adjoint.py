@@ -484,3 +484,45 @@ def test_random_activation_gradient_matches_fd():
 
     fd_a = _fd(loss_np, np.array([p0["stim_amplitude"]]), eps=1e-5)[0]
     np.testing.assert_allclose(float(grads["stim_amplitude"]), fd_a, rtol=2e-4)
+
+
+def test_nested_checkpointing_matches_flat():
+    """checkpoint_segments changes memory behavior only: values and
+    gradients are identical to the flat per-step scheme."""
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.4) & (x[1] < 0.4))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    probes = np.array([[0.2, 0.2]])
+    kw = dict(
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=probes,
+        dt=0.1,
+        n_steps=20,
+    )
+    flat = build_diff_simulator(mesh, **kw)
+    nested = build_diff_simulator(mesh, checkpoint_segments=4, **kw)
+    ionic = jnp.asarray(fhn.init_parameter_values())
+    p = {"g": 0.003, "ionic": ionic}
+    np.testing.assert_allclose(
+        np.asarray(flat(p)), np.asarray(nested(p)), rtol=0, atol=1e-12
+    )
+
+    def loss(sim):
+        return lambda g: jnp.sum(sim({"g": g, "ionic": ionic}) ** 2)
+
+    gf = float(jax.grad(loss(flat))(0.003))
+    gn = float(jax.grad(loss(nested))(0.003))
+    np.testing.assert_allclose(gn, gf, rtol=1e-10)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        build_diff_simulator(mesh, checkpoint_segments=7, **kw)({"g": 0.003, "ionic": ionic})

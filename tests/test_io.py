@@ -223,3 +223,74 @@ def test_read_msh_rejects_embedded_surface(tmp_path):
     p.write_text(curved)
     with pytest.raises(NotImplementedError):
         read_msh(p)
+
+
+def _msh41_binary_bytes() -> bytes:
+    """Binary twin of the MSH41 ASCII fixture, packed per the published
+    MSH 4.1 binary spec (little-endian, size_t = 8)."""
+    import struct
+
+    sz = lambda *v: np.array(v, "<u8").tobytes()  # noqa: E731
+    out = bytearray()
+    out += b"$MeshFormat\n4.1 1 8\n"
+    out += struct.pack("<i", 1)  # endianness probe
+    out += b"\n$EndMeshFormat\n"
+
+    def curve(tag, bbox, phys, bounds):
+        b = struct.pack("<i", tag) + np.array(bbox, "<f8").tobytes()
+        b += sz(len(phys)) + np.array(phys, "<i4").tobytes()
+        b += sz(len(bounds)) + np.array(bounds, "<i4").tobytes()
+        return b
+
+    out += b"$Entities\n"
+    out += sz(0, 2, 1, 0)
+    out += curve(10, [0, 0, 0, 1, 0, 0], [5], [0, 0])
+    out += curve(11, [0, 1, 0, 1, 1, 1], [6], [0, 0])
+    out += curve(1, [0, 0, 0, 1, 1, 0], [7], [10, -11])
+    out += b"\n$EndEntities\n"
+
+    out += b"$Nodes\n" + sz(1, 4, 1, 4)
+    out += struct.pack("<3i", 2, 1, 0) + sz(4)
+    out += sz(1, 2, 3, 4)
+    out += np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], "<f8").tobytes()
+    out += b"\n$EndNodes\n"
+
+    out += b"$Elements\n" + sz(3, 4, 1, 4)
+    out += struct.pack("<3i", 2, 1, 2) + sz(2)  # surface block: 2 triangles
+    out += sz(1, 1, 2, 3) + sz(2, 1, 3, 4)
+    out += struct.pack("<3i", 1, 10, 1) + sz(1)  # curve 10: 1 line
+    out += sz(3, 1, 2)
+    out += struct.pack("<3i", 1, 11, 1) + sz(1)  # curve 11: 1 line
+    out += sz(4, 3, 4)
+    out += b"\n$EndElements\n"
+    return bytes(out)
+
+
+def test_read_msh_v41_binary_matches_ascii(tmp_path):
+    """Round trip: the binary v4.1 file (Gmsh's default output mode)
+    parses to the SAME mesh and tags as its ASCII twin."""
+    from fenicsx_beat_tpu.io import read_msh
+
+    pa = tmp_path / "sq41.msh"
+    pa.write_text(MSH41)
+    pb = tmp_path / "sq41_bin.msh"
+    pb.write_bytes(_msh41_binary_bytes())
+
+    ma, cta, fta = read_msh(pa)
+    mb, ctb, ftb = read_msh(pb)
+    np.testing.assert_array_equal(mb.coords, ma.coords)
+    np.testing.assert_array_equal(mb.cells, ma.cells)
+    np.testing.assert_array_equal(ctb.values, cta.values)
+    np.testing.assert_array_equal(ftb.indices, fta.indices)
+    np.testing.assert_array_equal(ftb.values, fta.values)
+
+
+def test_read_msh_v22_binary_rejected(tmp_path):
+    from fenicsx_beat_tpu.io import read_msh
+
+    p = tmp_path / "old_bin.msh"
+    p.write_bytes(b"$MeshFormat\n2.2 1 8\n" + b"\x01\x00\x00\x00" + b"\n$EndMeshFormat\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="binary .msh v2.2"):
+        read_msh(p)
