@@ -1,13 +1,13 @@
-"""Biventricular-style endocardial activation with a 12-lead pseudo-ECG.
+"""Biventricular endocardial activation with a 12-lead pseudo-ECG.
 
-Mirror of reference ``demos/biv_endocardial.py`` on an idealized geometry:
-the in-repo ellipsoid's endocardium is split into septal/free-wall halves
-standing in for the LV/RV endocardial surfaces (the reference loads an
-external cardiac-geometries BiV mesh), so the full pipeline is exercised:
-``expand_layer_biv`` transmural labeling, per-layer ToR-ORd celltypes from
-0-D steady-state pacing, random multi-point endocardial activation
-(Purkinje-like), checkpointed voltage, ECG recovery at 10 torso
-electrodes, and the standard 12-lead algebra.
+Mirror of reference ``demos/biv_endocardial.py`` on the in-repo TRUE
+two-cavity BiV geometry (``get_biv_ellipsoid_geometry``: LV + RV cavity
+ellipsoids with a shared septum and LDRB-lite fibers — the reference
+loads an external cardiac-geometries BiV mesh), so the full pipeline is
+exercised: ``expand_layer_biv`` transmural labeling, per-layer ToR-ORd
+celltypes from 0-D steady-state pacing, random multi-point endocardial
+activation (Purkinje-like) over BOTH endocardia, checkpointed voltage,
+ECG recovery at 10 torso electrodes, and the standard 12-lead algebra.
 """
 
 import os as _os
@@ -23,12 +23,14 @@ import numpy as np
 import fenicsx_beat_tpu as beat
 from fenicsx_beat_tpu import fem
 from fenicsx_beat_tpu import mesh as meshmod
-from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+from fenicsx_beat_tpu.geometry import get_biv_ellipsoid_geometry
 from fenicsx_beat_tpu.io import CheckpointWriter, load_checkpoint
 from fenicsx_beat_tpu.models import torord_dyncl
 from fenicsx_beat_tpu.single_cell import get_steady_state
 from fenicsx_beat_tpu.units import ureg
 
+# marker values used when an EXTERNAL geometry is injected without an
+# explicit marker mapping (demos/ukb_atlas.py's npz path)
 ENDO_LV, ENDO_RV = 10, 11
 
 LEADS = dict(
@@ -45,28 +47,11 @@ LEADS = dict(
 )
 
 
-def split_endo(geo):
-    """Split the ENDO facet tag into two halves (y>0 / y<0) standing in for
-    the LV / RV endocardial surfaces."""
-    ffun = geo.ffun
-    endo = geo.markers["ENDO"][0]
-    facets = geo.mesh.entities(2)
-    mids = geo.mesh.coords[facets].mean(axis=1)
-    idx, val = [], []
-    for i, v in zip(ffun.indices, ffun.values):
-        if v == endo:
-            idx.append(i)
-            val.append(ENDO_LV if mids[i, 1] > 0 else ENDO_RV)
-        else:
-            idx.append(i)
-            val.append(v)
-    return meshmod.meshtags(geo.mesh, 2, np.asarray(idx), np.asarray(val))
-
-
-def main(argv=None, geometry=None, endo_lv_marker=ENDO_LV, endo_rv_marker=ENDO_RV):
+def main(argv=None, geometry=None, endo_lv_marker=None, endo_rv_marker=None):
     """Run the biv pipeline.  ``geometry`` may inject an external mesh
     (e.g. a UKB atlas export, see ``demos/ukb_atlas.py``) whose ``ffun``
-    already carries ENDO_LV/ENDO_RV/EPI tags."""
+    already carries ENDO_LV/ENDO_RV/EPI tags; by default the in-repo
+    two-cavity BiV ellipsoid is generated."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-T", type=float, default=20.0, help="end time (ms)")
     parser.add_argument("--dt", type=float, default=0.05)
@@ -81,11 +66,14 @@ def main(argv=None, geometry=None, endo_lv_marker=ENDO_LV, endo_rv_marker=ENDO_R
     args.outdir.mkdir(parents=True, exist_ok=True)
 
     if geometry is None:
-        geo = get_lv_ellipsoid_geometry(psize_ref=args.psize)
-        ffun = split_endo(geo)
+        geo = get_biv_ellipsoid_geometry(psize_ref=args.psize)
+        endo_lv_marker = geo.markers["LV"][0]
+        endo_rv_marker = geo.markers["RV"][0]
     else:
         geo = geometry
-        ffun = geo.ffun
+        endo_lv_marker = ENDO_LV if endo_lv_marker is None else endo_lv_marker
+        endo_rv_marker = ENDO_RV if endo_rv_marker is None else endo_rv_marker
+    ffun = geo.ffun
     mesh = geo.mesh
     print(f"geometry: {mesh.num_vertices} nodes, {mesh.num_cells} tets")
 

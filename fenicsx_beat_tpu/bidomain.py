@@ -40,12 +40,15 @@ with ``M = lam/(1+lam) * M_i`` step for step, and
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from . import fem
 from .base_model import Status
@@ -91,6 +94,11 @@ class BidomainSolver:
     # src/beat/base_model.py:140-157); "jacobi" keeps the round-3
     # diagonal fallback (exposed for tests/benchmarks)
     u_precond: str = "auto"
+    # pallas single-kernel ionic step (None = auto: TPU backend only) —
+    # without it the bidomain step was IONIC-bound: the XLA TP06 GRL
+    # step measured ~13 ms/step at dx=0.1 against the fused monodomain's
+    # ~130 us pallas kernel (BIDOMAIN_SCALE.json round 4)
+    use_pallas_ode: bool | None = None
 
     def __post_init__(self):
         from .config import default_dtype
@@ -207,6 +215,65 @@ class BidomainSolver:
         terms, b_units = self._stim_terms, self._b_units
         rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
 
+        # pallas single-kernel ionic step (same integration as
+        # fused.py:276-372): the scan carries states in the kernel's
+        # (S, m, LANE) block layout so the blocked<->flat relayout runs
+        # once per chunk, and the live voltage row is injected by the
+        # kernel itself
+        n = self._n
+        S = self.states.shape[0]
+        LANE = 128
+        n_pad_ode = -(-n // 1024) * 1024
+        m_blk = n_pad_ode // LANE
+        use_pallas = self.use_pallas_ode
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and params is not None and params.ndim != 1:
+            use_pallas = False  # node-aligned parameter fields: jnp path
+        pallas_step = None
+        if use_pallas:
+            from .ops.pallas_ode import build_pallas_ode_step
+
+            try:
+                pallas_step = build_pallas_ode_step(
+                    ode_fun,
+                    num_states=S,
+                    n_nodes=n_pad_ode,
+                    parameters=None if params is None else np.asarray(params),
+                    dtype=self.dtype,
+                    v_index=vi,
+                    blocked_io=True,
+                )
+                # force Mosaic lowering now: a model the kernel language
+                # cannot express degrades to the jnp path, not a crash on
+                # the first chunk (fused.py does the same)
+                jax.jit(pallas_step).lower(
+                    jax.ShapeDtypeStruct((S, m_blk, LANE), self.dtype),
+                    jax.ShapeDtypeStruct((n_pad_ode,), self.dtype),
+                    jax.ShapeDtypeStruct((), self.dtype),
+                    jax.ShapeDtypeStruct((), self.dtype),
+                ).compile()
+            except Exception as exc:
+                logger.warning(
+                    "pallas ionic kernel unavailable (%s); falling back to "
+                    "the plain jnp ODE path",
+                    exc,
+                )
+                pallas_step = None
+        self._pallas_ionic = pallas_step is not None  # exposed for tests
+        pad_ode = n_pad_ode - n
+        v_rest = float(np.asarray(self.states[vi, 0]))
+
+        def _pad_v(v):
+            if pad_ode == 0:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad_ode,), v_rest, dtype=v.dtype)]
+            )
+
+        def _v_of(states_b):
+            return states_b[vi].reshape(-1)[:n]
+
         def b_stim(t, amps):
             b = 0.0
             for i, quad, expr, b_idx, window in terms:
@@ -220,12 +287,17 @@ class BidomainSolver:
 
         def one_step(ops, carry, t, dt, amps):
             mass, k_i, k_ie, u_lam, u_amg = ops
-            states, u_e, dvu = carry
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
             # choreography, monodomain_solver.py:53-116 there)
-            states = ode_fun(states, t, params, th * dt)
-            v = states[vi]
+            if pallas_step is not None:
+                states_b, v, u_e, dvu = carry
+                states_b = pallas_step(states_b, _pad_v(v), t, th * dt)
+                v = _v_of(states_b)
+            else:
+                states, u_e, dvu = carry
+                states = ode_fun(states, t, params, th * dt)
+                v = states[vi]
             ts = t + th_pde * dt  # stimulus at the PDE theta point
             rhs_v = (
                 C_m * (mass @ v)
@@ -282,10 +354,20 @@ class BidomainSolver:
             )
             v_new, u_new = x[0], x[1]
             dvu = x - jnp.stack([v, u_e])  # warm-start increment
-            states = states.at[vi].set(v_new)
-            if not godunov:
-                states = ode_fun(states, t + th * dt, params, (1.0 - th) * dt)
-            return (states, u_new, dvu), (info.iterations, info.residual_norm, info.converged)
+            if pallas_step is not None:
+                if godunov:
+                    carry_out = (states_b, v_new, u_new, dvu)
+                else:
+                    states_b = pallas_step(
+                        states_b, _pad_v(v_new), t + th * dt, (1.0 - th) * dt
+                    )
+                    carry_out = (states_b, _v_of(states_b), u_new, dvu)
+            else:
+                states = states.at[vi].set(v_new)
+                if not godunov:
+                    states = ode_fun(states, t + th * dt, params, (1.0 - th) * dt)
+                carry_out = (states, u_new, dvu)
+            return carry_out, (info.iterations, info.residual_norm, info.converged)
 
         from functools import partial
 
@@ -297,9 +379,26 @@ class BidomainSolver:
                 t = t0 + k * dt
                 return one_step(ops, carry, t, dt, amps)
 
-            (states, u_e, _), (iters, rnorms, convs) = jax.lax.scan(
-                body, (states, u_e, dvu0), jnp.arange(n_steps)
-            )
+            if pallas_step is not None:
+                # blocked<->flat is a physical relayout: once per chunk,
+                # not once per ionic sub-step (fused.py:268-274)
+                if pad_ode:
+                    st = jnp.concatenate(
+                        [states, jnp.tile(states[:, :1], (1, pad_ode))], axis=1
+                    )
+                else:
+                    st = states
+                carry0 = (st.reshape(S, m_blk, LANE), states[vi], u_e, dvu0)
+                (states_b, v_fin, u_e, _), (iters, rnorms, convs) = jax.lax.scan(
+                    body, carry0, jnp.arange(n_steps)
+                )
+                # the blocked v row lags the last PDE solve (Godunov):
+                # inject the carried live voltage
+                states = states_b.reshape(S, -1)[:, :n].at[vi].set(v_fin)
+            else:
+                (states, u_e, _), (iters, rnorms, convs) = jax.lax.scan(
+                    body, (states, u_e, dvu0), jnp.arange(n_steps)
+                )
             # ground the floating extracellular constant to zero mean
             u_e = u_e - jnp.mean(u_e)
             # worst-step stats so the recorded CGInfo triple is

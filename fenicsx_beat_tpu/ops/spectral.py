@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -170,14 +171,18 @@ def dct_solve(r: jnp.ndarray, lam: jnp.ndarray, dims: tuple[int, ...]) -> jnp.nd
     awkward (non-power-of-2) axis lengths lowers to padded/Bluestein
     FFTs that dominated the dx=0.1 bidomain step wall (measured ~11x
     monodomain before, ~2x after this change; BIDOMAIN_SCALE.json)."""
+    # HIGHEST matmul precision: the TPU default (one-pass bf16 multiply)
+    # perturbs the transform enough to break the preconditioner's
+    # symmetry — measured CG stagnation at maxiter on the dx=0.5 slab
+    hi = jax.lax.Precision.HIGHEST
     x = r.reshape(dims)
     for a, N in enumerate(dims):
         C = _dct_matrix(N, x.dtype)
-        x = jnp.moveaxis(jnp.tensordot(C, x, axes=(1, a)), 0, a)
+        x = jnp.moveaxis(jnp.tensordot(C, x, axes=((1,), (a,)), precision=hi), 0, a)
     x = x / lam.reshape(dims)
     for a, N in enumerate(dims):
         C = _dct_matrix(N, x.dtype)
-        x = jnp.moveaxis(jnp.tensordot(C.T, x, axes=(1, a)), 0, a)
+        x = jnp.moveaxis(jnp.tensordot(C.T, x, axes=((1,), (a,)), precision=hi), 0, a)
     return x.reshape(r.shape)
 
 

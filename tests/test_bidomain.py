@@ -397,3 +397,30 @@ def test_u_precond_validation():
     kwargs["I_s"] = None
     with pytest.raises(ValueError, match="structured"):
         BidomainSolver(u_precond="dct", **kwargs)
+
+
+@pytest.mark.parametrize("theta", [1.0, 0.5])
+def test_pallas_ionic_path_matches_jnp(theta):
+    """The pallas single-kernel ionic integration (blocked carry, live-v
+    injection — round 4, closing the ionic-bound bidomain step measured
+    in BIDOMAIN_SCALE.json) reproduces the plain jnp path (interpret
+    mode on CPU, like tests/test_fused.py)."""
+    mesh, make_stim = _setup(nx=8)
+    common = dict(
+        mesh=mesh, M_i=0.004, M_e=0.008, I_s=make_stim(),
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"), theta=theta, pde_theta=0.5,
+        cg_rtol=1e-11, cg_atol=1e-13,
+    )
+    ref = BidomainSolver(use_pallas_ode=False, **common)
+    ref.solve((0.0, 0.5), dt=0.1)
+    assert not ref._pallas_ionic
+
+    pal = BidomainSolver(use_pallas_ode=True, **common)
+    assert pal._pallas_ionic
+    pal.solve((0.0, 0.5), dt=0.1)
+    np.testing.assert_allclose(np.asarray(pal.v), np.asarray(ref.v),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pal.u_e), np.asarray(ref.u_e),
+                               rtol=0, atol=1e-9)
