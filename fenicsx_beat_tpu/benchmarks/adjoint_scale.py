@@ -228,9 +228,19 @@ def main() -> int:
         print(row, file=sys.stderr)
         out["configs"].append(row)
     if full_beat:
-        row = run_full_beat()
-        print(row, file=sys.stderr)
-        out["configs"].append(row)
+        for model in ("fhn", "tp06"):
+            try:
+                row = run_full_beat(model=model)
+            except Exception as exc:  # record the failure mode honestly
+                row = {
+                    "case": "full_beat",
+                    "model": model,
+                    "n_steps": 20000,
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                }
+            print(row, file=sys.stderr)
+            out["configs"].append(row)
+            Path("ADJOINT_SCALE.json").write_text(json.dumps(out, indent=2) + "\n")
     Path("ADJOINT_SCALE.json").write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
     return 0

@@ -137,6 +137,7 @@ def run_multichip_scaling(
     base_Lx: float = 10.0,
     include_dx005: bool = False,
     include_lv: bool = False,
+    include_dx01: bool = False,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -244,6 +245,54 @@ def run_multichip_scaling(
             "ok": True,
         }
 
+    if include_dx01 and len(devs) >= 8:
+        # the production dx=0.1 regime (442k nodes, the resolution the
+        # driver bench runs): full collective census + halo fractions at
+        # the scale a pod would actually shard — the weak-scaling rows
+        # above measure dx=0.5 (2.2k nodes/device), where the 0.5% halo
+        # fraction says little about this regime
+        setup = _slab_setup(dx=0.1, Lx=20.0)
+        setup["operator_cache_key"] = "niederer-slab-dx0.1"
+        dmesh = DeviceMesh(np.array(devs[:8]), ("x",))
+        tic = _time.perf_counter()
+        solver = ShardedMonodomainSolver(device_mesh=dmesh, **setup)
+        setup_s = _time.perf_counter() - tic
+        part = solver.part
+        S01 = int(solver.states.shape[0])
+        itemsize = jnp.dtype(solver.states.dtype).itemsize
+        amps = solver.stimulus_amplitudes()
+        dtj = jnp.asarray(dt, dtype=solver.states.dtype)
+        t0 = jnp.asarray(0.0, dtype=solver.states.dtype)
+        census = _hlo_collective_census(solver, 10)
+        tic = _time.perf_counter()
+        chunk = solver._run_chunk(
+            solver.states, solver.activation_time, t0, dtj, amps, 10
+        )
+        it_max = int(chunk[3])
+        run_s = _time.perf_counter() - tic
+        spmvs_per_step = it_max + 2.0
+        halo_bytes = 2 * part.halo * itemsize * spmvs_per_step
+        K = len(solver._offsets) if solver._offsets is not None else (
+            solver._vals_mass.shape[-1]
+        )
+        local_bytes = (
+            2 * S01 * part.n_local * itemsize
+            + spmvs_per_step * (K + 2) * part.n_local * itemsize
+        )
+        out["dx01_sharded_8way"] = {
+            "n_nodes": solver.V.ndofs,
+            "n_local": part.n_local,
+            "halo_rows": part.halo,
+            "max_cg_iters_per_step": it_max,
+            "hlo_per_chunk_10_steps": census,
+            "halo_bytes_per_step_per_device": int(halo_bytes),
+            "local_hbm_bytes_per_step_per_device": int(local_bytes),
+            "halo_traffic_fraction": round(halo_bytes / local_bytes, 6),
+            "setup_s": round(setup_s, 1),
+            "ten_steps_s": round(run_s, 1),
+            "ok": True,
+        }
+
     if include_lv and len(devs) >= 8:
         # production UNSTRUCTURED capability: the 1.87M-node / 10.6M-cell
         # LV ellipsoid sharded 8 ways through RCM + direct ELL assembly +
@@ -310,10 +359,13 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dx005", action="store_true", help="also shard the 3.45M-node mesh 8 ways")
     ap.add_argument("--lv", action="store_true", help="also shard the 10.6M-cell LV ellipsoid 8 ways")
+    ap.add_argument("--dx01", action="store_true",
+                    help="also census the production dx=0.1 slab (442k nodes) 8 ways")
     args = ap.parse_args()
     _require_virtual_mesh(8)
     out = run_multichip_scaling(
-        dx=args.dx, n_steps=args.steps, include_dx005=args.dx005, include_lv=args.lv
+        dx=args.dx, n_steps=args.steps, include_dx005=args.dx005,
+        include_lv=args.lv, include_dx01=args.dx01,
     )
     Path("MULTICHIP_SCALING.json").write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
