@@ -94,11 +94,12 @@ class BidomainSolver:
     # src/beat/base_model.py:140-157); "jacobi" keeps the round-3
     # diagonal fallback (exposed for tests/benchmarks)
     u_precond: str = "auto"
-    # pallas single-kernel ionic step (None = auto: TPU backend only) —
-    # without it the bidomain step was IONIC-bound: the XLA TP06 GRL
-    # step measured ~13 ms/step at dx=0.1 against the fused monodomain's
-    # ~130 us pallas kernel (BIDOMAIN_SCALE.json round 4)
+    # pallas kernels (None = auto: TPU backend only): the single-kernel
+    # ionic step (the XLA TP06 GRL step measured ~13 ms standalone at
+    # dx=0.1 vs the fused monodomain's ~130 us kernel) AND the
+    # single-pass stencil SpMV for the CG streams
     use_pallas_ode: bool | None = None
+    pallas_spmv_min_nodes: int = 4096  # below this the XLA stencil SpMV wins
 
     def __post_init__(self):
         from .config import default_dtype
@@ -188,20 +189,101 @@ class BidomainSolver:
             # is semidefinite-aware (nullspace = constant u_e)
             hier = build_amg(self._k_ie, dtype=self.dtype, semidefinite=True)
         self._dct_dims = spec[1] if spec is not None else None
-        # the eigenvalue array / AMG hierarchy ride the operand pytree
-        # like the operator streams (a device closure constant would be
-        # re-shipped per execution over a remote-TPU tunnel,
-        # fused.py:252-258)
-        k_ie_dev = self._k_ie.to_device()
-        self._operands = (
-            self._mass.to_device(),
-            self._k_i.to_device(),
-            k_ie_dev,
-            jax.device_put(jnp.asarray(spec[0])) if spec is not None else None,
-            hier.to_device(level0_A=k_ie_dev) if hier is not None else None,
-        )
         self._u_dct = spec is not None  # exposed for tests
         self._u_amg = hier is not None  # exposed for tests
+
+        from .ops.sparse import StencilMatrix
+
+        use_pallas_backend = self.use_pallas_ode
+        if use_pallas_backend is None:
+            use_pallas_backend = jax.default_backend() == "tpu"
+        # pallas single-pass stencil SpMV for the three operator streams
+        # (same kernel the fused monodomain CG rides): the XLA stencil
+        # matvec is K dynamic-slice+FMA passes that re-read x each time —
+        # measured 321 us per application at 442k nodes vs the pallas
+        # kernel's VMEM-resident single pass; the bidomain CG does 4
+        # stream applications per iteration, so this is where the
+        # dx=0.1 step wall lives (BIDOMAIN_SCALE.json round 4).  AMG mode
+        # keeps the matrix form (its level-0 smoother applies k_ie
+        # directly).
+        use_pallas_spmv = (
+            use_pallas_backend
+            and isinstance(self._mass, StencilMatrix)
+            and hier is None
+            and self._n >= self.pallas_spmv_min_nodes
+        )
+        spmv_fn = None
+        k0_pack = None
+        if use_pallas_spmv:
+            from .ops.pallas_spmv import build_pallas_stencil_spmv
+
+            try:
+                spmv_fn = build_pallas_stencil_spmv(
+                    self._mass.offsets, self._n, self.dtype
+                )
+                k0_pack = self._mass.offsets.index(0)
+            except Exception as exc:
+                logger.warning(
+                    "pallas stencil SpMV unavailable (%s); using the XLA "
+                    "stencil matvec",
+                    exc,
+                )
+                spmv_fn = None
+                use_pallas_spmv = False
+        self._pallas_spmv = use_pallas_spmv  # exposed for tests
+        self._lane_gather = False  # set on the unstructured TPU path below
+
+        # the operator streams / eigenvalue array / AMG hierarchy ride
+        # the jit operand pytree (a device closure constant would be
+        # re-shipped per execution over a remote-TPU tunnel,
+        # fused.py:252-258)
+        lam_dev = jax.device_put(jnp.asarray(spec[0])) if spec is not None else None
+        if use_pallas_spmv:
+            put = jax.device_put
+            self._operands = (
+                put(jnp.asarray(spmv_fn.pack_values(np.asarray(self._mass.vals)))),
+                put(jnp.asarray(spmv_fn.pack_values(np.asarray(self._k_i.vals)))),
+                put(jnp.asarray(spmv_fn.pack_values(np.asarray(self._k_ie.vals)))),
+                lam_dev,
+                None,
+            )
+        else:
+            mass_h, k_i_h, k_ie_h = self._mass, self._k_i, self._k_ie
+            lane = (
+                use_pallas_backend
+                and not isinstance(self._mass, StencilMatrix)
+                and self._n >= self.pallas_spmv_min_nodes
+            )
+            if lane:
+                # unstructured TPU path: one shared page layout for the
+                # three streams (combine stays valid) and a lane-gather
+                # AMG hierarchy — the XLA ELL gather measured ~1 GB/s
+                # effective, which left the LV bidomain wall ITERATION-
+                # INDEPENDENT (AMG and Jacobi walls tied at 84 s/200
+                # steps; BIDOMAIN_SCALE.json round 4)
+                from .ops.pallas_ell import LaneGatherMatrix
+
+                try:
+                    mass_h, k_i_h, k_ie_h = LaneGatherMatrix.from_operator_group(
+                        (self._mass, self._k_i, self._k_ie), dtype=self.dtype
+                    )
+                except Exception as exc:
+                    logger.warning(
+                        "lane-gather SpMV unavailable (%s); using the XLA "
+                        "ELL matvec", exc,
+                    )
+                    lane = False
+            self._lane_gather = lane  # exposed for tests
+            k_ie_dev = k_ie_h.to_device()
+            self._operands = (
+                mass_h.to_device(),
+                k_i_h.to_device(),
+                k_ie_dev,
+                lam_dev,
+                hier.to_device(level0_A=k_ie_dev, lane_gather=lane)
+                if hier is not None
+                else None,
+            )
         u_dims = self._dct_dims
         _dct_solve = dct_solve
         _amg_apply = amg_apply
@@ -225,9 +307,7 @@ class BidomainSolver:
         LANE = 128
         n_pad_ode = -(-n // 1024) * 1024
         m_blk = n_pad_ode // LANE
-        use_pallas = self.use_pallas_ode
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        use_pallas = use_pallas_backend
         if use_pallas and params is not None and params.ndim != 1:
             use_pallas = False  # node-aligned parameter fields: jnp path
         pallas_step = None
@@ -286,7 +366,31 @@ class BidomainSolver:
             return b
 
         def one_step(ops, carry, t, dt, amps):
-            mass, k_i, k_ie, u_lam, u_amg = ops
+            # per-dt operator combinations: ONE value-combined stream per
+            # block instead of separate mass/k_i applications (the streams
+            # share one sparsity pattern; dt is traced so this runs
+            # in-trace each chunk)
+            if spmv_fn is not None:
+                vm3, vki3, vkie3, u_lam, u_amg = ops
+                A3 = C_m * vm3 + (th_pde * dt) * vki3
+                B3 = C_m * vm3 - ((1.0 - th_pde) * dt) * vki3
+                mvA = lambda x: spmv_fn(A3, x)  # noqa: E731
+                mvB = lambda x: spmv_fn(B3, x)  # noqa: E731
+                mvKi = lambda x: spmv_fn(vki3, x)  # noqa: E731
+                mvKie = lambda x: spmv_fn(vkie3, x)  # noqa: E731
+                npad = A3.shape[1] * A3.shape[2]
+                diag_v = A3[k0_pack].reshape(npad)[: self._n]
+                diag_kie = vkie3[k0_pack].reshape(npad)[: self._n]
+            else:
+                mass, k_i, k_ie, u_lam, u_amg = ops
+                A_op = mass.combine(C_m, k_i, th_pde * dt)
+                B_op = mass.combine(C_m, k_i, -(1.0 - th_pde) * dt)
+                mvA = lambda x: A_op @ x  # noqa: E731
+                mvB = lambda x: B_op @ x  # noqa: E731
+                mvKi = lambda x: k_i @ x  # noqa: E731
+                mvKie = lambda x: k_ie @ x  # noqa: E731
+                diag_v = A_op.diagonal()
+                diag_kie = k_ie.diagonal()
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
             # choreography, monodomain_solver.py:53-116 there)
@@ -299,12 +403,8 @@ class BidomainSolver:
                 states = ode_fun(states, t, params, th * dt)
                 v = states[vi]
             ts = t + th_pde * dt  # stimulus at the PDE theta point
-            rhs_v = (
-                C_m * (mass @ v)
-                - (1.0 - th_pde) * dt * (k_i @ v)
-                + dt * b_stim(ts, amps)
-            )
-            rhs_u = -(dt / th_pde) * (1.0 - th_pde) * (k_i @ v)
+            rhs_v = mvB(v) + dt * b_stim(ts, amps)
+            rhs_u = -(dt / th_pde) * (1.0 - th_pde) * mvKi(v)
             b = jnp.stack([rhs_v, rhs_u])
 
             def deflate(x):
@@ -319,11 +419,10 @@ class BidomainSolver:
             def matvec(x):
                 x = deflate(x)
                 xv, xu = x[0], x[1]
-                yv = C_m * (mass @ xv) + th_pde * dt * (k_i @ xv) + dt * (k_i @ xu)
-                yu = dt * (k_i @ xv) + (dt / th_pde) * (k_ie @ xu)
+                yv = mvA(xv) + dt * mvKi(xu)
+                yu = dt * mvKi(xv) + (dt / th_pde) * mvKie(xu)
                 return deflate(jnp.stack([yv, yu]))
 
-            diag_v = C_m * mass.diagonal() + th_pde * dt * k_i.diagonal()
             if u_lam is not None or u_amg is not None:
                 # block preconditioner: Jacobi on the mass-dominated v
                 # block, spectral DCT inverse (structured constant-coeff)
@@ -343,7 +442,7 @@ class BidomainSolver:
                 prec_kwargs = dict(precond=precond)
             else:
                 prec_kwargs = dict(
-                    precond_diag=jnp.stack([diag_v, (dt / th_pde) * k_ie.diagonal()])
+                    precond_diag=jnp.stack([diag_v, (dt / th_pde) * diag_kie])
                 )
             x0 = jnp.stack([v, u_e]) + dvu
             x0 = x0.at[1].add(-jnp.mean(x0[1]))

@@ -176,6 +176,7 @@ class FusedMonodomainSolver:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
+        self._lane_gather = False  # set when the paged unstructured SpMV engages
         self._n = n
         if use_pallas and isinstance(self._mass, StencilMatrix):
             # shared pad_stencil_pair rule: large meshes round to 512-row
@@ -436,8 +437,31 @@ class FusedMonodomainSolver:
                 return _spmv(ops[1], u)
 
         else:
-            operands["mass"] = mass.to_device()
-            operands["stiff"] = stiff.to_device()
+            mass_dev, stiff_dev = mass, stiff
+            if (
+                use_pallas
+                and not isinstance(mass, StencilMatrix)
+                and mass.shape[0] >= self.pallas_spmv_min_nodes
+            ):
+                # unstructured TPU path: repack the ELL pair into the
+                # paged lane-gather format (ops/pallas_ell.py) — the XLA
+                # gather behind the plain ELL SpMV measures ~1 GB/s
+                # effective on the chip (26.8 ms per application at the
+                # 243k-node LV vs 0.66 ms for the paged kernel)
+                from .ops.pallas_ell import LaneGatherMatrix
+
+                try:
+                    mass_dev, stiff_dev = LaneGatherMatrix.from_operator_pair(
+                        mass, stiff, dtype=self.dtype
+                    )
+                    self._lane_gather = True
+                except Exception as exc:
+                    logger.warning(
+                        "lane-gather SpMV unavailable (%s); using the XLA "
+                        "ELL matvec", exc,
+                    )
+            operands["mass"] = mass_dev.to_device()
+            operands["stiff"] = stiff_dev.to_device()
 
             def build_operators(op, dt):
                 A = op["mass"].combine(C_m, op["stiff"], pde_theta * dt)

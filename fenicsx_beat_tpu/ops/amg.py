@@ -280,20 +280,37 @@ class AMGHierarchy:
     def n_levels(self) -> int:
         return len(self.levels) + 1
 
-    def to_device(self, level0_A=None) -> "AMGHierarchy":
+    def to_device(self, level0_A=None, lane_gather: bool = False) -> "AMGHierarchy":
         """One-shot host->device push (see ``ELLMatrix.to_device``).
 
         ``level0_A``: an already-on-device copy of the fine operator to
         share (the caller's solve path typically ships the same matrix in
-        its own operand pytree — avoid holding it in HBM twice)."""
+        its own operand pytree — avoid holding it in HBM twice).
+
+        ``lane_gather=True`` repacks every level operator and transfer
+        matrix into the paged lane-gather format
+        (:mod:`~fenicsx_beat_tpu.ops.pallas_ell`) — the TPU path: the XLA
+        gather behind the plain ELL SpMV measures ~1 GB/s effective on
+        the chip, which made V-cycles cost as much as the Jacobi
+        iterations they replace."""
         put = jax.device_put
+
+        def ship(M):
+            if not lane_gather:
+                return M.to_device()
+            from .pallas_ell import LaneGatherMatrix
+
+            return LaneGatherMatrix.from_operator(
+                M, dtype=self.coarse_inv.dtype
+            ).to_device()
+
         levels = tuple(
             AMGLevel(
-                A=(level0_A if (i == 0 and level0_A is not None) else lv.A.to_device()),
+                A=(level0_A if (i == 0 and level0_A is not None) else ship(lv.A)),
                 dinv=put(jnp.asarray(lv.dinv)),
                 lmax=put(jnp.asarray(lv.lmax)),
-                P=lv.P.to_device(),
-                R=lv.R.to_device(),
+                P=ship(lv.P),
+                R=ship(lv.R),
             )
             for i, lv in enumerate(self.levels)
         )

@@ -75,21 +75,29 @@ def pack_lane_gather(
 ):
     """Pack COO triplets (duplicates summed) into the paged lane-gather
     format.  Returns ``(rowidx [nb, NP, 8] int32, lanes [nb, NP, 8, 128]
-    int32, plane_vals [nb, NP, 8, 128], tail or None, meta)``."""
+    int32, plane_vals [nb, NP, 8, 128], tail or None, meta)``.
+
+    ``vals`` may be ``[nnz]`` or stacked ``[k, nnz]`` — stacked value
+    sets share ONE page layout (placement decided by the union pattern),
+    so the resulting matrices :meth:`LaneGatherMatrix.combine`
+    value-wise; outputs then gain a leading ``k`` axis."""
     n_rows, n_cols = shape
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
+    stacked = vals.ndim == 2
+    vals2 = vals if stacked else vals[None]
     key = rows * n_cols + cols
     order = np.argsort(key, kind="stable")
     uniq, inv = np.unique(key[order], return_inverse=True)
-    summed = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(summed, inv, vals[order])
+    summed = np.zeros((vals2.shape[0], uniq.size), dtype=np.float64)
+    for k in range(vals2.shape[0]):
+        np.add.at(summed[k], inv, vals2[k][order])
     rows = uniq // n_cols
     cols = uniq % n_cols
-    vals = summed
-    live = vals != 0.0
-    rows, cols, vals = rows[live], cols[live], vals[live]
+    vals2 = summed
+    live = (vals2 != 0.0).any(axis=0)
+    rows, cols, vals2 = rows[live], cols[live], vals2[:, live]
 
     s = rows >> 7
     j = rows & (LANE - 1)
@@ -123,20 +131,22 @@ def pack_lane_gather(
 
     b = s >> 3
     sr = s & 7
+    nk = vals2.shape[0]
     rowidx = np.zeros((nb, NP, BR), dtype=np.int32)
     lanes = np.zeros((nb, NP, BR, LANE), dtype=np.int32)
-    pvals = np.zeros((nb, NP, BR, LANE), dtype=np.dtype(dtype))
+    pvals = np.zeros((nk, nb, NP, BR, LANE), dtype=np.dtype(dtype))
     kb, kp, ks, kj = b[keep], page[keep], sr[keep], j[keep]
     rowidx[kb, kp, ks] = r[keep].astype(np.int32)
     lanes[kb, kp, ks, kj] = (cols[keep] & (LANE - 1)).astype(np.int32)
-    pvals[kb, kp, ks, kj] = vals[keep]
+    for k in range(nk):
+        pvals[k][kb, kp, ks, kj] = vals2[k][keep]
 
     tail = None
     if (~keep).any():
         tail = (
             rows[~keep].astype(np.int32),
             cols[~keep].astype(np.int32),
-            vals[~keep].astype(np.dtype(dtype)),
+            vals2[:, ~keep].astype(np.dtype(dtype)),
         )
     meta = {
         "n_rows": n_rows,
@@ -147,8 +157,12 @@ def pack_lane_gather(
         "NP": NP,
         "NP_unclipped": NP_full,
         "tail_nnz": 0 if tail is None else int(tail[0].size),
-        "occupancy": float(keep.sum() / max(pvals.size, 1)),
+        "occupancy": float(keep.sum() / max(pvals[0].size, 1)),
     }
+    if not stacked:
+        pvals = pvals[0]
+        if tail is not None:
+            tail = (tail[0], tail[1], tail[2][0])
     return rowidx, lanes, pvals, tail, meta
 
 
@@ -282,6 +296,68 @@ class LaneGatherMatrix:
             tail_cols=None if tail is None else tail[1],
             tail_vals=None if tail is None else tail[2],
             diag=diag,
+        )
+
+    @classmethod
+    def from_operator_group(
+        cls, ops, *, dtype=None, interpret: bool | None = None, max_planes: int = 48
+    ) -> tuple["LaneGatherMatrix", ...]:
+        """Pack same-pattern operators (mass/stiffness/k_ie groups) with
+        ONE shared page layout, so :meth:`combine` between them is valid
+        (the dt-traced theta-system combination every solver relies on).
+        Packing them separately would drop each one's own exact zeros and
+        the layouts could diverge."""
+        import scipy.sparse as sp
+
+        from .amg import operator_to_csr
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        Ms = [(A if sp.issparse(A) else operator_to_csr(A)).tocoo() for A in ops]
+        if dtype is None:
+            dtype = Ms[0].data.dtype
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        # union pattern: concatenate every triplet set with zero partners
+        # (pack_lane_gather dedup-sums, so shared entries merge)
+        rows = np.concatenate([M.row for M in Ms])
+        cols = np.concatenate([M.col for M in Ms])
+        sizes = [M.data.size for M in Ms]
+        total = sum(sizes)
+        stacked = np.zeros((len(Ms), total))
+        off = 0
+        for k, M in enumerate(Ms):
+            stacked[k, off : off + sizes[k]] = M.data
+            off += sizes[k]
+        rowidx, lanes, pvals, tail, meta = pack_lane_gather(
+            rows, cols, stacked, Ms[0].shape, max_planes=max_planes, dtype=npdt
+        )
+
+        def diag_of(M):
+            d = np.zeros(M.shape[0], dtype=npdt)
+            on = M.row == M.col
+            d[M.row[on]] = M.data[on]
+            return d
+
+        square = Ms[0].shape[0] == Ms[0].shape[1]
+        return tuple(
+            cls(
+                rowidx=rowidx, lanes=lanes, vals=pvals[k], shape=Ms[0].shape,
+                Rc=meta["Rc"], interpret=bool(interpret),
+                tail_rows=None if tail is None else tail[0],
+                tail_cols=None if tail is None else tail[1],
+                tail_vals=None if tail is None else tail[2][k],
+                diag=diag_of(M) if square else None,
+            )
+            for k, M in enumerate(Ms)
+        )
+
+    @classmethod
+    def from_operator_pair(
+        cls, A, B, *, dtype=None, interpret: bool | None = None, max_planes: int = 48
+    ) -> tuple["LaneGatherMatrix", "LaneGatherMatrix"]:
+        """Two-operator convenience form of :meth:`from_operator_group`."""
+        return cls.from_operator_group(
+            (A, B), dtype=dtype, interpret=interpret, max_planes=max_planes
         )
 
     @property

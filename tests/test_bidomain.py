@@ -415,12 +415,38 @@ def test_pallas_ionic_path_matches_jnp(theta):
     )
     ref = BidomainSolver(use_pallas_ode=False, **common)
     ref.solve((0.0, 0.5), dt=0.1)
-    assert not ref._pallas_ionic
+    assert not ref._pallas_ionic and not ref._pallas_spmv
 
-    pal = BidomainSolver(use_pallas_ode=True, **common)
-    assert pal._pallas_ionic
+    # pallas_spmv_min_nodes=1: also exercise the stencil-SpMV CG streams
+    pal = BidomainSolver(use_pallas_ode=True, pallas_spmv_min_nodes=1, **common)
+    assert pal._pallas_ionic and pal._pallas_spmv
     pal.solve((0.0, 0.5), dt=0.1)
     np.testing.assert_allclose(np.asarray(pal.v), np.asarray(ref.v),
                                rtol=0, atol=1e-9)
     np.testing.assert_allclose(np.asarray(pal.u_e), np.asarray(ref.u_e),
                                rtol=0, atol=1e-9)
+
+
+def test_lane_gather_unstructured_matches_xla():
+    """The paged lane-gather path (system streams + AMG hierarchy;
+    interpret mode on CPU) reproduces the XLA ELL bidomain on the
+    unstructured LV to solver tolerance."""
+    mesh, M_i, M_e, I_s = _lv_setup(psize_ref=1.2)
+    common = dict(
+        mesh=mesh, M_i=M_i, M_e=M_e, I_s=I_s,
+        ode_fun=fhn.forward_euler, init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"), theta=1.0,
+        cg_rtol=1e-11, cg_atol=1e-13,
+    )
+    ref = BidomainSolver(use_pallas_ode=False, **common)
+    assert not ref._lane_gather
+    ref.solve((0.0, 0.5), dt=0.1)
+
+    lane = BidomainSolver(use_pallas_ode=True, pallas_spmv_min_nodes=1, **common)
+    assert lane._lane_gather and lane._u_amg and not lane._pallas_spmv
+    lane.solve((0.0, 0.5), dt=0.1)
+    np.testing.assert_allclose(np.asarray(lane.v), np.asarray(ref.v),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lane.u_e), np.asarray(ref.u_e),
+                               rtol=0, atol=1e-7)

@@ -360,3 +360,43 @@ def test_merged_strang_matches_unmerged():
     # ignored (with a warning) when theta != 0.5
     g = FusedMonodomainSolver(**{**common, "theta": 1.0}, merge_strang_halves=True)
     g.solve((0.0, 1.0), dt=dt)
+
+
+def test_fused_lane_gather_unstructured_matches_plain():
+    """The paged lane-gather SpMV path (the unstructured TPU format;
+    interpret mode on CPU) reproduces the XLA ELL trajectory on the LV
+    ellipsoid to solver tolerance."""
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+    from fenicsx_beat_tpu.mesh import meshtags
+    from fenicsx_beat_tpu.models import fitzhughnagumo as fhn
+    from fenicsx_beat_tpu.stimulation import Stimulus, TimeWindow
+    from fenicsx_beat_tpu.stimulation import dx as dx_measure
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=0.8)
+    mesh = geo.mesh
+    tags = meshtags(mesh, 3, np.arange(150, dtype=np.int32), 1)
+    common = dict(
+        mesh=mesh,
+        M=0.05,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+        I_s=Stimulus(
+            expr=TimeWindow(amplitude=60.0, start=0.0, duration=1.0),
+            dZ=dx_measure(mesh, subdomain_data=tags),
+            marker=1,
+        ),
+    )
+    plain = FusedMonodomainSolver(use_pallas_ode=False, **common)
+    assert not plain._lane_gather
+    plain.solve((0.0, 1.0), dt=0.1)
+    lane = FusedMonodomainSolver(
+        use_pallas_ode=True, pallas_spmv_min_nodes=1, **common
+    )
+    assert lane._lane_gather
+    lane.solve((0.0, 1.0), dt=0.1)
+    n = mesh.num_vertices
+    np.testing.assert_allclose(
+        np.asarray(lane.v)[:n], np.asarray(plain.v)[:n], rtol=0, atol=1e-8
+    )

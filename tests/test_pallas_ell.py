@@ -75,16 +75,26 @@ def test_lv_operator_with_apex_tail():
 
 
 def test_combine_value_level():
-    """Mass/stiffness pairs packed from one pattern combine value-wise
-    (the dt-traced theta-system combination every solver relies on)."""
+    """Mass/stiffness pairs packed with ONE shared layout
+    (from_operator_pair) combine value-wise — the dt-traced theta-system
+    combination every solver relies on.  Each operator carries exact
+    zeros the other doesn't (the case separate packing would get wrong)."""
     rng = np.random.default_rng(4)
     n = 1500
     base = _random_coo(n, n, 6, band=100, seed=5).tocoo()
-    A = sp.csr_matrix((base.data, (base.row, base.col)), shape=(n, n))
-    B = sp.csr_matrix((rng.standard_normal(base.data.size), (base.row, base.col)),
-                      shape=(n, n))
-    La = LaneGatherMatrix.from_operator(A, interpret=True).to_device()
-    Lb = LaneGatherMatrix.from_operator(B, interpret=True).to_device()
+    da = base.data.copy()
+    db = rng.standard_normal(base.data.size)
+    da[::7] = 0.0  # exact zeros in A only
+    db[3::7] = 0.0  # ...and different ones in B
+    A = sp.csr_matrix((da, (base.row, base.col)), shape=(n, n))
+    B = sp.csr_matrix((db, (base.row, base.col)), shape=(n, n))
+    La, Lb = LaneGatherMatrix.from_operator_pair(A, B, interpret=True)
+    La, Lb = La.to_device(), Lb.to_device()
+    x0 = np.random.default_rng(9).standard_normal(n)
+    np.testing.assert_allclose(np.asarray(La @ jnp.asarray(x0)), A @ x0,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Lb @ jnp.asarray(x0)), B @ x0,
+                               rtol=1e-12, atol=1e-12)
     C = La.combine(2.0, Lb, -0.3)
     x = rng.standard_normal(n)
     np.testing.assert_allclose(
