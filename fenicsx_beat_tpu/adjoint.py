@@ -283,7 +283,13 @@ def build_diff_simulator(
             return mass.with_values(vals, tail_vals)
         return mass.with_values(vals)
 
-    def simulate(params: dict) -> jnp.ndarray:
+    def simulate(
+        params: dict,
+        *,
+        states0_in=None,
+        t0=0.0,
+        return_final: bool = False,
+    ) -> jnp.ndarray:
         g = params.get("g", 1.0)
         ionic = params.get("ionic", None)
         amps = jnp.atleast_1d(
@@ -365,7 +371,8 @@ def build_diff_simulator(
             ) * (-1.0 / C_m)
             return states, (probe_v, W_e @ im)
 
-        ts = jnp.arange(n_steps, dtype=dtype) * dt_f
+        init = states0 if states0_in is None else states0_in
+        ts = t0 + jnp.arange(n_steps, dtype=dtype) * dt_f
         if checkpoint_segments and checkpoint_segments > 1:
             K = int(checkpoint_segments)
             if n_steps % K:
@@ -377,16 +384,95 @@ def build_diff_simulator(
             def segment(states, ts_seg):
                 return jax.lax.scan(jax.checkpoint(step), states, ts_seg)
 
-            _final, traces = jax.lax.scan(
-                jax.checkpoint(segment), states0, ts.reshape(K, m)
+            final, traces = jax.lax.scan(
+                jax.checkpoint(segment), init, ts.reshape(K, m)
             )
             traces = jax.tree_util.tree_map(
                 lambda a: a.reshape(n_steps, *a.shape[2:]), traces
             )
         else:
-            _final, traces = jax.lax.scan(jax.checkpoint(step), states0, ts)
-        if W_e is None:
-            return traces  # [n_steps, n_probes]
-        return {"probes": traces[0], "ecg": traces[1]}
+            final, traces = jax.lax.scan(jax.checkpoint(step), init, ts)
+        out = traces if W_e is None else {"probes": traces[0], "ecg": traces[1]}
+        if return_final:
+            return out, final
+        return out
 
     return simulate
+
+
+def host_segmented_value_and_grad(
+    sim: Callable,
+    params: dict,
+    seg_loss: Callable,
+    seg_aux: list,
+    *,
+    segment_ms: float,
+    states0,
+):
+    """``(value, grads)`` of ``sum_k seg_loss(sim_segment_k, seg_aux[k])``
+    with the horizon split into HOST-CHAINED segments: one device
+    dispatch per segment forward, one per segment backward.
+
+    Why this exists: a full clinical beat (20k steps) as ONE
+    ``value_and_grad`` dispatch is a single device program running for
+    minutes — measured to die with ``TPU device error`` on this backend
+    for both FHN and TP06 at dx=0.1 (ADJOINT_SCALE.json round 4), and on
+    any backend it forfeits progress monitoring.  Here the treeverse
+    recursion's OUTER level runs on host: the forward pass stores the K
+    segment-boundary states (device-resident, ``K * state_bytes`` HBM);
+    the backward pass re-runs each segment under ``value_and_grad`` of
+    the augmented objective ``seg_loss + <cotangent, final_state>`` —
+    the standard adjoint chaining, mathematically identical to the
+    monolithic gradient (equality-gated in ``tests/test_adjoint.py``).
+
+    ``sim``: a simulator from :func:`build_diff_simulator` built with
+    ``n_steps = segment_steps`` (use ``checkpoint_segments`` inside it
+    for per-segment memory).  ``seg_loss(traces, aux) -> scalar`` must
+    use only the segment's own traces (sum-decomposable losses: MSE and
+    friends); ``seg_aux`` is one pytree per segment (e.g. the target
+    slice), all with identical shapes so the two compiled programs are
+    reused across every segment.
+    """
+    n_seg = len(seg_aux)
+
+    def seg_fwd(p, s, t0):
+        return sim(p, states0_in=s, t0=t0, return_final=True)
+
+    fwd = jax.jit(seg_fwd)
+
+    @jax.jit
+    def seg_vg(p, s, t0, aux, d_final):
+        def aug(p_, s_):
+            traces, fin = seg_fwd(p_, s_, t0)
+            carry_term = sum(
+                jnp.vdot(a, b)
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(d_final),
+                    jax.tree_util.tree_leaves(fin),
+                )
+            )
+            return seg_loss(traces, aux) + carry_term
+
+        return jax.value_and_grad(aug, argnums=(0, 1))(p, s)
+
+    # forward sweep: boundary states stay on device
+    bounds = [states0]
+    s = states0
+    value = 0.0
+    for k in range(n_seg):
+        traces, s = fwd(params, s, jnp.asarray(k * segment_ms))
+        value += float(seg_loss(traces, seg_aux[k]))
+        if k + 1 < n_seg:
+            bounds.append(s)
+
+    # backward sweep: chain cotangents through the boundary states
+    d_state = jax.tree_util.tree_map(jnp.zeros_like, states0)
+    grads = None
+    for k in reversed(range(n_seg)):
+        _aug_val, (dp, d_state) = seg_vg(
+            params, bounds[k], jnp.asarray(k * segment_ms), seg_aux[k], d_state
+        )
+        grads = dp if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, dp
+        )
+    return value, grads

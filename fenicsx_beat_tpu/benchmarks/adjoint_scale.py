@@ -114,15 +114,20 @@ def run_full_beat(
     dx: float = 0.1,
     T: float = 1000.0,
     dt: float = 0.05,
-    segments: int = 125,
+    segments: int = 100,
     model: str = "tp06",
 ) -> dict:
     """The clinical-fit horizon: value_and_grad over ONE FULL BEAT
-    (20k steps at dt=0.05) at the production dx=0.1 resolution, memory-
-    bounded by two-level nested checkpointing (``checkpoint_segments`` —
-    flat per-step checkpointing stores every step's carry: 672 GB for
-    TP06 at this scale; nested K=125 x m=160 stores (K+m) carries
-    ~= 9.6 GB)."""
+    (20k steps at dt=0.05) at the production dx=0.1 resolution.
+
+    Memory AND dispatch length are both bounded: a monolithic 20k-step
+    value_and_grad is one device program running for minutes — measured
+    to die with ``TPU device error`` on this backend for both FHN and
+    TP06 — so the horizon runs through
+    :func:`~fenicsx_beat_tpu.adjoint.host_segmented_value_and_grad`
+    (host-chained segment adjoints, equality-gated vs the monolithic
+    gradient in tests), with per-step ``jax.checkpoint`` bounding memory
+    inside each segment."""
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +157,12 @@ def run_full_beat(
         dZ=dx_measure(mesh, subdomain_data=tags),
         marker=1,
     )
+    from ..adjoint import host_segmented_value_and_grad
+
     n_steps = int(round(T / dt))
+    if n_steps % segments:
+        raise ValueError("segments must divide n_steps")
+    m = n_steps // segments
     probes = np.array([[20.0, 7.0, 3.0], [10.0, 3.5, 1.5], [0.0, 0.0, 0.0]])
     sim = build_diff_simulator(
         mesh,
@@ -162,35 +172,40 @@ def run_full_beat(
         I_s=I_s,
         probe_points=probes,
         dt=dt,
-        n_steps=n_steps,
+        n_steps=m,
         dtype=jnp.float32,
         cg_rtol=1e-6,
         cg_atol=1e-8,
-        checkpoint_segments=segments,
     )
     ionic = jnp.asarray(np.asarray(params), jnp.float32)
+    n = mesh.num_vertices
+    states0 = jnp.tile(
+        jnp.asarray(np.asarray(mod.init_state_values()), jnp.float32)[:, None], (1, n)
+    )
 
-    def loss(p):
-        out = sim({**p, "ionic": ionic})
-        return jnp.mean(out**2)
+    def seg_loss(traces, aux):
+        return jnp.mean(traces**2) / segments
 
+    seg_aux = [jnp.zeros(()) for _ in range(segments)]
     p = {"g": jnp.float32(1.0)}
     np.asarray(jnp.ones((1024,), jnp.float32))  # drain the first-pull stall
 
-    t0 = time.perf_counter()
-    fwd_c = jax.jit(loss).lower(p).compile()
-    fwd_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    vg_c = jax.jit(jax.value_and_grad(loss)).lower(p).compile()
-    vg_compile = time.perf_counter() - t0
+    # forward-only wall (K chained dispatches)
+    fwd = jax.jit(lambda pp, s, t0: sim({**pp, "ionic": ionic},
+                                        states0_in=s, t0=t0, return_final=True))
+    t0c = time.perf_counter()
+    s = states0
+    for k in range(segments):
+        _tr, s = fwd(p, s, jnp.float32(k * m * dt))
+    jax.block_until_ready(s)
+    fwd_s = time.perf_counter() - t0c
 
-    t0 = time.perf_counter()
-    val0 = jax.block_until_ready(fwd_c(p))
-    fwd_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    val, grad = jax.block_until_ready(vg_c(p))
-    vg_s = time.perf_counter() - t0
-    mem = vg_c.memory_analysis()
+    t0c = time.perf_counter()
+    val, grad = host_segmented_value_and_grad(
+        lambda pp, **kw: sim({**pp, "ionic": ionic}, **kw),
+        p, seg_loss, seg_aux, segment_ms=m * dt, states0=states0,
+    )
+    vg_s = time.perf_counter() - t0c
     return {
         "case": "full_beat",
         "model": model,
@@ -198,17 +213,12 @@ def run_full_beat(
         "n_nodes": int(mesh.num_vertices),
         "n_steps": n_steps,
         "dt": dt,
-        "checkpoint_segments": segments,
+        "host_segments": segments,
+        "segment_steps": m,
         "forward_s": round(fwd_s, 2),
         "value_and_grad_s": round(vg_s, 2),
         "adjoint_overhead_x": round(vg_s / fwd_s, 2),
-        "forward_compile_s": round(fwd_compile, 1),
-        "value_and_grad_compile_s": round(vg_compile, 1),
-        "peak_hbm_gb": (
-            round(mem.temp_size_in_bytes / 2**30, 2)
-            if mem is not None and hasattr(mem, "temp_size_in_bytes")
-            else None
-        ),
+        "boundary_states_gb": round(segments * np.prod(states0.shape) * 4 / 2**30, 2),
         "loss": float(val),
         "grad_g": float(grad["g"]),
         "grad_finite": bool(np.isfinite(float(grad["g"]))),

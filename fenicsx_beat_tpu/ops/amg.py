@@ -300,8 +300,14 @@ class AMGHierarchy:
                 return M.to_device()
             from .pallas_ell import LaneGatherMatrix
 
+            # coarse operators are small but denser (~30-60 nnz/row) and
+            # less local than the RCM'd fine level: give them more pages —
+            # the padding is cheap at their size, while page overflow
+            # lands in the XLA-gather tail (~1 GB/s, the path this format
+            # exists to avoid)
+            mp = 48 if M.shape[0] > 200_000 else 128
             return LaneGatherMatrix.from_operator(
-                M, dtype=self.coarse_inv.dtype
+                M, dtype=self.coarse_inv.dtype, max_planes=mp
             ).to_device()
 
         levels = tuple(
@@ -390,6 +396,15 @@ def build_amg(
         P.eliminate_zeros()
         Ac = (P.T @ Ak @ P).tocsr()
         Ac.eliminate_zeros()
+        # RCM-order the coarse level: aggregation scrambles locality, and
+        # both the banded partitioning downstream and the lane-gather TPU
+        # packing (ops/pallas_ell.py page counts) degrade badly on
+        # scattered patterns
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        cperm = np.asarray(reverse_cuthill_mckee(Ac, symmetric_mode=True))
+        Ac = Ac[cperm][:, cperm].tocsr()
+        P = P[:, cperm].tocsr()
 
         fine = fine_ops[-1]
         fine_ell = _csr_to_ell(fine.tocsr(), npdt) if sp.issparse(fine) else fine

@@ -526,3 +526,54 @@ def test_nested_checkpointing_matches_flat():
 
     with pytest.raises(ValueError, match="divide"):
         build_diff_simulator(mesh, checkpoint_segments=7, **kw)({"g": 0.003, "ionic": ionic})
+
+
+def test_host_segmented_value_and_grad_matches_monolithic():
+    """Host-chained segment adjoints (the long-horizon escape from
+    single-dispatch device limits) reproduce the monolithic
+    value_and_grad exactly on a decomposable MSE loss."""
+    from fenicsx_beat_tpu.adjoint import host_segmented_value_and_grad
+
+    mesh = meshmod.create_unit_square(None, 6, 6)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.4) & (x[1] < 0.4))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    probes = np.array([[0.2, 0.2], [0.8, 0.8]])
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0))
+    dt, m, K = 0.1, 10, 4  # 4 segments of 10 steps
+    kw = dict(
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=probes,
+        dt=dt,
+    )
+    sim_full = build_diff_simulator(mesh, n_steps=K * m, **kw)
+    sim_seg = build_diff_simulator(mesh, n_steps=m, **kw)
+
+    target = np.asarray(sim_full({"g": 0.004, "ionic": ionic}))
+
+    def loss_full(params):
+        return jnp.sum((sim_full({**params, "ionic": ionic}) - target) ** 2)
+
+    p0 = {"g": 0.003}
+    val_ref, grad_ref = jax.value_and_grad(loss_full)(p0)
+
+    n = mesh.num_vertices
+    states0 = jnp.tile(jnp.asarray(fhn.init_state_values())[:, None], (1, n))
+
+    def seg_loss(traces, aux):
+        return jnp.sum((traces - aux) ** 2)
+
+    seg_aux = [jnp.asarray(target[k * m : (k + 1) * m]) for k in range(K)]
+    val, grad = host_segmented_value_and_grad(
+        lambda p, **kwargs: sim_seg({**p, "ionic": ionic}, **kwargs),
+        p0, seg_loss, seg_aux, segment_ms=m * dt, states0=states0,
+    )
+    np.testing.assert_allclose(val, float(val_ref), rtol=1e-12)
+    np.testing.assert_allclose(float(grad["g"]), float(grad_ref["g"]), rtol=1e-10)
