@@ -173,7 +173,7 @@ def run_lv(psize_ref, dt=0.05, T_warm=5.0, T_timed=10.0):
     geo, mesh, I_s, C_m = _lv_problem(psize_ref)
     M_i, M_e = _bidomain_tensors(geo.f0)
     rows = []
-    for precond in ("auto", "jacobi"):
+    for precond in ("jacobi", "amg"):
         mon = _IterMonitor()
         t_setup = _time.perf_counter()
         bi = BidomainSolver(

@@ -100,6 +100,9 @@ class BidomainSolver:
     # single-pass stencil SpMV for the CG streams
     use_pallas_ode: bool | None = None
     pallas_spmv_min_nodes: int = 4096  # below this the XLA stencil SpMV wins
+    # unstructured-TPU auto-precond crossover: below this, lane-gather
+    # Jacobi beats the AMG V-cycle's fixed per-iteration kernel cost
+    amg_min_nodes: int = 100_000
 
     def __post_init__(self):
         from .config import default_dtype
@@ -182,11 +185,25 @@ class BidomainSolver:
                 "grid (stencil operator with constant interior rows)"
             )
         hier = None
-        if spec is None and self.u_precond in ("auto", "amg"):
+        want_amg = self.u_precond == "amg"
+        if spec is None and self.u_precond == "auto":
             # smoothed-aggregation AMG wherever the DCT declines: the
             # elliptic block is pure stiffness, iteration-bound under
             # Jacobi (O(1/h) growth, docs/DESIGN.md §6b); the hierarchy
-            # is semidefinite-aware (nullspace = constant u_e)
+            # is semidefinite-aware (nullspace = constant u_e).  On the
+            # TPU lane-gather path, Jacobi's per-iteration cost is so low
+            # that AMG's V-cycle only pays off once Jacobi's O(1/h)
+            # iteration growth bites — measured at 9.8k LV nodes: Jacobi
+            # 8.5 ms/s vs AMG 0.8 despite a 5.8x iteration cut
+            # (BIDOMAIN_SCALE.json round 4) — so auto defers to Jacobi
+            # below amg_min_nodes there; u_precond='amg' forces.
+            lane_candidate = (
+                (self.use_pallas_ode
+                 or (self.use_pallas_ode is None and jax.default_backend() == "tpu"))
+                and self._n >= self.pallas_spmv_min_nodes
+            )
+            want_amg = (not lane_candidate) or self._n >= self.amg_min_nodes
+        if spec is None and want_amg:
             hier = build_amg(self._k_ie, dtype=self.dtype, semidefinite=True)
         self._dct_dims = spec[1] if spec is not None else None
         self._u_dct = spec is not None  # exposed for tests

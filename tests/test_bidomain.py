@@ -443,8 +443,14 @@ def test_lane_gather_unstructured_matches_xla():
     assert not ref._lane_gather
     ref.solve((0.0, 0.5), dt=0.1)
 
-    lane = BidomainSolver(use_pallas_ode=True, pallas_spmv_min_nodes=1, **common)
+    # u_precond='amg' forces the hierarchy (auto defers to lane-gather
+    # Jacobi below amg_min_nodes — the measured TPU crossover)
+    lane = BidomainSolver(
+        use_pallas_ode=True, pallas_spmv_min_nodes=1, u_precond="amg", **common
+    )
     assert lane._lane_gather and lane._u_amg and not lane._pallas_spmv
+    auto = BidomainSolver(use_pallas_ode=True, pallas_spmv_min_nodes=1, **common)
+    assert auto._lane_gather and not auto._u_amg  # small n: Jacobi wins
     lane.solve((0.0, 0.5), dt=0.1)
     np.testing.assert_allclose(np.asarray(lane.v), np.asarray(ref.v),
                                rtol=0, atol=1e-7)
