@@ -191,18 +191,24 @@ class BidomainSolver:
             # elliptic block is pure stiffness, iteration-bound under
             # Jacobi (O(1/h) growth, docs/DESIGN.md §6b); the hierarchy
             # is semidefinite-aware (nullspace = constant u_e).  On the
-            # TPU lane-gather path, Jacobi's per-iteration cost is so low
-            # that AMG's V-cycle only pays off once Jacobi's O(1/h)
-            # iteration growth bites — measured at 9.8k LV nodes: Jacobi
-            # 8.5 ms/s vs AMG 0.8 despite a 5.8x iteration cut
-            # (BIDOMAIN_SCALE.json round 4) — so auto defers to Jacobi
-            # below amg_min_nodes there; u_precond='amg' forces.
+            # TPU lane-gather path, 'auto' defers to Jacobi: (a) the
+            # paged SpMV cut Jacobi's per-iteration cost ~60x, so the
+            # V-cycle's fixed kernel overhead loses below ~100k nodes
+            # (measured 8.5 vs 0.8 ms/s at 9.8k LV nodes despite a 5.8x
+            # iteration cut), and (b) the fused bidomain + AMG V-cycle
+            # COMPOSITION reproducibly crashes the TPU runtime at >=33k
+            # nodes (scan x CG-while x unrolled V-cycle; observed on both
+            # the pure-XLA and pallas paths, while standalone AMG-PCG at
+            # 79k is fine — the fault is in the composed program, not the
+            # hierarchy; docs/DESIGN.md §6b).  u_precond='amg' still
+            # forces; amg_min_nodes gates a future re-enable once the
+            # runtime fault is resolved.
             lane_candidate = (
                 (self.use_pallas_ode
                  or (self.use_pallas_ode is None and jax.default_backend() == "tpu"))
                 and self._n >= self.pallas_spmv_min_nodes
             )
-            want_amg = (not lane_candidate) or self._n >= self.amg_min_nodes
+            want_amg = not lane_candidate
         if spec is None and want_amg:
             hier = build_amg(self._k_ie, dtype=self.dtype, semidefinite=True)
         self._dct_dims = spec[1] if spec is not None else None
