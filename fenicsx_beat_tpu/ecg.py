@@ -308,6 +308,21 @@ class ECGRecovery:
                 return op["mT"][k0].reshape(-1)[:n_pad]
 
         else:
+            if jax.default_backend() == "tpu" and n >= 4096:
+                # unstructured TPU path: paged lane-gather SpMV — the XLA
+                # ELL gather measures ~1 GB/s effective on the chip
+                # (docs/DESIGN.md §3.1b); Im recovery is one CG per frame
+                from .ops.pallas_ell import LaneGatherMatrix
+
+                try:
+                    mass, stiff = LaneGatherMatrix.from_operator_pair(
+                        mass, stiff, dtype=self.dtype
+                    )
+                except Exception as exc:
+                    logger.warning(
+                        "lane-gather SpMV unavailable (%s); using the XLA "
+                        "ELL matvec", exc,
+                    )
             operands["mass"] = mass.to_device()
             operands["stiff"] = stiff.to_device()
 
