@@ -87,12 +87,12 @@ class BidomainSolver:
     monitor: BaseMonitor = field(default_factory=NullMonitor)
     dtype: Any = None
     # elliptic u_e-block preconditioner: "auto" picks the DCT spectral
-    # inverse on constant-coefficient structured grids and smoothed-
-    # aggregation AMG everywhere else (unstructured meshes, per-cell
-    # heterogeneous conductivities) — the TPU-native counterpart of the
-    # reference's CG + hypre BoomerAMG default (reference
-    # src/beat/base_model.py:140-157); "jacobi" keeps the round-3
-    # diagonal fallback (exposed for tests/benchmarks)
+    # inverse on constant-coefficient structured grids; elsewhere it
+    # picks SA-AMG (the TPU-native counterpart of the reference's CG +
+    # hypre BoomerAMG default, reference src/beat/base_model.py:140-157)
+    # EXCEPT on the TPU lane-gather path, where measured walls and a
+    # known runtime fault favor Jacobi (see _build_step); "amg"/"dct"/
+    # "jacobi" force a specific choice
     u_precond: str = "auto"
     # pallas kernels (None = auto: TPU backend only): the single-kernel
     # ionic step (the XLA TP06 GRL step measured ~13 ms standalone at
@@ -167,8 +167,8 @@ class BidomainSolver:
         # spectral (DCT) preconditioner for the elliptic u_e block on
         # structured grids with constant coefficients: collapses the
         # O(1/h) Jacobi-CG iteration growth to near-O(1)
-        # (ops/spectral.py; docs/DESIGN.md §6b); heterogeneous or
-        # unstructured cases decline to Jacobi
+        # (ops/spectral.py; docs/DESIGN.md §6b); heterogeneous and
+        # unstructured cases use SA-AMG or lane-gather Jacobi (below)
         from .ops.amg import amg_apply, build_amg
         from .ops.spectral import dct_solve, stencil_dct_eigenvalues
 
