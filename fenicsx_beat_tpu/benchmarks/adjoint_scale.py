@@ -187,7 +187,11 @@ def run_full_beat(
         return jnp.mean(traces**2) / segments
 
     seg_aux = [jnp.zeros(()) for _ in range(segments)]
-    p = {"g": jnp.float32(1.0)}
+    # physical conductivity scale (the Niederer harmonic-mean magnitude):
+    # g = 1.0 on the unit stiffness is ~3 orders too diffusive and drives
+    # TP06's exponential rates into f32-gradient overflow over long
+    # horizons (measured: grad 288 at 20 steps, 2e8 at 200, NaN at 400)
+    p = {"g": jnp.float32(0.0012)}
     np.asarray(jnp.ones((1024,), jnp.float32))  # drain the first-pull stall
 
     # forward-only wall (K chained dispatches)
