@@ -186,6 +186,12 @@ class ShardedMonodomainSolver:
     monitor: BaseMonitor = field(default_factory=NullMonitor)
     ode_markers: Any = None  # per-node marker array/Function: multi-model
     operator_cache_key: str | None = None  # opt-in disk cache of assembly
+    # paged lane-gather local SpMV for UNSTRUCTURED meshes (None = auto:
+    # TPU backend only): each device's local ELL block is repacked into
+    # the ops/pallas_ell format — the XLA gather it replaces measures
+    # ~1 GB/s effective on TPU (docs/DESIGN.md §3.1b); True forces
+    # (interpret mode off-TPU, used by the equivalence tests)
+    use_lane_gather: bool | None = None
 
     def __post_init__(self):
         self.dtype = self.dtype or default_dtype()
@@ -331,6 +337,39 @@ class ShardedMonodomainSolver:
         self.part: Partition1D = part_m
         self._vals_mass = vals_mass
         self._vals_stiff = vals_stiff
+
+        # unstructured TPU path: repack every device's local ELL block
+        # into the paged lane-gather format (one shared page layout for
+        # the mass/stiffness pair, so the dt-traced combination inside
+        # the chunk stays value-level)
+        lane = self.use_lane_gather
+        if lane is None:
+            lane = jax.default_backend() == "tpu"
+        lane = bool(lane) and self._offsets is None
+        self._lane = None
+        if lane:
+            from .lane import partition_lane_gather
+
+            npdt_l = np.dtype(jnp.dtype(self.dtype).name)
+            try:
+                ri4, l5, (vm5, vk5), (dm2, dk2), tails_l, meta_l = (
+                    partition_lane_gather(
+                        self.part,
+                        np.asarray(self._cols),
+                        [np.asarray(self._vals_mass), np.asarray(self._vals_stiff)],
+                        self._tail,
+                        npdt_l,
+                    )
+                )
+                self._lane = {
+                    "ri4": ri4, "l5": l5, "vm5": vm5, "vk5": vk5,
+                    "dm2": dm2, "dk2": dk2, "tails": tails_l, "meta": meta_l,
+                }
+            except Exception as exc:
+                logger.warning(
+                    "lane-gather partition unavailable (%s); using the XLA "
+                    "ELL halo SpMV", exc,
+                )
 
         st_part = partition_stimuli(
             self.V, self.mesh, self.I_s, self.part, self._perm, self._iperm, self.dtype
