@@ -18,6 +18,7 @@ compute on ICI.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable
@@ -37,6 +38,8 @@ from ..ops.cg import CGInfo, cg
 from ..stimulation import TimeWindow, dx as dx_measure
 from ..telemetry import BaseMonitor, NullMonitor
 from .partition import Partition1D, pad_global, partition_ell, partition_quadrature
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["ShardedMonodomainSolver", "PartitionedStimuli", "partition_stimuli"]
 
@@ -485,6 +488,36 @@ class ShardedMonodomainSolver:
             def diag_of(A_vals, cols_loc, tail_loc=None):
                 return A_vals[:, k0]
 
+        elif self._lane is not None:
+            from ..ops.pallas_ell import LaneGatherMatrix
+
+            meta_l = self._lane["meta"]
+            Rc_lane = meta_l["Rc"]
+            n_ext_lane = meta_l["n_ext"]
+            lane_interp = jax.default_backend() != "tpu"
+
+            def spmv(vals_loc, cols_loc, x_loc, tail_loc=None):
+                # paged lane-gather local SpMV (ops/pallas_ell.py) over
+                # the halo-extended vector; the overflow tail is the same
+                # scatter-add the hybrid ELL path uses
+                ri, lanes = cols_loc
+                x_ext = halo_extend(x_loc)
+                L = LaneGatherMatrix(
+                    rowidx=ri, lanes=lanes, vals=vals_loc,
+                    shape=(n_local, n_ext_lane), Rc=Rc_lane,
+                    interpret=lane_interp,
+                )
+                y = L @ x_ext
+                if tail_loc is not None:
+                    tr, tc, tv = tail_loc
+                    y = y.at[tr].add(tv * x_ext[tc])
+                return y
+
+            def diag_of(A_vals, cols_loc, tail_loc=None):
+                raise AssertionError(
+                    "lane path combines precomputed diagonal streams"
+                )
+
         else:
 
             def spmv(vals_loc, cols_loc, x_loc, tail_loc=None):
@@ -523,9 +556,16 @@ class ShardedMonodomainSolver:
             b_units, gq, pnode, t0, dt, amps, n_steps,
         ):
             ode_params = pnode if params_sharded else params_j
-            cols_loc = cols3[0]
-            vm = vm3[0]
-            vk = vk3[0]
+            if self._lane is not None and offsets is None:
+                # cols3 carries (rowidx, lanes, diag_mass, diag_stiff)
+                ri4_b, l5_b, dm2_b, dk2_b = cols3
+                cols_loc = (ri4_b[0], l5_b[0])
+                vm = vm3[0]
+                vk = vk3[0]
+            else:
+                cols_loc = cols3[0]
+                vm = vm3[0]
+                vk = vk3[0]
             A_vals = C_m * vm + (pde_theta * dt) * vk
             B_vals = C_m * vm - ((1.0 - pde_theta) * dt) * vk
             if tr3.shape[-1] > 0:
@@ -534,7 +574,12 @@ class ShardedMonodomainSolver:
                 tail_B = (tr, tc, C_m * tvm3[0] - ((1.0 - pde_theta) * dt) * tvk3[0])
             else:
                 tail_A = tail_B = None
-            diag = diag_of(A_vals, cols_loc, tail_A)
+            if self._lane is not None and offsets is None:
+                # the lane pack's diagonal streams combine value-level,
+                # exactly like the operator streams
+                diag = C_m * dm2_b[0] + (pde_theta * dt) * dk2_b[0]
+            else:
+                diag = diag_of(A_vals, cols_loc, tail_A)
 
             def stim_vector(t):
                 # amplitudes are traced so Stimulus.assign takes effect at
@@ -626,25 +671,48 @@ class ShardedMonodomainSolver:
             # whole array to device 0 and then redistribute)
             return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
 
-        cols_arg = (
-            self._cols
-            if self._cols is not None
-            else np.zeros((nd, 1, 1), dtype=np.int32)
-        )
-        if self._tail is not None:
-            tr3, tc3, tvm3, tvk3 = self._tail
+        lane_mode = self._lane is not None and offsets is None
+        if lane_mode:
+            L = self._lane
+            cols_arg = (L["ri4"], L["l5"], L["dm2"], L["dk2"])
+            vals_mass_arg, vals_stiff_arg = L["vm5"], L["vk5"]
+            if L["tails"] is not None:
+                tr3, tc3, tvm3, tvk3 = L["tails"]
+            else:
+                tr3 = tc3 = np.zeros((nd, 0), dtype=np.int32)
+                tvm3 = tvk3 = np.zeros((nd, 0), dtype=L["vm5"].dtype)
+            cols_spec = (
+                P(axis, None, None, None),  # rowidx [nd, nb, NP, 8]
+                P(axis, None, None, None, None),  # lanes [nd, nb, NP, 8, 128]
+                P(axis, None),  # diag mass [nd, n_local]
+                P(axis, None),  # diag stiffness
+            )
+            vals_spec = P(axis, None, None, None, None)
         else:
-            tr3 = tc3 = np.zeros((nd, 0), dtype=np.int32)
-            tvm3 = tvk3 = np.zeros((nd, 0), dtype=np.asarray(self._vals_mass).dtype)
+            cols_arg = (
+                self._cols
+                if self._cols is not None
+                else np.zeros((nd, 1, 1), dtype=np.int32)
+            )
+            vals_mass_arg, vals_stiff_arg = self._vals_mass, self._vals_stiff
+            if self._tail is not None:
+                tr3, tc3, tvm3, tvk3 = self._tail
+            else:
+                tr3 = tc3 = np.zeros((nd, 0), dtype=np.int32)
+                tvm3 = tvk3 = np.zeros((nd, 0), dtype=np.asarray(self._vals_mass).dtype)
+            cols_spec = P(axis, None, None)
+            vals_spec = P(axis, None, None)
         pnode_arg = (
             self._params_j
             if params_sharded
             else np.zeros((0,), dtype=np.dtype(jnp.dtype(self.dtype).name))
         )
         self._operands = (
-            put(cols_arg, P(axis, None, None)),
-            put(self._vals_mass, P(axis, None, None)),
-            put(self._vals_stiff, P(axis, None, None)),
+            tuple(put(a, s) for a, s in zip(cols_arg, cols_spec))
+            if lane_mode
+            else put(cols_arg, cols_spec),
+            put(vals_mass_arg, vals_spec),
+            put(vals_stiff_arg, vals_spec),
             put(tr3, P(axis, None)),
             put(tc3, P(axis, None)),
             put(tvm3, P(axis, None)),
@@ -682,9 +750,9 @@ class ShardedMonodomainSolver:
                 in_specs=(
                     P(None, axis),  # states
                     P(axis),  # activation
-                    P(axis, None, None),  # cols3
-                    P(axis, None, None),  # vals mass
-                    P(axis, None, None),  # vals stiff
+                    cols_spec,  # cols3 (ELL) or lane (rowidx, lanes, diags)
+                    vals_spec,  # vals mass
+                    vals_spec,  # vals stiff
                     P(axis, None),  # tail rows (local)
                     P(axis, None),  # tail cols (extended local)
                     P(axis, None),  # tail vals mass
