@@ -168,6 +168,28 @@ def main():
         if (dx, dt) in cpu_base:
             extras[f"{key}_speedup_vs_cpu"] = round(res.ms_per_second / cpu_base[(dx, dt)], 1)
 
+    # BIDOMAIN extra (beyond the reference's scope): the dx=0.2 slab row
+    # runs at ~1.0x the monodomain wall with DCT iterations pinned at
+    # ~10/step (BIDOMAIN_SCALE.json) — recorded when the budget allows so
+    # the driver artifact carries the claim round over round
+    if (
+        not args.quick
+        and args.dx is None
+        and time.perf_counter() - t_start <= args.budget
+    ):
+        try:
+            from fenicsx_beat_tpu.benchmarks.bidomain_scale import run_slab
+
+            row = run_slab(0.2, dt=args.dt, T_warm=5.0, T_timed=10.0)
+            extras["bidomain_dx0.2_ms_per_s"] = row["ms_per_s"]
+            extras["bidomain_dx0.2_slowdown_vs_mono"] = row["bidomain_slowdown"]
+            extras["bidomain_dx0.2_cg_iters_mean"] = row["cg_iters_mean"]
+            print(f"[bidomain dx=0.2] {row['ms_per_s']} ms/s, "
+                  f"{row['bidomain_slowdown']}x mono", file=sys.stderr)
+        except Exception as exc:  # the extra must never kill the bench
+            extras["bidomain_error"] = str(exc)[:200]
+            print(f"bidomain extra failed: {exc}", file=sys.stderr)
+
     primary = results[0]
     primary_theta = configs[0][3]
     vs_baseline = min(_fidelity(r.error_vs_published()) for r in results)
