@@ -408,6 +408,7 @@ def host_segmented_value_and_grad(
     *,
     segment_ms: float,
     states0,
+    truncate_every: int | None = None,
 ):
     """``(value, grads)`` of ``sum_k seg_loss(sim_segment_k, seg_aux[k])``
     with the horizon split into HOST-CHAINED segments: one device
@@ -432,8 +433,23 @@ def host_segmented_value_and_grad(
     friends); ``seg_aux`` is one pytree per segment (e.g. the target
     slice), all with identical shapes so the two compiled programs are
     reused across every segment.
+
+    ``truncate_every``: truncated backpropagation-through-time over
+    windows of that many segments — the state cotangent is zeroed at
+    every window boundary, so a segment's loss backpropagates through at
+    most ``truncate_every`` segments of dynamics.  This is the standard
+    remedy for chaotic gradient blow-up over long cardiac horizons (the
+    exact full-beat TP06 adjoint is finite at 400 steps but NaNs at 20k,
+    ``ADJOINT_SCALE.json``): the returned gradient is EXACT for the
+    windowed objective in which each window starts from a
+    ``stop_gradient`` boundary state (equality-gated in
+    ``tests/test_adjoint.py``), which is what clinical windowed fits
+    optimize.  ``None`` (default) chains cotangents through the whole
+    horizon — the exact monolithic gradient.
     """
     n_seg = len(seg_aux)
+    if truncate_every is not None and truncate_every < 1:
+        raise ValueError(f"truncate_every={truncate_every} must be >= 1")
 
     def seg_fwd(p, s, t0):
         return sim(p, states0_in=s, t0=t0, return_final=True)
@@ -472,6 +488,10 @@ def host_segmented_value_and_grad(
         _aug_val, (dp, d_state) = seg_vg(
             params, bounds[k], jnp.asarray(k * segment_ms), seg_aux[k], d_state
         )
+        if truncate_every is not None and k % truncate_every == 0:
+            # window boundary: the window [k, k+truncate_every) started
+            # from a stop_gradient state — do not chain into segment k-1
+            d_state = jax.tree_util.tree_map(jnp.zeros_like, d_state)
         grads = dp if grads is None else jax.tree_util.tree_map(
             jnp.add, grads, dp
         )

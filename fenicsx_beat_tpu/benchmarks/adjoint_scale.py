@@ -116,6 +116,7 @@ def run_full_beat(
     dt: float = 0.05,
     segments: int = 100,
     model: str = "tp06",
+    truncate_every: int | None = None,
 ) -> dict:
     """The clinical-fit horizon: value_and_grad over ONE FULL BEAT
     (20k steps at dt=0.05) at the production dx=0.1 resolution.
@@ -208,11 +209,17 @@ def run_full_beat(
     val, grad = host_segmented_value_and_grad(
         lambda pp, **kw: sim({**pp, "ionic": ionic}, **kw),
         p, seg_loss, seg_aux, segment_ms=m * dt, states0=states0,
+        truncate_every=truncate_every,
     )
     vg_s = time.perf_counter() - t0c
     return {
-        "case": "full_beat",
+        "case": "full_beat" if truncate_every is None
+        else f"full_beat_truncated_w{truncate_every}",
         "model": model,
+        **({} if truncate_every is None else {
+            "truncate_every_segments": truncate_every,
+            "bptt_window_ms": truncate_every * m * dt,
+        }),
         "dx": dx,
         "n_nodes": int(mesh.num_vertices),
         "n_steps": n_steps,
@@ -236,18 +243,39 @@ def main() -> int:
     full_beat = "--full-beat" in args
     args = [a for a in args if a != "--full-beat"]
     dxs = [float(a) for a in args] or [0.2, 0.1]
-    out = {"backend": jax.default_backend(), "model": "FitzHugh-Nagumo", "configs": []}
+    out = {
+        "backend": jax.default_backend(),
+        "model": "FitzHugh-Nagumo",
+        "configs": [],
+        "note_full_beat": (
+            "host-segmented value_and_grad (adjoint.host_segmented_value_and_grad):"
+            " a monolithic 20k-step dispatch dies with a TPU device error on this"
+            " backend, segmented runs complete. FHN full beat: finite gradient,"
+            " ~3x forward. The EXACT chained TP06 full-beat gradient is NaN"
+            " (finite at 400 steps, grows with horizon - the known chaotic"
+            " sensitivity of long-horizon cardiac adjoints); the"
+            " full_beat_truncated_w10 row is truncated BPTT over 100 ms windows"
+            " (truncate_every=10), the standard windowed clinical-fit objective,"
+            " equality-gated in tests/test_adjoint.py."
+        ),
+    }
     for dx in dxs:
         row = run_adjoint_scale(dx)
         print(row, file=sys.stderr)
         out["configs"].append(row)
     if full_beat:
-        for model in ("fhn", "tp06"):
+        # (model, truncate_every): the exact chained adjoint for both
+        # models, plus the truncated-BPTT window for TP06 — the exact
+        # full-beat TP06 gradient NaNs from chaotic sensitivity
+        # (finite at 400 steps, grows with horizon), the 100 ms-window
+        # truncated gradient is the clinical windowed-fit objective
+        for model, trunc in (("fhn", None), ("tp06", None), ("tp06", 10)):
             try:
-                row = run_full_beat(model=model)
+                row = run_full_beat(model=model, truncate_every=trunc)
             except Exception as exc:  # record the failure mode honestly
                 row = {
-                    "case": "full_beat",
+                    "case": "full_beat" if trunc is None
+                    else f"full_beat_truncated_w{trunc}",
                     "model": model,
                     "n_steps": 20000,
                     "error": f"{type(exc).__name__}: {exc}"[:300],

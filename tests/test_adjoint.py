@@ -577,3 +577,167 @@ def test_host_segmented_value_and_grad_matches_monolithic():
     )
     np.testing.assert_allclose(val, float(val_ref), rtol=1e-12)
     np.testing.assert_allclose(float(grad["g"]), float(grad_ref["g"]), rtol=1e-10)
+
+
+def test_adjoint_memory_bounded_at_scale():
+    """Pins the adjoint's MEMORY, not just its values: at 100k+ nodes on
+    CPU, XLA's own memory analysis of the compiled value_and_grad must
+    show the flat variant's reverse-mode temp memory growing ~one saved
+    carry per step while nested ``checkpoint_segments`` grows only with
+    the checkpoint envelope K + m (sqrt-of-horizon), on top of a shared
+    constant CG/operator workspace.  Measured on this mesh: flat 114x ->
+    306x state going 64 -> 256 steps (slope 1.0 carry/step); nested
+    88x -> 104x (slope (dK+dm)/dsteps = 0.083)."""
+    import pytest
+
+    mesh = meshmod.create_unit_cube(None, 80, 40, 32)  # 81*41*33 = 109,593 nodes
+    n = mesh.num_vertices
+    assert n >= 100_000
+    cells = meshmod.locate_entities(mesh, 3, lambda x: x[0] < 0.1)
+    tags = meshmod.meshtags(mesh, 3, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    probes = np.array([[0.5, 0.5, 0.5]])
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0), jnp.float32)
+
+    def temp_bytes(n_steps, K):
+        sim = build_diff_simulator(
+            mesh,
+            ode_fun=fhn.forward_euler,
+            init_states=fhn.init_state_values(),
+            v_index=fhn.state_index("v"),
+            I_s=I_s,
+            probe_points=probes,
+            dt=0.1,
+            n_steps=n_steps,
+            dtype=jnp.float32,
+            checkpoint_segments=K,
+        )
+
+        def loss(g):
+            return jnp.sum(sim({"g": g, "ionic": ionic}) ** 2)
+
+        compiled = jax.jit(jax.value_and_grad(loss)).lower(
+            jnp.float32(0.001)
+        ).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:  # backend without memory analysis
+            pytest.skip("memory_analysis unavailable on this backend")
+        return int(ma.temp_size_in_bytes)
+
+    flat_64 = temp_bytes(64, None)
+    flat_256 = temp_bytes(256, None)
+    nested_64 = temp_bytes(64, 8)
+    nested_256 = temp_bytes(256, 16)
+
+    state_bytes = 2 * n * 4  # FHN: 2 states, f32
+    # flat stores ~one per-step carry: growth over +192 steps must be
+    # at least 150 carries (measured: 192)
+    assert flat_256 - flat_64 >= 150 * state_bytes
+    # nested growth is bounded by the checkpoint envelope
+    # d(K + m) = (16+16) - (8+8) = 16 carries (measured: exactly 16);
+    # allow 4x headroom for workspace drift, far below flat's 192
+    assert nested_256 - nested_64 <= 64 * state_bytes
+    # and at the longer horizon nested must hold well under flat
+    assert nested_256 < flat_256 / 2
+
+
+def test_host_segmented_truncated_bptt():
+    """``truncate_every=w`` is EXACT truncated BPTT: the gradient of the
+    windowed objective in which every w-segment window starts from a
+    stop_gradient boundary state.  Gated three ways: w=K reproduces the
+    untruncated chain, w=1 equals the sum of independent per-segment
+    gradients at frozen boundary states, and w=2 equals two untruncated
+    2-segment chains started from frozen window boundaries."""
+    from fenicsx_beat_tpu.adjoint import (
+        build_diff_simulator,
+        host_segmented_value_and_grad,
+    )
+
+    mesh = meshmod.create_unit_square(None, 5, 5)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: (x[0] < 0.4) & (x[1] < 0.4))
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    probes = np.array([[0.2, 0.2], [0.8, 0.8]])
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0))
+    dt, m, K = 0.1, 6, 4
+    sim_seg = build_diff_simulator(
+        mesh,
+        n_steps=m,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=probes,
+        dt=dt,
+    )
+    n = mesh.num_vertices
+    states0 = jnp.tile(jnp.asarray(fhn.init_state_values())[:, None], (1, n))
+    p0 = {"g": 0.003}
+
+    def run_sim(p, **kw):
+        return sim_seg({**p, "ionic": ionic}, **kw)
+
+    def seg_loss(traces, aux):
+        return jnp.sum((traces - aux) ** 2)
+
+    # targets + frozen boundary states from one forward pass at p0
+    bounds, seg_aux = [states0], []
+    s = states0
+    for k in range(K):
+        traces, s = run_sim(p0, states0_in=s, t0=jnp.asarray(k * m * dt),
+                            return_final=True)
+        seg_aux.append(jnp.asarray(traces) * 0.9)  # nonzero residual
+        bounds.append(s)
+
+    kw = dict(segment_ms=m * dt, states0=states0)
+    val_none, g_none = host_segmented_value_and_grad(
+        run_sim, p0, seg_loss, seg_aux, **kw)
+
+    # w = K: single window == untruncated chain, exactly
+    val_K, g_K = host_segmented_value_and_grad(
+        run_sim, p0, seg_loss, seg_aux, truncate_every=K, **kw)
+    np.testing.assert_allclose(val_K, val_none, rtol=0)
+    np.testing.assert_allclose(float(g_K["g"]), float(g_none["g"]), rtol=0)
+
+    # w = 1: sum of independent per-segment gradients at frozen bounds
+    def loss_k(p, k):
+        tr = run_sim(p, states0_in=bounds[k], t0=jnp.asarray(k * m * dt))
+        return seg_loss(tr, seg_aux[k])
+
+    g_indep = sum(float(jax.grad(loss_k)(p0, k)["g"]) for k in range(K))
+    val_1, g_1 = host_segmented_value_and_grad(
+        run_sim, p0, seg_loss, seg_aux, truncate_every=1, **kw)
+    np.testing.assert_allclose(val_1, val_none, rtol=1e-12)
+    np.testing.assert_allclose(float(g_1["g"]), g_indep, rtol=1e-6)
+
+    # w = 2: two untruncated 2-segment chains from frozen window starts
+    # (shift t0 so the window's local segment clock matches global time)
+    g_win = 0.0
+    for k0 in (0, 2):
+        def shifted(p, *, states0_in, t0, return_final=True, _off=k0 * m * dt):
+            return run_sim(p, states0_in=states0_in, t0=t0 + _off,
+                           return_final=return_final)
+
+        _v, g = host_segmented_value_and_grad(
+            shifted, p0, seg_loss, seg_aux[k0 : k0 + 2],
+            segment_ms=m * dt, states0=bounds[k0],
+        )
+        g_win += float(g["g"])
+    val_2, g_2 = host_segmented_value_and_grad(
+        run_sim, p0, seg_loss, seg_aux, truncate_every=2, **kw)
+    np.testing.assert_allclose(val_2, val_none, rtol=1e-12)
+    np.testing.assert_allclose(float(g_2["g"]), g_win, rtol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="truncate_every"):
+        host_segmented_value_and_grad(
+            run_sim, p0, seg_loss, seg_aux, truncate_every=0, **kw)
