@@ -49,7 +49,12 @@ from . import fem
 from .ops.cg import cg
 from .stimulation import TimeWindow
 
-__all__ = ["cg_implicit", "build_diff_simulator"]
+__all__ = [
+    "cg_implicit",
+    "build_diff_simulator",
+    "build_diff_bidomain_simulator",
+    "host_segmented_value_and_grad",
+]
 
 
 def cg_implicit(
@@ -85,6 +90,159 @@ def cg_implicit(
         return x
 
     return jax.lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
+def _stack_components(V, specs, dtype, mass=None):
+    """Assemble conductivity ``specs`` into one shared-pattern value stack.
+
+    Returns ``(mass, kvals_stack, ktail_stack)``: the (first) mass
+    operator carrying the sparsity pattern, the stacked stiffness value
+    streams ``[n_specs, ...vals]``, and the stacked hybrid apex-tail
+    values (unstructured LV meshes) or ``None``.  Pass ``mass`` to pin a
+    pattern assembled earlier (the bidomain's intra/extra stacks must
+    share one pattern so value-level combination stays valid)."""
+    kvals_list = []
+    ktail_list = []
+    for spec in specs:
+        m_i, k_i = fem.assemble_mass_stiffness_auto(V, spec)
+        if mass is None:
+            mass = m_i
+        kvals_list.append(jnp.asarray(k_i.vals, dtype=dtype))
+        if type(k_i) is not type(mass) or getattr(k_i, "offsets", None) != getattr(
+            mass, "offsets", None
+        ):
+            raise ValueError("stiffness components must share the mass pattern")
+        if getattr(k_i, "has_tail", False):
+            # hybrid apex tail (unstructured LV meshes): value-level
+            # combine like the main table — the pattern is shared across
+            # components by construction (same mesh, same assembly)
+            ktail_list.append(jnp.asarray(k_i.tail_vals, dtype=dtype))
+    has_tail = bool(getattr(mass, "has_tail", False))
+    if has_tail and len(ktail_list) != len(specs):
+        raise ValueError("stiffness components disagree on the tail pattern")
+    return mass, jnp.stack(kvals_list), (jnp.stack(ktail_list) if has_tail else None)
+
+
+def _stimulus_setup(V, I_s, quadrature_degree, dtype, n):
+    """Differentiable stimulus tables shared by the mono/bidomain diff
+    simulators.
+
+    TimeWindow protocols keep the separable fast path (one precomputed
+    unit load each, amplitude the differentiable knob); everything else —
+    RandomActivation patterns, arbitrary space-time callables — is
+    assembled in-trace from static quadrature tables at each step
+    (reference supports both kinds: ``stimulation.py:99-106`` there for
+    ``ds`` facet measures, ``stimulation.py:279-363`` for random
+    activation).  When the expression carries an ``amplitude`` attribute
+    (TimeWindow, RandomActivation) it stays differentiable via the
+    ``stim_amplitude`` parameter slot.
+
+    Returns ``(default_amps, n_slots, b_stim)`` with
+    ``b_stim(t, amps, scale) -> [n]`` the assembled load."""
+    stim_loads = []
+    windows = []
+    win_slots: list[int] = []
+    gen_quads = []
+    gen_exprs = []
+    gen_slots: list[int] = []
+    if I_s is None:
+        stimuli = []
+    elif hasattr(I_s, "expr"):  # a single Stimulus (itself a tuple subclass)
+        stimuli = [I_s]
+    else:
+        stimuli = list(I_s)
+    for slot, s in enumerate(stimuli):
+        ents = s.dz.entities()
+        if s.dz.integral_type() == "cell":
+            quad = fem.cell_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
+        else:
+            # facet (ds) stimuli: surface quadrature, same contract
+            # (reference semantics: ``stimulation.py:99-106`` there)
+            quad = fem.facet_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
+        if isinstance(s.expr, TimeWindow):
+            stim_loads.append(
+                jnp.asarray(np.asarray(quad.assemble_load_host()), dtype=dtype)
+            )
+            windows.append((float(s.expr.start), float(s.expr.duration)))
+            win_slots.append(slot)
+        else:
+            expr = s.expr
+            if hasattr(expr, "amplitude") and hasattr(expr, "__dataclass_fields__"):
+                from dataclasses import replace as _dc_replace
+
+                # factor the amplitude out so the traced callable is the
+                # unit pattern and the amplitude rides the params slot
+                expr = _dc_replace(expr, amplitude=1.0)
+            elif not callable(expr):
+                val = float(expr)
+                expr = lambda x, t, _v=val: _v * jnp.ones_like(x[0])  # noqa: E731
+            gen_quads.append(quad)
+            gen_exprs.append(expr)
+            gen_slots.append(slot)
+    default_amps = jnp.asarray(
+        [
+            float(s.expr.amplitude) if hasattr(s.expr, "amplitude") else 1.0
+            for s in stimuli
+        ]
+        or [0.0],
+        dtype=dtype,
+    )
+    stim_mat = (
+        jnp.stack(stim_loads) if stim_loads else jnp.zeros((1, n), dtype=dtype)
+    )
+    win_arr = np.asarray(windows if windows else [(0.0, 0.0)], dtype=np.float64)
+    win_start = jnp.asarray(win_arr[:, 0], dtype=dtype)
+    win_dur = jnp.asarray(win_arr[:, 1], dtype=dtype)
+    win_slot_arr = np.asarray(win_slots if win_slots else [0], dtype=np.int64)
+    have_windows = bool(stim_loads)
+
+    def b_stim(t, amps, scale):
+        # scale * sum_s amp_s * window_s(t) * load_s ; t is not
+        # differentiated (window edges are zero-measure).  Inclusive
+        # window end, matching TimeWindow.indicator and the fused
+        # solver (stimulation.py:104, fused.py:485)
+        on = ((t >= win_start) & (t <= win_start + win_dur)).astype(dtype)
+        b = scale * ((amps[win_slot_arr] * on) @ stim_mat) if have_windows else 0.0
+        # general expressions (RandomActivation, facet patterns,
+        # arbitrary callables): in-trace quadrature assembly
+        for j, quad in enumerate(gen_quads):
+            b = b + scale * amps[gen_slots[j]] * quad.assemble_load(
+                gen_exprs[j], t
+            ).astype(dtype)
+        if have_windows or gen_quads:
+            return b
+        return jnp.zeros((n,), dtype=dtype)
+
+    return default_amps, max(len(stimuli), 1), b_stim
+
+
+def _checkpointed_scan(step, init, ts, checkpoint_segments):
+    """``lax.scan`` of a ``jax.checkpoint``-ed step, optionally nested
+    into ``K = checkpoint_segments`` checkpointed segments of
+    ``m = n_steps/K`` steps (two-level treeverse: peak reverse-mode carry
+    memory ``(K + m) * carry_bytes`` instead of ``n_steps * carry_bytes``
+    at the cost of one extra forward recomputation per segment)."""
+    n_steps = int(ts.shape[0])
+    if checkpoint_segments and checkpoint_segments > 1:
+        K = int(checkpoint_segments)
+        if n_steps % K:
+            raise ValueError(
+                f"checkpoint_segments={K} must divide n_steps={n_steps}"
+            )
+        m = n_steps // K
+
+        def segment(states, ts_seg):
+            return jax.lax.scan(jax.checkpoint(step), states, ts_seg)
+
+        final, traces = jax.lax.scan(
+            jax.checkpoint(segment), init, ts.reshape(K, m)
+        )
+        traces = jax.tree_util.tree_map(
+            lambda a: a.reshape(n_steps, *a.shape[2:]), traces
+        )
+    else:
+        final, traces = jax.lax.scan(jax.checkpoint(step), init, ts)
+    return final, traces
 
 
 def build_diff_simulator(
@@ -157,95 +315,14 @@ def build_diff_simulator(
     n = V.ndofs
 
     specs = stiffness_components if stiffness_components is not None else [1.0]
-    mass = None
-    kvals_list = []
-    ktail_list = []
-    for spec in specs:
-        m_i, k_i = fem.assemble_mass_stiffness_auto(V, spec)
-        if mass is None:
-            mass = m_i
-        kvals_list.append(jnp.asarray(k_i.vals, dtype=dtype))
-        if type(k_i) is not type(mass) or getattr(k_i, "offsets", None) != getattr(
-            mass, "offsets", None
-        ):
-            raise ValueError("stiffness components must share the mass pattern")
-        if getattr(k_i, "has_tail", False):
-            # hybrid apex tail (unstructured LV meshes): value-level
-            # combine like the main table — the pattern is shared across
-            # components by construction (same mesh, same assembly)
-            ktail_list.append(jnp.asarray(k_i.tail_vals, dtype=dtype))
-    has_tail = bool(getattr(mass, "has_tail", False))
-    if has_tail and len(ktail_list) != len(specs):
-        raise ValueError("stiffness components disagree on the tail pattern")
+    mass, kvals_stack, ktail_stack = _stack_components(V, specs, dtype)
+    has_tail = ktail_stack is not None
     mvals = jnp.asarray(mass.vals, dtype=dtype)
-    kvals_stack = jnp.stack(kvals_list)  # [nK, ...vals shape]
     mtail = jnp.asarray(mass.tail_vals, dtype=dtype) if has_tail else None
-    ktail_stack = jnp.stack(ktail_list) if has_tail else None
 
-    # stimuli: TimeWindow protocols keep the separable fast path (one
-    # precomputed unit load each, amplitude the differentiable knob);
-    # everything else — RandomActivation patterns, arbitrary space-time
-    # callables — is assembled in-trace from static quadrature tables at
-    # each step (reference supports both kinds: ``stimulation.py:99-106``
-    # there for ``ds`` facet measures, ``stimulation.py:279-363`` for
-    # random activation).  When the expression carries an ``amplitude``
-    # attribute (TimeWindow, RandomActivation) it stays differentiable
-    # via the ``stim_amplitude`` parameter slot.
-    stim_loads = []
-    windows = []
-    win_slots: list[int] = []
-    gen_quads = []
-    gen_exprs = []
-    gen_slots: list[int] = []
-    if I_s is None:
-        stimuli = []
-    elif hasattr(I_s, "expr"):  # a single Stimulus (itself a tuple subclass)
-        stimuli = [I_s]
-    else:
-        stimuli = list(I_s)
-    for slot, s in enumerate(stimuli):
-        ents = s.dz.entities()
-        if s.dz.integral_type() == "cell":
-            quad = fem.cell_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
-        else:
-            # facet (ds) stimuli: surface quadrature, same contract
-            # (reference semantics: ``stimulation.py:99-106`` there)
-            quad = fem.facet_quadrature(V, ents, degree=quadrature_degree, dtype=np.float64)
-        if isinstance(s.expr, TimeWindow):
-            stim_loads.append(
-                jnp.asarray(np.asarray(quad.assemble_load_host()), dtype=dtype)
-            )
-            windows.append((float(s.expr.start), float(s.expr.duration)))
-            win_slots.append(slot)
-        else:
-            expr = s.expr
-            if hasattr(expr, "amplitude") and hasattr(expr, "__dataclass_fields__"):
-                from dataclasses import replace as _dc_replace
-
-                # factor the amplitude out so the traced callable is the
-                # unit pattern and the amplitude rides the params slot
-                expr = _dc_replace(expr, amplitude=1.0)
-            elif not callable(expr):
-                val = float(expr)
-                expr = lambda x, t, _v=val: _v * jnp.ones_like(x[0])  # noqa: E731
-            gen_quads.append(quad)
-            gen_exprs.append(expr)
-            gen_slots.append(slot)
-    default_amps = jnp.asarray(
-        [
-            float(s.expr.amplitude) if hasattr(s.expr, "amplitude") else 1.0
-            for s in stimuli
-        ]
-        or [0.0],
-        dtype=dtype,
+    default_amps, n_slots, b_stim_tables = _stimulus_setup(
+        V, I_s, quadrature_degree, dtype, n
     )
-    stim_mat = (
-        jnp.stack(stim_loads) if stim_loads else jnp.zeros((1, n), dtype=dtype)
-    )
-    win_arr = np.asarray(windows if windows else [(0.0, 0.0)], dtype=np.float64)
-    win_start = jnp.asarray(win_arr[:, 0], dtype=dtype)
-    win_dur = jnp.asarray(win_arr[:, 1], dtype=dtype)
-    win_slot_arr = np.asarray(win_slots if win_slots else [0], dtype=np.int64)
 
     probe_dofs, probe_w = fem.point_evaluation_tables(V, np.asarray(probe_points))
     probe_dofs = jnp.asarray(probe_dofs)
@@ -296,7 +373,7 @@ def build_diff_simulator(
             jnp.asarray(params.get("stim_amplitude", default_amps), dtype=dtype)
         )
         # a scalar amplitude applies to every stimulus slot
-        amps = jnp.broadcast_to(amps, (max(len(stimuli), 1),))
+        amps = jnp.broadcast_to(amps, (n_slots,))
         mv, kv, kt = _operator_vals(g)
         A = _with_values(
             chi * C_m * mv + th * dt_f * kv,
@@ -308,21 +385,7 @@ def build_diff_simulator(
         diagM = Mop.diagonal() if W_e is not None else None
 
         def b_stim(t):
-            # chi * sum_s amp_s * window_s(t) * load_s ; t is not
-            # differentiated (window edges are zero-measure).  Inclusive
-            # window end, matching TimeWindow.indicator and the fused
-            # solver (stimulation.py:104, fused.py:485)
-            on = ((t >= win_start) & (t <= win_start + win_dur)).astype(dtype)
-            b = chi * ((amps[win_slot_arr] * on) @ stim_mat) if stim_loads else 0.0
-            # general expressions (RandomActivation, facet patterns,
-            # arbitrary callables): in-trace quadrature assembly
-            for j, quad in enumerate(gen_quads):
-                b = b + chi * amps[gen_slots[j]] * quad.assemble_load(
-                    gen_exprs[j], t
-                ).astype(dtype)
-            if stim_loads or gen_quads:
-                return b
-            return jnp.zeros((n,), dtype=dtype)
+            return b_stim_tables(t, amps, chi)
 
         def ionic_step(states, t, sub_dt):
             return ode_fun(states, t, ionic, sub_dt)
@@ -373,26 +436,211 @@ def build_diff_simulator(
 
         init = states0 if states0_in is None else states0_in
         ts = t0 + jnp.arange(n_steps, dtype=dtype) * dt_f
-        if checkpoint_segments and checkpoint_segments > 1:
-            K = int(checkpoint_segments)
-            if n_steps % K:
-                raise ValueError(
-                    f"checkpoint_segments={K} must divide n_steps={n_steps}"
-                )
-            m = n_steps // K
-
-            def segment(states, ts_seg):
-                return jax.lax.scan(jax.checkpoint(step), states, ts_seg)
-
-            final, traces = jax.lax.scan(
-                jax.checkpoint(segment), init, ts.reshape(K, m)
-            )
-            traces = jax.tree_util.tree_map(
-                lambda a: a.reshape(n_steps, *a.shape[2:]), traces
-            )
-        else:
-            final, traces = jax.lax.scan(jax.checkpoint(step), init, ts)
+        final, traces = _checkpointed_scan(step, init, ts, checkpoint_segments)
         out = traces if W_e is None else {"probes": traces[0], "ecg": traces[1]}
+        if return_final:
+            return out, final
+        return out
+
+    return simulate
+
+
+def build_diff_bidomain_simulator(
+    mesh,
+    *,
+    ode_fun: Callable,
+    init_states: np.ndarray,
+    v_index: int,
+    I_s=None,
+    probe_points,
+    u_probe_points=None,
+    dt: float,
+    n_steps: int,
+    theta: float = 1.0,
+    pde_theta: float = 0.5,
+    C_m: float = 1.0,
+    intra_components=None,
+    extra_components=None,
+    quadrature_degree: int = 4,
+    cg_rtol: float = 1e-10,
+    cg_atol: float = 1e-12,
+    cg_maxiter: int = 1000,
+    dtype=jnp.float64,
+    checkpoint_segments: int | None = None,
+) -> Callable[[dict], jnp.ndarray]:
+    """Differentiable BIDOMAIN simulation: the two-potential counterpart
+    of :func:`build_diff_simulator` (block discretization, deflation and
+    theta choreography of :class:`~fenicsx_beat_tpu.bidomain.
+    BidomainSolver` — see that module's docstring for the weak form; the
+    reference is monodomain-only, so neither the model nor its adjoint
+    exist there).
+
+    ``simulate(params) -> v probe traces [n_steps, n_probes]``, or, with
+    ``u_probe_points``, ``{"v": ..., "u_e": [n_steps, n_u_probes]}`` —
+    the extracellular potential at electrode sites is the signal plunge/
+    contact electrodes actually record, so u_e-trace losses pose the
+    genuinely bidomain inverse problem (anisotropy-ratio fitting) that
+    no monodomain pseudo-ECG can express.  ``u_e`` is grounded to zero
+    mesh-mean each step (the solver's convention), so probe values are
+    relative to the mesh mean.
+
+    ``params`` keys (all optional, all differentiable):
+
+    * ``"gi"`` / ``"ge"`` — intra-/extracellular conductivity scalings:
+      scalars (unit isotropic stiffness) or vectors combining the
+      pre-assembled ``intra_components`` / ``extra_components`` (each
+      spec accepted by :func:`fem.assemble_mass_stiffness_auto`) as
+      ``K_i(gi) = sum_j gi_j K_{i,j}`` — per-region scales or
+      fiber/transverse components.
+    * ``"ionic"`` — the ionic model's ``parameters`` vector.
+    * ``"stim_amplitude"`` — stimulus amplitude(s): TimeWindow,
+      RandomActivation, facet (``ds``) stimuli, like the monodomain path.
+
+    The block solve rides the same implicit-diff CG
+    (:func:`cg_implicit`): the operator is symmetric positive
+    SEMIdefinite (nullspace = constant u_e), handled by the solver's
+    deflation — the projection is linear and symmetric, so
+    ``custom_linear_solve``'s adjoint solve reuses it unchanged and
+    gradients are exact on the grounded quotient space (FD-gated in
+    ``tests/test_adjoint_bidomain.py``).  Memory over long horizons:
+    same flat/nested ``checkpoint_segments`` scheme, and the simulator
+    exposes the ``states0_in``/``t0``/``return_final`` contract, so
+    :func:`host_segmented_value_and_grad` (with ``states0 = (states,
+    u_e)``) covers full-beat bidomain fits too."""
+    if not 0.0 < theta <= 1.0:
+        raise ValueError(f"splitting theta must lie in (0, 1], got {theta}")
+    if not 0.0 < pde_theta <= 1.0:
+        raise ValueError(f"pde_theta must lie in (0, 1], got {pde_theta}")
+    V = fem.functionspace(mesh, ("P", 1))
+    n = V.ndofs
+
+    mass, ki_stack, ki_tail_stack = _stack_components(
+        V, intra_components if intra_components is not None else [1.0], dtype
+    )
+    _, ke_stack, ke_tail_stack = _stack_components(
+        V, extra_components if extra_components is not None else [1.0], dtype,
+        mass=mass,
+    )
+    has_tail = ki_tail_stack is not None
+    mvals = jnp.asarray(mass.vals, dtype=dtype)
+    mtail = jnp.asarray(mass.tail_vals, dtype=dtype) if has_tail else None
+
+    default_amps, n_slots, b_stim_tables = _stimulus_setup(
+        V, I_s, quadrature_degree, dtype, n
+    )
+
+    probe_dofs, probe_w = fem.point_evaluation_tables(V, np.asarray(probe_points))
+    probe_dofs = jnp.asarray(probe_dofs)
+    probe_w = jnp.asarray(probe_w, dtype=dtype)
+    u_dofs = u_w = None
+    if u_probe_points is not None:
+        u_dofs, u_w = fem.point_evaluation_tables(V, np.asarray(u_probe_points))
+        u_dofs = jnp.asarray(u_dofs)
+        u_w = jnp.asarray(u_w, dtype=dtype)
+
+    states0 = jnp.asarray(np.asarray(init_states, dtype=np.float64), dtype=dtype)
+    if states0.ndim == 1:
+        states0 = jnp.tile(states0[:, None], (1, n))
+    u0 = jnp.zeros((n,), dtype=dtype)
+
+    th = float(pde_theta)
+    th_s = float(theta)
+    godunov = abs(th_s - 1.0) < 1e-12
+    dt_f = float(dt)
+
+    def _combine(g, stack, tail_stack):
+        g = jnp.atleast_1d(jnp.asarray(g, dtype=dtype))
+        kv = jnp.tensordot(g, stack, axes=1)
+        kt = jnp.tensordot(g, tail_stack, axes=1) if has_tail else None
+        return kv, kt
+
+    def _with_values(vals, tail_vals):
+        if has_tail:
+            return mass.with_values(vals, tail_vals)
+        return mass.with_values(vals)
+
+    def simulate(
+        params: dict,
+        *,
+        states0_in=None,
+        t0=0.0,
+        return_final: bool = False,
+    ) -> jnp.ndarray:
+        gi = params.get("gi", 1.0)
+        ge = params.get("ge", 1.0)
+        ionic = params.get("ionic", None)
+        amps = jnp.atleast_1d(
+            jnp.asarray(params.get("stim_amplitude", default_amps), dtype=dtype)
+        )
+        amps = jnp.broadcast_to(amps, (n_slots,))
+        kiv, kit = _combine(gi, ki_stack, ki_tail_stack)
+        kev, ket = _combine(ge, ke_stack, ke_tail_stack)
+        Ki = _with_values(kiv, kit)
+        Kie = _with_values(kiv + kev, kit + ket if has_tail else None)
+        A = _with_values(
+            C_m * mvals + th * dt_f * kiv,
+            C_m * mtail + th * dt_f * kit if has_tail else None,
+        )
+        Mop = _with_values(mvals, mtail)
+        diag = jnp.stack([A.diagonal(), (dt_f / th) * Kie.diagonal()])
+
+        def deflate(x):
+            # remove the constant-u_e nullspace component (the solver's
+            # f32 lesson, bidomain.py: rounding feeds the nullspace and
+            # the Krylov basis loses orthogonality); the projection is
+            # linear + symmetric, so it is exactly the operator
+            # custom_linear_solve differentiates
+            return x.at[1].add(-jnp.mean(x[1]))
+
+        def block_matvec(x):
+            x = deflate(x)
+            xv, xu = x[0], x[1]
+            yv = A @ xv + dt_f * (Ki @ xu)
+            yu = dt_f * (Ki @ xv) + (dt_f / th) * (Kie @ xu)
+            return deflate(jnp.stack([yv, yu]))
+
+        def pde_step(v, u_e, t):
+            # stimulus evaluated at the PDE theta point, matching the
+            # production solvers (bidomain.py one_step, fused.py:627)
+            rhs_v = (
+                C_m * (Mop @ v)
+                - (1.0 - th) * dt_f * (Ki @ v)
+                + dt_f * b_stim_tables(t + th * dt_f, amps, 1.0)
+            )
+            rhs_u = -(dt_f / th) * (1.0 - th) * (Ki @ v)
+            b = deflate(jnp.stack([rhs_v, rhs_u]))
+            x = cg_implicit(
+                block_matvec,
+                b,
+                x0=deflate(jnp.stack([v, u_e])),
+                precond_diag=diag,
+                rtol=cg_rtol,
+                atol=cg_atol,
+                maxiter=cg_maxiter,
+            )
+            return x[0], x[1] - jnp.mean(x[1])
+
+        def step(carry, t):
+            # the solver's general theta choreography (bidomain.py
+            # one_step; reference monodomain_solver.py:53-116): tentative
+            # theta*dt ionic step, block PDE solve over dt, corrective
+            # (1-theta)*dt ionic step
+            states, u_e = carry
+            states = ode_fun(states, t, ionic, th_s * dt_f)
+            v, u_e = pde_step(states[v_index], u_e, t)
+            states = states.at[v_index].set(v)
+            if not godunov:
+                states = ode_fun(states, t + th_s * dt_f, ionic, (1.0 - th_s) * dt_f)
+            probe_v = (states[v_index][probe_dofs] * probe_w).sum(axis=1)
+            if u_dofs is None:
+                return (states, u_e), probe_v
+            probe_u = (u_e[u_dofs] * u_w).sum(axis=1)
+            return (states, u_e), (probe_v, probe_u)
+
+        init = (states0, u0) if states0_in is None else states0_in
+        ts = t0 + jnp.arange(n_steps, dtype=dtype) * dt_f
+        final, traces = _checkpointed_scan(step, init, ts, checkpoint_segments)
+        out = traces if u_dofs is None else {"v": traces[0], "u_e": traces[1]}
         if return_final:
             return out, final
         return out
