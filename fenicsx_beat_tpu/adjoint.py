@@ -75,21 +75,38 @@ def cg_implicit(
     system reuses the same solver.  Gradients propagate to ``b`` AND to
     any traced values closed over by ``matvec`` (operator values, so
     conductivity parameters differentiate); ``x0``/``precond_diag`` only
-    affect convergence, not the solution, and carry no gradient."""
+    affect convergence, not the solution, and carry no gradient.
 
-    def solve(mv, rhs):
-        x, _info = cg(
-            mv,
-            rhs,
-            x0,
-            precond_diag=precond_diag,
-            rtol=rtol,
-            atol=atol,
-            maxiter=maxiter,
-        )
-        return x
+    The transpose (adjoint) solve starts from ZEROS, not ``x0``: the
+    primal warm start says nothing about the cotangent system's
+    solution, and a nonzero guess breaks the exact scale-equivariance
+    that ``host_segmented_value_and_grad(cotangent_scale=...)`` relies
+    on (with ``atol=0`` the CG iteration is bitwise equivariant under
+    power-of-two RHS scaling only when the initial iterate scales too —
+    zeros do)."""
 
-    return jax.lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+    def _solve_from(guess):
+        def solve(mv, rhs):
+            x, _info = cg(
+                mv,
+                rhs,
+                guess,
+                precond_diag=precond_diag,
+                rtol=rtol,
+                atol=atol,
+                maxiter=maxiter,
+            )
+            return x
+
+        return solve
+
+    return jax.lax.custom_linear_solve(
+        matvec,
+        b,
+        _solve_from(x0),
+        transpose_solve=_solve_from(None),
+        symmetric=True,
+    )
 
 
 def _stack_components(V, specs, dtype, mass=None):
@@ -657,6 +674,8 @@ def host_segmented_value_and_grad(
     segment_ms: float,
     states0,
     truncate_every: int | None = None,
+    carry_clip: float | None = None,
+    cotangent_scale: float = 1.0,
 ):
     """``(value, grads)`` of ``sum_k seg_loss(sim_segment_k, seg_aux[k])``
     with the horizon split into HOST-CHAINED segments: one device
@@ -694,10 +713,59 @@ def host_segmented_value_and_grad(
     ``tests/test_adjoint.py``), which is what clinical windowed fits
     optimize.  ``None`` (default) chains cotangents through the whole
     horizon — the exact monolithic gradient.
+
+    ``carry_clip``: norm-clip the chained state cotangent between
+    segments — if ``max|d_state| > carry_clip`` the whole carry pytree
+    is rescaled by ``carry_clip / max|d_state|`` (Chebyshev norm: no
+    squaring, so the test itself cannot overflow in f32).  Clipped BPTT
+    is the standard stabilizer when even one truncation window overflows
+    f32: the measured TP06 plateau sensitivity grows ~1e9 per 10 ms
+    segment (ADJOINT_SCALE.json window rows), so any window over a few
+    segments overflows; clipping bounds the carry entering every
+    backward segment while preserving its direction.  The result is a
+    descent-direction surrogate (biased where clipping engages, exact
+    where it does not — gated both ways in ``tests/test_adjoint.py``).
+    A carry that is already non-finite (a segment's VJP overflowed
+    internally) resets to zero rather than poisoning every earlier
+    segment.  Composes with ``truncate_every``.
+
+    ``cotangent_scale``: backpropagate with the loss cotangent seeded at
+    ``scale`` instead of ``1`` and divide each segment's parameter
+    gradient back by ``scale`` — the adjoint-side form of
+    mixed-precision loss scaling.  The VJP is LINEAR in its seed, so for
+    a power-of-two scale the result is bit-identical mathematics that
+    shifts every intermediate cotangent by a constant factor: the f32
+    TP06 plateau adjoint overflows INSIDE a single 10 ms segment even
+    with a zero incoming carry (measured: 2/100 segments NaN,
+    ``ADJOINT_SCALE.json``), and a scale like ``2**-64 ~ 5.4e-20`` moves
+    that whole backward pass out of overflow range while components
+    within ~19 decades of the largest stay representable (f32 only
+    resolves 7 anyway).  Equality-gated bitwise on a power-of-two scale
+    in ``tests/test_adjoint.py``.  ``carry_clip`` is interpreted in the
+    TRUE (unscaled) cotangent space regardless.
     """
     n_seg = len(seg_aux)
     if truncate_every is not None and truncate_every < 1:
         raise ValueError(f"truncate_every={truncate_every} must be >= 1")
+    if carry_clip is not None and not carry_clip > 0.0:
+        raise ValueError(f"carry_clip={carry_clip} must be > 0")
+    cs = float(cotangent_scale)
+    if not (cs > 0.0 and np.isfinite(cs)):
+        raise ValueError(f"cotangent_scale={cotangent_scale} must be finite > 0")
+
+    def _clip_carry(d):
+        # carry_clip is specified in TRUE cotangent space; the carry we
+        # hold is scaled by cs, so the threshold scales with it
+        clip_at = carry_clip * cs
+        leaves = jax.tree_util.tree_leaves(d)
+        m = jnp.max(jnp.stack([jnp.max(jnp.abs(leaf)) for leaf in leaves]))
+        finite = jnp.isfinite(m)
+        scale = jnp.where(
+            finite, jnp.minimum(1.0, clip_at / jnp.maximum(m, 1e-30)), 0.0
+        )
+        return jax.tree_util.tree_map(lambda leaf: leaf * scale, d)
+
+    clip_fn = jax.jit(_clip_carry) if carry_clip is not None else None
 
     def seg_fwd(p, s, t0):
         return sim(p, states0_in=s, t0=t0, return_final=True)
@@ -715,7 +783,10 @@ def host_segmented_value_and_grad(
                     jax.tree_util.tree_leaves(fin),
                 )
             )
-            return seg_loss(traces, aux) + carry_term
+            # the whole backward pass runs in cs-scaled cotangent space
+            # (d_final is already scaled); grads are unscaled once, at
+            # the end of the sweep
+            return cs * seg_loss(traces, aux) + carry_term
 
         return jax.value_and_grad(aug, argnums=(0, 1))(p, s)
 
@@ -740,7 +811,11 @@ def host_segmented_value_and_grad(
             # window boundary: the window [k, k+truncate_every) started
             # from a stop_gradient state — do not chain into segment k-1
             d_state = jax.tree_util.tree_map(jnp.zeros_like, d_state)
+        elif clip_fn is not None:
+            d_state = clip_fn(d_state)
         grads = dp if grads is None else jax.tree_util.tree_map(
             jnp.add, grads, dp
         )
+    if cs != 1.0:
+        grads = jax.tree_util.tree_map(lambda g: g / cs, grads)
     return value, grads

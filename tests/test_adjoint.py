@@ -741,3 +741,124 @@ def test_host_segmented_truncated_bptt():
     with pytest.raises(ValueError, match="truncate_every"):
         host_segmented_value_and_grad(
             run_sim, p0, seg_loss, seg_aux, truncate_every=0, **kw)
+
+
+def test_host_segmented_carry_clip():
+    """``carry_clip`` is Chebyshev-norm clipped BPTT on the chained state
+    cotangent.  Gated both ways: a threshold above every carry norm is
+    the exact untruncated gradient (scale = min(1, C/m) = 1 exactly),
+    and an engaging threshold reproduces a hand-rolled NumPy mirror of
+    the clipped recursion on a toy linear simulator."""
+    from fenicsx_beat_tpu.adjoint import host_segmented_value_and_grad
+
+    # toy linear "segment": one step s -> a*s, traces = final state —
+    # honoring the sim contract (states0_in / t0 / return_final)
+    def toy_sim(p, *, states0_in, t0, return_final=False):
+        s = p["a"] * states0_in
+        return (s, s) if return_final else s
+
+    def seg_loss(traces, aux):
+        return jnp.sum((traces - aux) ** 2)
+
+    a0, K = 10.0, 4
+    states0 = jnp.asarray([1.0])
+    seg_aux = [jnp.zeros((1,))] * K
+    kw = dict(segment_ms=1.0, states0=states0)
+    p0 = {"a": jnp.asarray(a0)}
+
+    val_exact, g_exact = host_segmented_value_and_grad(
+        toy_sim, p0, seg_loss, seg_aux, **kw)
+
+    # non-engaging clip: bitwise-exact equality with the unclipped chain
+    val_hi, g_hi = host_segmented_value_and_grad(
+        toy_sim, p0, seg_loss, seg_aux, carry_clip=1e30, **kw)
+    np.testing.assert_allclose(val_hi, val_exact, rtol=0)
+    np.testing.assert_allclose(float(g_hi["a"]), float(g_exact["a"]), rtol=0)
+
+    # engaging clip vs a NumPy mirror of the same recursion
+    C = 50.0
+    bounds = [a0**k for k in range(K)]  # forward boundary states
+    d, g_ref = 0.0, 0.0
+    for k in reversed(range(K)):
+        b = bounds[k]
+        fin = a0 * b
+        dp = 2.0 * fin * b + d * b       # d aug / d a
+        d = 2.0 * fin * a0 + d * a0      # d aug / d s_k
+        if abs(d) > C:
+            d *= C / abs(d)
+        g_ref += dp
+    val_c, g_c = host_segmented_value_and_grad(
+        toy_sim, p0, seg_loss, seg_aux, carry_clip=C, **kw)
+    assert float(g_c["a"]) != pytest.approx(float(g_exact["a"]))  # it engaged
+    np.testing.assert_allclose(val_c, val_exact, rtol=1e-12)
+    np.testing.assert_allclose(float(g_c["a"]), g_ref, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="carry_clip"):
+        host_segmented_value_and_grad(
+            toy_sim, p0, seg_loss, seg_aux, carry_clip=0.0, **kw)
+
+
+def test_host_segmented_cotangent_scale():
+    """``cotangent_scale`` (adjoint-side loss scaling) is EXACT for a
+    power-of-two scale: the VJP is linear in its seed and binary-FP
+    multiplication by 2^k is lossless away from under/overflow — so the
+    scaled sweep must be bit-identical to the unscaled one, on the real
+    FEM simulator, with and without an engaging carry_clip.  The one
+    prerequisite is a PURE-RELATIVE CG tolerance (``cg_atol=0``): an
+    absolute tolerance is not scale-invariant, so the adjoint CG would
+    exit earlier on the scaled (tiny) right-hand side and break
+    equivariance — which this test demonstrated before pinning atol=0."""
+    from fenicsx_beat_tpu.adjoint import (
+        build_diff_simulator,
+        host_segmented_value_and_grad,
+    )
+
+    mesh = meshmod.create_unit_square(None, 4, 4)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: x[0] < 0.4)
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0))
+    dt, m, K = 0.1, 5, 3
+    sim_seg = build_diff_simulator(
+        mesh,
+        n_steps=m,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=np.array([[0.25, 0.5], [0.75, 0.5]]),
+        dt=dt,
+        cg_atol=0.0,
+    )
+    n = mesh.num_vertices
+    states0 = jnp.tile(jnp.asarray(fhn.init_state_values())[:, None], (1, n))
+    p0 = {"g": 0.003}
+
+    def run_sim(p, **kw):
+        return sim_seg({**p, "ionic": ionic}, **kw)
+
+    def seg_loss(traces, aux):
+        return jnp.sum((traces - aux) ** 2)
+
+    seg_aux, s = [], states0
+    for k in range(K):
+        tr, s = run_sim(p0, states0_in=s, t0=jnp.asarray(k * m * dt),
+                        return_final=True)
+        seg_aux.append(jnp.asarray(tr) * 0.9)
+
+    kw = dict(segment_ms=m * dt, states0=states0)
+    for extra in ({}, {"carry_clip": 1e-3}):  # clip engages: carries >> 1e-3
+        _v1, g1 = host_segmented_value_and_grad(
+            run_sim, p0, seg_loss, seg_aux, **kw, **extra)
+        _v2, g2 = host_segmented_value_and_grad(
+            run_sim, p0, seg_loss, seg_aux, cotangent_scale=2.0**-40,
+            **kw, **extra)
+        assert float(g1["g"]) == float(g2["g"]), extra
+
+    with pytest.raises(ValueError, match="cotangent_scale"):
+        host_segmented_value_and_grad(
+            run_sim, p0, seg_loss, seg_aux, cotangent_scale=0.0, **kw)
