@@ -83,20 +83,34 @@ def cg_implicit(
     that ``host_segmented_value_and_grad(cotangent_scale=...)`` relies
     on (with ``atol=0`` the CG iteration is bitwise equivariant under
     power-of-two RHS scaling only when the initial iterate scales too —
-    zeros do)."""
+    zeros do).
+
+    Both solves NORMALIZE the right-hand side by its Chebyshev norm and
+    rescale the solution: CG's inner products SQUARE the operand scale,
+    so an f32 adjoint seed of ~1e-22 (a ``2**-64`` cotangent scale on a
+    trace loss) gives ``||b||^2 ~ 1e-44`` — flushed to zero on TPU,
+    after which the solve "converges" instantly and returns an exactly
+    zero gradient (measured, ADJOINT_SCALE round 4).  The max-norm
+    involves no squaring, and dividing equally-scaled values is exact in
+    binary FP, so normalization preserves bitwise scale-equivariance
+    while making the solve robust to ANY seed scale.  Consequence:
+    ``atol`` applies to the NORMALIZED system, i.e. it acts as a second
+    relative (to ``max|b|``) tolerance."""
 
     def _solve_from(guess):
         def solve(mv, rhs):
+            nb = jnp.max(jnp.abs(rhs))
+            nb = jnp.where((nb > 0) & jnp.isfinite(nb), nb, 1.0)
             x, _info = cg(
                 mv,
-                rhs,
-                guess,
+                rhs / nb,
+                None if guess is None else guess / nb,
                 precond_diag=precond_diag,
                 rtol=rtol,
                 atol=atol,
                 maxiter=maxiter,
             )
-            return x
+            return x * nb
 
         return solve
 

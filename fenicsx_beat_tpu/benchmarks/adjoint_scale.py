@@ -110,6 +110,21 @@ def run_adjoint_scale(dx: float, T: float = 20.0, dt: float = 0.05) -> dict:
     }
 
 
+def _case_name(
+    truncate_every: int | None, carry_clip: float | None, cotangent_scale: float
+) -> str:
+    if truncate_every is None and carry_clip is None and cotangent_scale == 1.0:
+        return "full_beat"
+    parts = ["full_beat"]
+    if truncate_every is not None:
+        parts.append(f"w{truncate_every}")
+    if carry_clip is not None:
+        parts.append(f"clip{carry_clip:g}")
+    if cotangent_scale != 1.0:
+        parts.append(f"cs2p{int(round(np.log2(cotangent_scale)))}")
+    return "_".join(parts)
+
+
 def run_full_beat(
     dx: float = 0.1,
     T: float = 1000.0,
@@ -117,6 +132,8 @@ def run_full_beat(
     segments: int = 100,
     model: str = "tp06",
     truncate_every: int | None = None,
+    carry_clip: float | None = None,
+    cotangent_scale: float = 1.0,
 ) -> dict:
     """The clinical-fit horizon: value_and_grad over ONE FULL BEAT
     (20k steps at dt=0.05) at the production dx=0.1 resolution.
@@ -176,7 +193,10 @@ def run_full_beat(
         n_steps=m,
         dtype=jnp.float32,
         cg_rtol=1e-6,
-        cg_atol=1e-8,
+        # cotangent scaling needs a PURE-RELATIVE CG tolerance: an
+        # absolute tolerance is not invariant under the power-of-two
+        # seed scaling (adjoint.cg_implicit docstring)
+        cg_atol=0.0 if cotangent_scale != 1.0 else 1e-8,
     )
     ionic = jnp.asarray(np.asarray(params), jnp.float32)
     n = mesh.num_vertices
@@ -210,16 +230,19 @@ def run_full_beat(
         lambda pp, **kw: sim({**pp, "ionic": ionic}, **kw),
         p, seg_loss, seg_aux, segment_ms=m * dt, states0=states0,
         truncate_every=truncate_every,
+        carry_clip=carry_clip,
+        cotangent_scale=cotangent_scale,
     )
     vg_s = time.perf_counter() - t0c
     return {
-        "case": "full_beat" if truncate_every is None
-        else f"full_beat_truncated_w{truncate_every}",
+        "case": _case_name(truncate_every, carry_clip, cotangent_scale),
         "model": model,
         **({} if truncate_every is None else {
             "truncate_every_segments": truncate_every,
             "bptt_window_ms": truncate_every * m * dt,
         }),
+        **({} if carry_clip is None else {"carry_clip": carry_clip}),
+        **({} if cotangent_scale == 1.0 else {"cotangent_scale": cotangent_scale}),
         "dx": dx,
         "n_nodes": int(mesh.num_vertices),
         "n_steps": n_steps,
@@ -253,10 +276,14 @@ def main() -> int:
             " backend, segmented runs complete. FHN full beat: finite gradient,"
             " ~3x forward. The EXACT chained TP06 full-beat gradient is NaN"
             " (finite at 400 steps, grows with horizon - the known chaotic"
-            " sensitivity of long-horizon cardiac adjoints); the"
-            " full_beat_truncated_w10 row is truncated BPTT over 100 ms windows"
-            " (truncate_every=10), the standard windowed clinical-fit objective,"
-            " equality-gated in tests/test_adjoint.py."
+            " sensitivity of long-horizon cardiac adjoints), and the f32 VJP"
+            " overflows INSIDE a 10 ms window (2/100 segments NaN at zero"
+            " incoming carry) until cotangent_scale=2**-64 moves the backward"
+            " pass out of overflow range (exact by VJP linearity, bitwise-gated"
+            " in tests/test_adjoint.py). full_beat_wN_* rows are truncated BPTT"
+            " over N-segment (10 ms) windows - the windowed clinical-fit"
+            " objective; clip rows add Chebyshev carry clipping (descent-"
+            "direction surrogate for longer windows)."
         ),
     }
     for dx in dxs:
@@ -264,18 +291,27 @@ def main() -> int:
         print(row, file=sys.stderr)
         out["configs"].append(row)
     if full_beat:
-        # (model, truncate_every): the exact chained adjoint for both
-        # models, plus the truncated-BPTT window for TP06 — the exact
-        # full-beat TP06 gradient NaNs from chaotic sensitivity
-        # (finite at 400 steps, grows with horizon), the 100 ms-window
-        # truncated gradient is the clinical windowed-fit objective
-        for model, trunc in (("fhn", None), ("tp06", None), ("tp06", 10)):
+        # the exact chained adjoint for both models (honest divergence
+        # record for TP06), then the windowed TP06 configurations: 10/20
+        # ms exact truncated BPTT under cotangent scaling, and the
+        # 100 ms clipped-BPTT surrogate
+        CS = 2.0**-64
+        cases = (
+            ("fhn", {}),
+            ("tp06", {}),
+            ("tp06", dict(truncate_every=1, cotangent_scale=CS)),
+            ("tp06", dict(truncate_every=2, cotangent_scale=CS)),
+            ("tp06", dict(truncate_every=10, carry_clip=1e6, cotangent_scale=CS)),
+        )
+        for model, kw in cases:
             try:
-                row = run_full_beat(model=model, truncate_every=trunc)
+                row = run_full_beat(model=model, **kw)
             except Exception as exc:  # record the failure mode honestly
                 row = {
-                    "case": "full_beat" if trunc is None
-                    else f"full_beat_truncated_w{trunc}",
+                    "case": _case_name(
+                        kw.get("truncate_every"), kw.get("carry_clip"),
+                        kw.get("cotangent_scale", 1.0),
+                    ),
                     "model": model,
                     "n_steps": 20000,
                     "error": f"{type(exc).__name__}: {exc}"[:300],

@@ -862,3 +862,65 @@ def test_host_segmented_cotangent_scale():
     with pytest.raises(ValueError, match="cotangent_scale"):
         host_segmented_value_and_grad(
             run_sim, p0, seg_loss, seg_aux, cotangent_scale=0.0, **kw)
+
+
+def test_cotangent_scale_tiny_seed_f32_not_flushed_to_zero():
+    """Regression: CG inner products SQUARE the cotangent scale, so an
+    f32 adjoint seed of ~1e-27 (cotangent_scale=2**-80) used to make
+    ||b||^2 flush to zero, the transpose solve "converge" instantly, and
+    the returned gradient come out exactly 0.  cg_implicit now
+    normalizes the RHS by its max-norm inside the solve, so the scaled
+    f32 gradient must be nonzero and match the unscaled one."""
+    from fenicsx_beat_tpu.adjoint import (
+        build_diff_simulator,
+        host_segmented_value_and_grad,
+    )
+
+    mesh = meshmod.create_unit_square(None, 4, 4)
+    cells = meshmod.locate_entities(mesh, 2, lambda x: x[0] < 0.4)
+    tags = meshmod.meshtags(mesh, 2, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=30.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(mesh, subdomain_data=tags),
+        marker=1,
+    )
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0),
+                        jnp.float32)
+    dt, m, K = 0.1, 5, 3
+    sim_seg = build_diff_simulator(
+        mesh,
+        n_steps=m,
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=np.array([[0.25, 0.5], [0.75, 0.5]]),
+        dt=dt,
+        dtype=jnp.float32,
+        cg_rtol=1e-6,
+        cg_atol=0.0,
+    )
+    n = mesh.num_vertices
+    states0 = jnp.tile(
+        jnp.asarray(fhn.init_state_values(), jnp.float32)[:, None], (1, n))
+    p0 = {"g": jnp.float32(0.003)}
+
+    def run_sim(p, **kw):
+        return sim_seg({**p, "ionic": ionic}, **kw)
+
+    def seg_loss(traces, aux):
+        return jnp.sum((traces - aux) ** 2)
+
+    seg_aux, s = [], states0
+    for k in range(K):
+        tr, s = run_sim(p0, states0_in=s, t0=jnp.asarray(k * m * dt, jnp.float32),
+                        return_final=True)
+        seg_aux.append(jnp.asarray(tr) * np.float32(0.9))
+
+    kw = dict(segment_ms=m * dt, states0=states0)
+    _v1, g1 = host_segmented_value_and_grad(
+        run_sim, p0, seg_loss, seg_aux, **kw)
+    _v2, g2 = host_segmented_value_and_grad(
+        run_sim, p0, seg_loss, seg_aux, cotangent_scale=2.0**-80, **kw)
+    assert float(g2["g"]) != 0.0
+    np.testing.assert_allclose(float(g2["g"]), float(g1["g"]), rtol=1e-3)
