@@ -64,8 +64,9 @@ def cg_implicit(
     *,
     precond_diag: jnp.ndarray | None = None,
     rtol: float = 1e-10,
-    atol: float = 1e-12,
+    atol_scaled: float = 1e-12,
     maxiter: int = 1000,
+    atol: float | None = None,
 ) -> jnp.ndarray:
     """Differentiable SPD solve ``x = A^{-1} b``.
 
@@ -94,8 +95,25 @@ def cg_implicit(
     involves no squaring, and dividing equally-scaled values is exact in
     binary FP, so normalization preserves bitwise scale-equivariance
     while making the solve robust to ANY seed scale.  Consequence:
-    ``atol`` applies to the NORMALIZED system, i.e. it acts as a second
-    relative (to ``max|b|``) tolerance."""
+    the absolute tolerance applies to the NORMALIZED system, i.e. it
+    acts as a second relative (to ``max|b|``) tolerance — the parameter
+    is therefore named ``atol_scaled`` so the semantics are explicit at
+    call sites.  A true ABSOLUTE tolerance cannot coexist with the
+    normalization: dividing it by ``max|b|`` would loosen the adjoint
+    solve by ~20 decades for a ``2**-64``-scaled seed, reintroducing the
+    instant-convergence zero-gradient failure the normalization fixes.
+    ``atol`` is accepted as a deprecated alias for ``atol_scaled``."""
+    if atol is not None:
+        import warnings
+
+        warnings.warn(
+            "cg_implicit(atol=...) is deprecated: since the RHS is "
+            "normalized by max|b|, the tolerance is relative to max|b|, "
+            "not absolute — pass atol_scaled=... instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        atol_scaled = atol
 
     def _solve_from(guess):
         def solve(mv, rhs):
@@ -107,7 +125,7 @@ def cg_implicit(
                 None if guess is None else guess / nb,
                 precond_diag=precond_diag,
                 rtol=rtol,
-                atol=atol,
+                atol=atol_scaled,
                 maxiter=maxiter,
             )
             return x * nb
@@ -341,7 +359,11 @@ def build_diff_simulator(
     ``m = n_steps/K`` checkpointed steps: peak carry memory drops to
     ``(K + m) * carry_bytes`` (minimized near ``K = sqrt(n_steps)``) at
     the cost of ONE extra forward recomputation of each segment —
-    the classic treeverse tradeoff.  ``n_steps`` must divide evenly."""
+    the classic treeverse tradeoff.  ``n_steps`` must divide evenly.
+
+    ``cg_atol`` is relative to ``max|b|`` of each solve, not absolute:
+    the implicit CG normalizes its right-hand side (see
+    :func:`cg_implicit`, whose ``atol_scaled`` this feeds)."""
     V = fem.functionspace(mesh, ("P", 1))
     n = V.ndofs
 
@@ -435,7 +457,7 @@ def build_diff_simulator(
                 x0=v,
                 precond_diag=diagA,
                 rtol=cg_rtol,
-                atol=cg_atol,
+                atol_scaled=cg_atol,
                 maxiter=cg_maxiter,
             )
 
@@ -460,7 +482,7 @@ def build_diff_simulator(
                 Kop @ vv,
                 precond_diag=diagM,
                 rtol=cg_rtol,
-                atol=cg_atol,
+                atol_scaled=cg_atol,
                 maxiter=cg_maxiter,
             ) * (-1.0 / C_m)
             return states, (probe_v, W_e @ im)
@@ -537,7 +559,10 @@ def build_diff_bidomain_simulator(
     same flat/nested ``checkpoint_segments`` scheme, and the simulator
     exposes the ``states0_in``/``t0``/``return_final`` contract, so
     :func:`host_segmented_value_and_grad` (with ``states0 = (states,
-    u_e)``) covers full-beat bidomain fits too."""
+    u_e)``) covers full-beat bidomain fits too.
+
+    ``cg_atol`` is relative to ``max|b|`` of each solve, not absolute
+    (see :func:`cg_implicit`, whose ``atol_scaled`` this feeds)."""
     if not 0.0 < theta <= 1.0:
         raise ValueError(f"splitting theta must lie in (0, 1], got {theta}")
     if not 0.0 < pde_theta <= 1.0:
@@ -646,7 +671,7 @@ def build_diff_bidomain_simulator(
                 x0=deflate(jnp.stack([v, u_e])),
                 precond_diag=diag,
                 rtol=cg_rtol,
-                atol=cg_atol,
+                atol_scaled=cg_atol,
                 maxiter=cg_maxiter,
             )
             return x[0], x[1] - jnp.mean(x[1])
@@ -777,7 +802,13 @@ def host_segmented_value_and_grad(
         scale = jnp.where(
             finite, jnp.minimum(1.0, clip_at / jnp.maximum(m, 1e-30)), 0.0
         )
-        return jax.tree_util.tree_map(lambda leaf: leaf * scale, d)
+        # Zero non-finite entries explicitly: IEEE Inf*0 = NaN, so a bare
+        # ``leaf * scale`` would propagate the overflow this reset exists
+        # to contain (ADVICE r4).  Finite entries are untouched by the
+        # where (scale handles them); Inf/NaN entries become exactly 0.
+        return jax.tree_util.tree_map(
+            lambda leaf: jnp.where(jnp.isfinite(leaf), leaf, 0.0) * scale, d
+        )
 
     clip_fn = jax.jit(_clip_carry) if carry_clip is not None else None
 

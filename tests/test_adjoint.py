@@ -579,6 +579,7 @@ def test_host_segmented_value_and_grad_matches_monolithic():
     np.testing.assert_allclose(float(grad["g"]), float(grad_ref["g"]), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_adjoint_memory_bounded_at_scale():
     """Pins the adjoint's MEMORY, not just its values: at 100k+ nodes on
     CPU, XLA's own memory analysis of the compiled value_and_grad must
@@ -796,6 +797,63 @@ def test_host_segmented_carry_clip():
     with pytest.raises(ValueError, match="carry_clip"):
         host_segmented_value_and_grad(
             toy_sim, p0, seg_loss, seg_aux, carry_clip=0.0, **kw)
+
+
+def test_host_segmented_carry_clip_resets_nonfinite_carry():
+    """A segment whose VJP overflows (Inf/NaN carry) must RESET to zero
+    under ``carry_clip`` rather than poison every earlier segment: the
+    naive ``leaf * scale`` with ``scale = 0`` yields ``Inf * 0 = NaN``
+    (IEEE), which is exactly the failure mode carry_clip exists to
+    contain (ADVICE r4).  The toy: ``traces = a * sqrt(s)`` evaluated at
+    ``s = 0`` has an infinite state gradient while the parameter
+    gradient stays finite, so the chained carry leaving the last segment
+    is Inf and the recovered total gradient must still be finite."""
+    from fenicsx_beat_tpu.adjoint import host_segmented_value_and_grad
+
+    def toy_sim(p, *, states0_in, t0, return_final=False):
+        s = states0_in
+        traces = p["a"] * jnp.sqrt(s)  # d traces/d s = a/(2 sqrt(s)) = Inf at 0
+        fin = s * 0.0
+        return (traces, fin) if return_final else traces
+
+    def seg_loss(traces, aux):
+        return jnp.sum((traces - aux) ** 2)
+
+    p0 = {"a": jnp.asarray(3.0)}
+    states0 = jnp.asarray([0.0])
+    seg_aux = [jnp.ones((1,))] * 2
+
+    # sanity: the carry really is non-finite without clipping
+    _v, g_unclipped = host_segmented_value_and_grad(
+        toy_sim, p0, seg_loss, seg_aux, segment_ms=1.0, states0=states0)
+    # (parameter grad survives here only because fin == 0 exactly;
+    #  the point under test is the clipped path below)
+
+    val, g = host_segmented_value_and_grad(
+        toy_sim, p0, seg_loss, seg_aux, segment_ms=1.0, states0=states0,
+        carry_clip=10.0)
+    assert np.isfinite(val)
+    assert np.isfinite(float(g["a"])), "non-finite carry leaked through carry_clip"
+    # both segments contribute only their (finite) local parameter grads
+    np.testing.assert_allclose(float(g["a"]), 0.0, atol=0)
+
+
+def test_cg_implicit_atol_deprecated_alias():
+    """``atol=`` still works but warns: the normalization made it
+    relative-to-max|b|, and the rename to ``atol_scaled`` makes that
+    explicit at call sites (ADVICE r4)."""
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((6, 6))
+    A = A @ A.T + 6 * np.eye(6)
+    b = rng.standard_normal(6)
+    x_new = cg_implicit(lambda u: jnp.asarray(A) @ u, jnp.asarray(b),
+                        atol_scaled=1e-13)
+    with pytest.warns(DeprecationWarning, match="atol_scaled"):
+        x_old = cg_implicit(lambda u: jnp.asarray(A) @ u, jnp.asarray(b),
+                            atol=1e-13)
+    np.testing.assert_allclose(np.asarray(x_old), np.asarray(x_new), rtol=0)
+    np.testing.assert_allclose(np.asarray(x_new), np.linalg.solve(A, b),
+                               rtol=1e-8)
 
 
 def test_host_segmented_cotangent_scale():
