@@ -103,6 +103,10 @@ class BidomainSolver:
     # unstructured-TPU auto-precond crossover: below this, lane-gather
     # Jacobi beats the AMG V-cycle's fixed per-iteration kernel cost
     amg_min_nodes: int = 100_000
+    # extra keyword arguments for ops.amg.build_amg (hierarchy depth,
+    # smoother degree, coarse size — the knobs the preconditioner
+    # experiments sweep); None = build_amg defaults
+    u_amg_opts: dict | None = None
 
     def __post_init__(self):
         from .config import default_dtype
@@ -210,7 +214,10 @@ class BidomainSolver:
             )
             want_amg = not lane_candidate
         if spec is None and want_amg:
-            hier = build_amg(self._k_ie, dtype=self.dtype, semidefinite=True)
+            hier = build_amg(
+                self._k_ie, dtype=self.dtype, semidefinite=True,
+                **(self.u_amg_opts or {}),
+            )
         self._dct_dims = spec[1] if spec is not None else None
         self._u_dct = spec is not None  # exposed for tests
         self._u_amg = hier is not None  # exposed for tests
@@ -388,11 +395,14 @@ class BidomainSolver:
                     b = b + amps[i] * quad.assemble_load(expr, t)
             return b
 
-        def one_step(ops, carry, t, dt, amps):
+        def build_step_ops(ops, dt):
             # per-dt operator combinations: ONE value-combined stream per
             # block instead of separate mass/k_i applications (the streams
-            # share one sparsity pattern; dt is traced so this runs
-            # in-trace each chunk)
+            # share one sparsity pattern).  dt is invariant within a
+            # chunk, so this runs ONCE per chunk, OUTSIDE the scan —
+            # materializing the combined value streams per step would add
+            # ~3 full operator-stream writes to every step's HBM traffic
+            # (fused.py hoists the same way)
             if spmv_fn is not None:
                 vm3, vki3, vkie3, u_lam, u_amg = ops
                 A3 = C_m * vm3 + (th_pde * dt) * vki3
@@ -414,6 +424,10 @@ class BidomainSolver:
                 mvKie = lambda x: k_ie @ x  # noqa: E731
                 diag_v = A_op.diagonal()
                 diag_kie = k_ie.diagonal()
+            return mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg
+
+        def one_step(sops, carry, t, dt, amps):
+            mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg = sops
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
             # choreography, monodomain_solver.py:53-116 there)
@@ -496,10 +510,11 @@ class BidomainSolver:
         @partial(jax.jit, static_argnums=6)
         def run_chunk(ops, states, u_e, t0, dt, amps, n_steps):
             dvu0 = jnp.zeros((2, states.shape[1]), dtype=states.dtype)
+            sops = build_step_ops(ops, dt)
 
             def body(carry, k):
                 t = t0 + k * dt
-                return one_step(ops, carry, t, dt, amps)
+                return one_step(sops, carry, t, dt, amps)
 
             if pallas_step is not None:
                 # blocked<->flat is a physical relayout: once per chunk,
