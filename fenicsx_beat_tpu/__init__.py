@@ -92,6 +92,7 @@ from . import (  # noqa: E402
     models,
     monodomain_model,
     monodomain_solver,
+    odefile,
     odesolver,
     single_cell,
     utils,
@@ -103,6 +104,7 @@ from .monodomain_solver import MonodomainSplittingSolver
 
 __all__ = [
     "monodomain_model",
+    "odefile",
     "odesolver",
     "base_model",
     "MonodomainModel",
