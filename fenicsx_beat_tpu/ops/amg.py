@@ -213,6 +213,14 @@ def _aggregate(S, active: np.ndarray) -> tuple[np.ndarray, int]:
     return agg, n_root
 
 
+def _per_level(val, k: int):
+    """Per-level option: scalar applies everywhere, a tuple/list clamps
+    to its last entry for deeper levels."""
+    if isinstance(val, (tuple, list)):
+        return val[min(k, len(val) - 1)]
+    return val
+
+
 def _estimate_lmax(A, dinv: np.ndarray, iters: int = 12) -> float:
     """Power-iteration estimate of ``lambda_max(D^-1 A)`` (host, setup
     time); 1.0 fallback for degenerate operators."""
@@ -332,10 +340,11 @@ def build_amg(
     A,
     *,
     strength_theta: float = 0.05,
-    omega: float = 4.0 / 3.0,
+    omega: float | tuple = 4.0 / 3.0,
     max_levels: int = 12,
     coarse_n: int = 500,
     degree: int = 2,
+    agg_passes: int | tuple = 1,
     dtype=None,
     semidefinite: bool = False,
 ) -> AMGHierarchy:
@@ -348,6 +357,15 @@ def build_amg(
     bottom solve uses an eigenvalue-thresholded pseudo-inverse.  All
     arrays stay numpy-backed; push once with
     :meth:`AMGHierarchy.to_device`.
+
+    ``omega`` and ``agg_passes`` take a scalar (every level) or a tuple
+    (level k uses entry ``min(k, len-1)``): ``omega`` is the prolongator
+    smoothing weight (0 = tentative/unsmoothed P), ``agg_passes`` the
+    number of composed MIS aggregation passes per level (2 passes ~=
+    16-60x coarsening).  The TPU-tuned configuration is
+    ``omega=(0.0, 4/3), agg_passes=(2, 1)``: a cheap one-plane tentative
+    transfer + aggressive coarsening where rows are many, classical
+    smoothed aggregation below, where the chip cost is negligible.
     """
     import scipy.sparse as sp
 
@@ -381,6 +399,26 @@ def build_amg(
         agg, n_agg = _aggregate(S, active)
         if n_agg == 0 or n_agg >= 0.9 * Ak.shape[0]:
             break  # coarsening stalled; stop and solve what we have densely
+        # aggressive coarsening: compose further MIS passes on the
+        # tentative-Galerkin coarse graph.  On the chip, a level's SpMV
+        # costs ~ row_blocks x lane planes, and Galerkin densification
+        # makes the FIRST coarse level (n/4, ~128 planes) nearly as
+        # expensive as the fine operator — one composed pass drops it to
+        # n/16-n/64 where every coarse level is noise next to the fine
+        # smoother (amg_probe, round 5).
+        for _ in range(_per_level(agg_passes, len(levels)) - 1):
+            rows1 = np.nonzero(agg >= 0)[0]
+            T1 = sp.csr_matrix(
+                (np.ones(rows1.size), (rows1, agg[rows1])),
+                shape=(Ak.shape[0], n_agg),
+            )
+            A1 = (T1.T @ Ak @ T1).tocsr()
+            S1 = _strength_graph(A1, strength_theta)
+            agg1, n1 = _aggregate(S1, np.ones(n_agg, dtype=bool))
+            if n1 == 0 or n1 >= 0.9 * n_agg:
+                break
+            agg[rows1] = agg1[agg[rows1]]
+            n_agg = n1
         sizes = np.bincount(agg[agg >= 0], minlength=n_agg).astype(np.float64)
         rows_t = np.nonzero(agg >= 0)[0]
         T = sp.csr_matrix(
@@ -390,9 +428,25 @@ def build_amg(
         d = Ak.diagonal()
         dinv = np.where(d != 0.0, 1.0 / np.where(d != 0.0, d, 1.0), 0.0)
         lmax = _estimate_lmax(Ak, dinv)
-        # smoothed prolongation: P = (I - (omega/lmax) D^-1 A) T
-        DinvA = sp.diags(dinv) @ Ak
-        P = (T - (omega / lmax) * (DinvA @ T)).tocsr()
+        omega_k = _per_level(omega, len(levels))
+        if omega_k == 0.0:
+            # UNSMOOTHED aggregation (P = tentative T): the TPU-wall
+            # variant.  Smoothed P/R carry ~8-30 nnz/row and pack into
+            # 70-110 lane-gather planes, making the transfers cost ~27x
+            # one fine SpMV on the chip (measured, amg_probe round 5:
+            # P@(R@r) 592 us vs SpMV 22 us at 9.8k LV nodes); tentative
+            # T has ONE entry per fine row, its transpose collides only
+            # within an aggregate, and the Galerkin coarse operator
+            # keeps fine-like stencil density — all three stay on the
+            # fast path.  Plain-aggregation convergence degrades with
+            # depth, so pair ``omega=(0.0, 4/3)`` with an aggressive
+            # first level: tentative-P where transfers are expensive,
+            # smoothed-SA quality below, where everything is cheap.
+            P = T.tocsr()
+        else:
+            # smoothed prolongation: P = (I - (omega/lmax) D^-1 A) T
+            DinvA = sp.diags(dinv) @ Ak
+            P = (T - (omega_k / lmax) * (DinvA @ T)).tocsr()
         P.eliminate_zeros()
         Ac = (P.T @ Ak @ P).tocsr()
         Ac.eliminate_zeros()
