@@ -715,6 +715,8 @@ def host_segmented_value_and_grad(
     truncate_every: int | None = None,
     carry_clip: float | None = None,
     cotangent_scale: float = 1.0,
+    window_outlier: float | None = None,
+    window_grads_out: list | None = None,
 ):
     """``(value, grads)`` of ``sum_k seg_loss(sim_segment_k, seg_aux[k])``
     with the horizon split into HOST-CHAINED segments: one device
@@ -767,6 +769,28 @@ def host_segmented_value_and_grad(
     A carry that is already non-finite (a segment's VJP overflowed
     internally) resets to zero rather than poisoning every earlier
     segment.  Composes with ``truncate_every``.
+
+    ``window_outlier``: trimmed aggregation across truncation windows.
+    The stiff TP06 gating makes the VJP through a window grow ~1e9 per
+    10 ms of PLATEAU dynamics, so on long horizons a single window's
+    gradient can reach 1e2-1e3 while every other window sits at the
+    physical 1e-4 scale — one chaotic window then dominates the sum and
+    corrupts its DIRECTION (measured: cosine vs the finite-difference
+    gradient of the true objective collapses from >0.95 to 0.02 at
+    dx=0.5/T=100 ms; /tmp win_diag, FIT_SCALE.json fdcheck rows).  With
+    ``window_outlier=tau``, per-window gradients whose Chebyshev norm
+    exceeds ``tau * median(window norms)`` are DROPPED from the sum —
+    the returned gradient is the exact windowed gradient of the
+    objective restricted to the well-conditioned windows of this
+    iterate (the analogue of loss-spike gradient skipping in large
+    -scale training).  Because the cut is at the median, at least half
+    the windows always survive.  Requires ``truncate_every``; needs >= 3
+    windows to engage.
+
+    ``window_grads_out``: debugging hook — pass a list and it receives
+    ``(segment_index, grad_pytree_as_float64_numpy)`` per window (the
+    UNFILTERED per-window gradients, already unscaled by
+    ``cotangent_scale``), ordered from the last window backwards.
 
     ``cotangent_scale``: backpropagate with the loss cotangent seeded at
     ``scale`` instead of ``1`` and divide each segment's parameter
@@ -845,22 +869,71 @@ def host_segmented_value_and_grad(
         if k + 1 < n_seg:
             bounds.append(s)
 
+    if window_outlier is not None:
+        if not window_outlier > 0.0:
+            raise ValueError(f"window_outlier={window_outlier} must be > 0")
+        if truncate_every is None:
+            raise ValueError("window_outlier requires truncate_every")
+    collect = window_grads_out is not None or window_outlier is not None
+
     # backward sweep: chain cotangents through the boundary states
     d_state = jax.tree_util.tree_map(jnp.zeros_like, states0)
     grads = None
+    win_list: list = []  # (segment_index, summed dp) per window
+    win_acc = None  # running sum of dp inside the current window
     for k in reversed(range(n_seg)):
         _aug_val, (dp, d_state) = seg_vg(
             params, bounds[k], jnp.asarray(k * segment_ms), seg_aux[k], d_state
         )
+        if collect:
+            win_acc = dp if win_acc is None else jax.tree_util.tree_map(
+                jnp.add, win_acc, dp
+            )
+        else:
+            grads = dp if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, dp
+            )
         if truncate_every is not None and k % truncate_every == 0:
             # window boundary: the window [k, k+truncate_every) started
             # from a stop_gradient state — do not chain into segment k-1
             d_state = jax.tree_util.tree_map(jnp.zeros_like, d_state)
+            if collect:
+                win_list.append((k, win_acc))
+                win_acc = None
         elif clip_fn is not None:
             d_state = clip_fn(d_state)
-        grads = dp if grads is None else jax.tree_util.tree_map(
-            jnp.add, grads, dp
-        )
+    if collect and win_acc is not None:
+        win_list.append((0, win_acc))
+
+    if collect:
+        if window_grads_out is not None:
+            for k, w in win_list:
+                window_grads_out.append(
+                    (k, jax.tree_util.tree_map(
+                        lambda g: np.asarray(g, np.float64) / cs, w
+                    ))
+                )
+        keep = win_list
+        if window_outlier is not None and len(win_list) >= 3:
+            norms = np.array([
+                max(
+                    float(jnp.max(jnp.abs(leaf)))
+                    for leaf in jax.tree_util.tree_leaves(w)
+                )
+                for _, w in win_list
+            ])
+            # non-finite window sums always count as outliers; the
+            # median over finite norms keeps the cut meaningful
+            finite = norms[np.isfinite(norms)]
+            cut = window_outlier * (np.median(finite) if finite.size else 0.0)
+            keep = [
+                wl for wl, m in zip(win_list, norms)
+                if np.isfinite(m) and m <= cut
+            ] or win_list
+        for _, w in keep:
+            grads = w if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, w
+            )
     if cs != 1.0:
         grads = jax.tree_util.tree_map(lambda g: g / cs, grads)
     return value, grads

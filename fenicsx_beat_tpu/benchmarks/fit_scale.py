@@ -180,6 +180,7 @@ def run_fit(
     g0_scale=(0.5, 1.8),  # start well off the truth, asymmetrically
     carry_clip: float | None = 1e3,
     cotangent_scale: float = 2.0**-64,
+    window_outlier: float | None = 20.0,
     seed_noise_mv: float = 0.0,
 ) -> dict:
     import jax
@@ -224,6 +225,7 @@ def run_fit(
             truncate_every=truncate_every,
             carry_clip=carry_clip,
             cotangent_scale=cotangent_scale,
+            window_outlier=window_outlier,
         )
         # d loss / d theta = g * d loss / d g  (log-space chain rule)
         g_theta = g * grads["g"]
@@ -258,6 +260,7 @@ def run_fit(
         "segment_ms": segment_ms,
         "window_ms": truncate_every * segment_ms,
         "carry_clip": carry_clip,
+        "window_outlier": window_outlier,
         "cotangent_scale_log2": float(np.log2(cotangent_scale)),
         "n_iters": n_iters,
         "lr": lr,
@@ -289,6 +292,7 @@ def run_fdcheck(
     g_at=(0.0014, 0.0009),
     carry_clip: float | None = 1e3,
     cotangent_scale: float = 2.0**-64,
+    window_outlier: float | None = 20.0,
 ) -> dict:
     """Windowed-gradient DIRECTION vs central finite differences of the
     TRUE total loss, at a mid scale (VERDICT r4 #2).  The windowed
@@ -332,6 +336,7 @@ def run_fdcheck(
         truncate_every=truncate_every,
         carry_clip=carry_clip,
         cotangent_scale=cotangent_scale,
+        window_outlier=window_outlier,
     )
     g_win = np.asarray(grads["g"], np.float64)
 
@@ -354,6 +359,7 @@ def run_fdcheck(
         "n_nodes": int(mesh.num_vertices),
         "T_ms": T,
         "window_ms": truncate_every * segment_ms,
+        "window_outlier": window_outlier,
         "g_true": list(map(float, g_true)),
         "g_at": list(map(float, g_at)),
         "loss_at": float(value),

@@ -982,3 +982,53 @@ def test_cotangent_scale_tiny_seed_f32_not_flushed_to_zero():
         run_sim, p0, seg_loss, seg_aux, cotangent_scale=2.0**-80, **kw)
     assert float(g2["g"]) != 0.0
     np.testing.assert_allclose(float(g2["g"]), float(g1["g"]), rtol=1e-3)
+
+
+def test_window_outlier_drops_exploding_window():
+    """Trimmed window aggregation: a window whose gradient norm is an
+    outlier vs the median across windows is dropped from the sum; the
+    untrimmed sum keeps it (regression for the measured direction
+    collapse at dx=0.5/T=100 ms, FIT_SCALE.json fdcheck)."""
+    from fenicsx_beat_tpu.adjoint import host_segmented_value_and_grad
+
+    def sim(params, states0_in=None, t0=None, return_final=True):
+        # per-segment trace scale: segment at t0=2 is the chaotic one
+        c = jnp.where(t0 == 2.0, 1e4, 1.0)
+        traces = c * params["p"] * jnp.ones((3,), jnp.float64)
+        return traces, states0_in + params["p"]
+
+    targets = [jnp.zeros((3,), jnp.float64)] * 4
+    loss = lambda tr, tgt: jnp.mean((tr - tgt) ** 2)  # noqa: E731
+    params = {"p": jnp.asarray(1.0, jnp.float64)}
+    kw = dict(segment_ms=1.0, states0=jnp.zeros((1,), jnp.float64),
+              truncate_every=1)
+    wins = []
+    _, g_all = host_segmented_value_and_grad(
+        sim, params, loss, targets, window_grads_out=wins, **kw)
+    _, g_trim = host_segmented_value_and_grad(
+        sim, params, loss, targets, window_outlier=10.0, **kw)
+    # per-window dL/dp = 2 c^2 p: [2, 2, 2e8, 2]
+    assert len(wins) == 4
+    np.testing.assert_allclose(float(g_all["p"]), 6.0 + 2e8, rtol=1e-6)
+    np.testing.assert_allclose(float(g_trim["p"]), 6.0, rtol=1e-6)
+
+
+def test_window_outlier_drops_nonfinite_window():
+    """A window whose gradient overflowed to Inf/NaN inside the segment
+    VJP is always treated as an outlier (never poisons the sum)."""
+    from fenicsx_beat_tpu.adjoint import host_segmented_value_and_grad
+
+    def sim(params, states0_in=None, t0=None, return_final=True):
+        c = jnp.where(t0 == 2.0, jnp.float32(1e25), jnp.float32(1.0))
+        traces = c * params["p"] * jnp.ones((3,), jnp.float32)
+        return traces, states0_in + params["p"]
+
+    targets = [jnp.zeros((3,), jnp.float32)] * 4
+    loss = lambda tr, tgt: jnp.mean((tr - tgt) ** 2)  # noqa: E731
+    params = {"p": jnp.asarray(1.0, jnp.float32)}
+    _, g = host_segmented_value_and_grad(
+        sim, params, loss, targets, window_outlier=10.0,
+        segment_ms=1.0, states0=jnp.zeros((1,), jnp.float32),
+        truncate_every=1)
+    # the 1e25-scaled window's grad is 2e50 -> Inf in f32: dropped
+    np.testing.assert_allclose(float(g["p"]), 6.0, rtol=1e-5)
