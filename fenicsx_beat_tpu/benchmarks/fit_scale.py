@@ -209,7 +209,13 @@ def run_fit(
         ]
 
     theta = jnp.log(g_true_j * jnp.asarray(np.asarray(g0_scale), dtype))
-    opt = optax.adam(lr)
+    # decay to 0.1x over the fit: a fixed lr=0.15 overshoots once the
+    # loss basin is reached (measured: slab dx=0.2 reached 3%/23% rel
+    # err at iter 9, then bounced to 18%/31% by iter 11)
+    opt = optax.adam(
+        optax.exponential_decay(lr, transition_steps=max(n_iters - 1, 1),
+                                decay_rate=0.1)
+    )
     opt_state = opt.init(theta)
     history = []
     t_fit = time.perf_counter()

@@ -94,6 +94,20 @@ class BidomainSolver:
     # known runtime fault favor Jacobi (see _build_step); "amg"/"dct"/
     # "jacobi" force a specific choice
     u_precond: str = "auto"
+    # time-coupling scheme for the (v, u_e) pair:
+    #   "monolithic" — one deflated PCG on the symmetric 2x2 block system
+    #     per step (4 operator streams per CG iteration).
+    #   "gs" — Gauss-Seidel decoupling: implicit parabolic v-solve with
+    #     the LAGGED u_e, then the elliptic constraint
+    #     ``K_ie u' = -K_i (theta v' + (1-theta) v)`` (exactly the block
+    #     system's second row).  Each sub-solve streams ONE combined
+    #     operator per CG iteration instead of four, the parabolic block
+    #     is mass-dominated (few iterations), and on structured grids
+    #     both sub-solves take the DCT model as a near-exact
+    #     preconditioner.  First-order lag error in the v<->u_e coupling
+    #     (the splitting itself is already O(dt)); equivalence vs
+    #     monolithic is gated in tests/test_bidomain.py.
+    scheme: str = "monolithic"
     # pallas kernels (None = auto: TPU backend only): the single-kernel
     # ionic step (the XLA TP06 GRL step measured ~13 ms standalone at
     # dx=0.1 vs the fused monodomain's ~130 us kernel) AND the
@@ -115,6 +129,10 @@ class BidomainSolver:
         self.V = fem.functionspace(self.mesh, ("P", 1))
         n = self._n = self.V.ndofs
 
+        if self.scheme not in ("monolithic", "gs"):
+            raise ValueError(
+                f"scheme must be 'monolithic' or 'gs', got {self.scheme!r}"
+            )
         if not 0.0 < self.theta <= 1.0:
             raise ValueError(f"splitting theta must lie in (0, 1], got {self.theta}")
         if not 0.0 < self.pde_theta <= 1.0:
@@ -268,6 +286,20 @@ class BidomainSolver:
         # re-shipped per execution over a remote-TPU tunnel,
         # fused.py:252-258)
         lam_dev = jax.device_put(jnp.asarray(spec[0])) if spec is not None else None
+        gs_lams = None
+        if self.scheme == "gs" and spec is not None:
+            # per-operator DCT eigenvalue models for the parabolic block:
+            # eigenvalues of the SAME transform add, so the per-dt
+            # ``lam_A = C_m lam_M + theta dt lam_Ki`` combine runs on two
+            # tiny [dims] arrays per chunk (mirrors the operator-stream
+            # combine below)
+            spec_m = stencil_dct_eigenvalues(self._mass, self.mesh, dtype=self.dtype)
+            spec_ki = stencil_dct_eigenvalues(self._k_i, self.mesh, dtype=self.dtype)
+            if spec_m is not None and spec_ki is not None:
+                gs_lams = (
+                    jax.device_put(jnp.asarray(spec_m[0])),
+                    jax.device_put(jnp.asarray(spec_ki[0])),
+                )
         if use_pallas_spmv:
             put = jax.device_put
             self._operands = (
@@ -276,6 +308,7 @@ class BidomainSolver:
                 put(jnp.asarray(spmv_fn.pack_values(np.asarray(self._k_ie.vals)))),
                 lam_dev,
                 None,
+                gs_lams,
             )
         else:
             mass_h, k_i_h, k_ie_h = self._mass, self._k_i, self._k_ie
@@ -313,6 +346,7 @@ class BidomainSolver:
                 hier.to_device(level0_A=k_ie_dev, lane_gather=lane)
                 if hier is not None
                 else None,
+                gs_lams,
             )
         u_dims = self._dct_dims
         _dct_solve = dct_solve
@@ -326,6 +360,7 @@ class BidomainSolver:
         params = self._params
         terms, b_units = self._stim_terms, self._b_units
         rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
+        scheme_gs = self.scheme == "gs"
 
         # pallas single-kernel ionic step (same integration as
         # fused.py:276-372): the scan carries states in the kernel's
@@ -404,7 +439,7 @@ class BidomainSolver:
             # ~3 full operator-stream writes to every step's HBM traffic
             # (fused.py hoists the same way)
             if spmv_fn is not None:
-                vm3, vki3, vkie3, u_lam, u_amg = ops
+                vm3, vki3, vkie3, u_lam, u_amg, gs_lams = ops
                 A3 = C_m * vm3 + (th_pde * dt) * vki3
                 B3 = C_m * vm3 - ((1.0 - th_pde) * dt) * vki3
                 mvA = lambda x: spmv_fn(A3, x)  # noqa: E731
@@ -415,7 +450,7 @@ class BidomainSolver:
                 diag_v = A3[k0_pack].reshape(npad)[: self._n]
                 diag_kie = vkie3[k0_pack].reshape(npad)[: self._n]
             else:
-                mass, k_i, k_ie, u_lam, u_amg = ops
+                mass, k_i, k_ie, u_lam, u_amg, gs_lams = ops
                 A_op = mass.combine(C_m, k_i, th_pde * dt)
                 B_op = mass.combine(C_m, k_i, -(1.0 - th_pde) * dt)
                 mvA = lambda x: A_op @ x  # noqa: E731
@@ -424,10 +459,86 @@ class BidomainSolver:
                 mvKie = lambda x: k_ie @ x  # noqa: E731
                 diag_v = A_op.diagonal()
                 diag_kie = k_ie.diagonal()
-            return mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg
+            # parabolic-block DCT eigenvalue model at this dt (gs scheme)
+            v_lam = None
+            if gs_lams is not None:
+                lam_m, lam_ki = gs_lams
+                v_lam = C_m * lam_m + (th_pde * dt) * lam_ki
+            return mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg, v_lam
+
+        def one_step_gs(sops, carry, t, dt, amps):
+            # Gauss-Seidel decoupled step: parabolic v-solve with the
+            # lagged u_e, then the elliptic constraint (the block
+            # system's second row with v at its theta point) — ONE
+            # combined operator stream per CG iteration in each solve,
+            # vs the monolithic step's four
+            mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg, v_lam = sops
+            if pallas_step is not None:
+                states_b, v, u_e, dvu = carry
+                states_b = pallas_step(states_b, _pad_v(v), t, th * dt)
+                v = _v_of(states_b)
+            else:
+                states, u_e, dvu = carry
+                states = ode_fun(states, t, params, th * dt)
+                v = states[vi]
+            ts = t + th_pde * dt
+            # one-step linear extrapolation of the lagged u_e (the warm
+            # -start increment is exactly u_e^k - u_e^{k-1}): upgrades the
+            # coupling lag from O(dt) to O(dt^2) where u_e is smooth in
+            # time, at zero extra operator traffic (measured vs
+            # monolithic at dt=0.05: rel err 0.025% -> 0.002% (v) and
+            # 0.056% -> 0.005% (u_e) on the 3D slab; 1.1% -> <0.5% on
+            # the 2D stimulus-onset transient)
+            rhs_v = mvB(v) - dt * mvKi(u_e + dvu[1]) + dt * b_stim(ts, amps)
+            if v_lam is not None:
+                v_prec = dict(precond=lambda r: _dct_solve(r, v_lam, u_dims))
+            else:
+                v_prec = dict(precond_diag=diag_v)
+            v_new, info_v = cg(
+                mvA, rhs_v, v + dvu[0], rtol=rtol, atol=atol,
+                maxiter=maxiter, **v_prec,
+            )
+
+            def deflate(x):
+                return x - jnp.mean(x)
+
+            rhs_u = deflate(-mvKi(th_pde * v_new + (1.0 - th_pde) * v))
+            if u_lam is not None:
+                u_prec = dict(
+                    precond=lambda r: deflate(_dct_solve(r, u_lam, u_dims))
+                )
+            elif u_amg is not None:
+                u_prec = dict(precond=lambda r: deflate(_amg_apply(u_amg, r)))
+            else:
+                u_prec = dict(precond_diag=diag_kie)
+            u_new, info_u = cg(
+                lambda x: deflate(mvKie(deflate(x))), rhs_u,
+                deflate(u_e + dvu[1]), rtol=rtol, atol=atol,
+                maxiter=maxiter, **u_prec,
+            )
+            dvu = jnp.stack([v_new - v, u_new - u_e])
+            stats = (
+                info_v.iterations + info_u.iterations,
+                jnp.maximum(info_v.residual_norm, info_u.residual_norm),
+                jnp.logical_and(info_v.converged, info_u.converged),
+            )
+            if pallas_step is not None:
+                if godunov:
+                    carry_out = (states_b, v_new, u_new, dvu)
+                else:
+                    states_b = pallas_step(
+                        states_b, _pad_v(v_new), t + th * dt, (1.0 - th) * dt
+                    )
+                    carry_out = (states_b, _v_of(states_b), u_new, dvu)
+            else:
+                states = states.at[vi].set(v_new)
+                if not godunov:
+                    states = ode_fun(states, t + th * dt, params, (1.0 - th) * dt)
+                carry_out = (states, u_new, dvu)
+            return carry_out, stats
 
         def one_step(sops, carry, t, dt, amps):
-            mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg = sops
+            mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg, _v_lam = sops
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
             # choreography, monodomain_solver.py:53-116 there)
@@ -512,9 +623,11 @@ class BidomainSolver:
             dvu0 = jnp.zeros((2, states.shape[1]), dtype=states.dtype)
             sops = build_step_ops(ops, dt)
 
+            step_fn = one_step_gs if scheme_gs else one_step
+
             def body(carry, k):
                 t = t0 + k * dt
-                return one_step(sops, carry, t, dt, amps)
+                return step_fn(sops, carry, t, dt, amps)
 
             if pallas_step is not None:
                 # blocked<->flat is a physical relayout: once per chunk,
