@@ -121,6 +121,11 @@ class BidomainSolver:
     # smoother degree, coarse size — the knobs the preconditioner
     # experiments sweep); None = build_amg defaults
     u_amg_opts: dict | None = None
+    # opt-in disk cache namespace for the expensive host setup products
+    # (assembled operators AND the AMG hierarchy) — both are content-
+    # fingerprinted, so the string only namespaces; a warm second
+    # construction skips minutes of host time on production meshes
+    cache_key: str | None = None
 
     def __post_init__(self):
         from .config import default_dtype
@@ -140,10 +145,17 @@ class BidomainSolver:
 
         Mi = as_cell_tensors(self.M_i, self.mesh)
         Me = as_cell_tensors(self.M_e, self.mesh)
-        mass, k_i = fem.assemble_mass_stiffness_auto(self.V, Mi, dtype=self.dtype)
+        ck = self.cache_key
+        mass, k_i = fem.assemble_mass_stiffness_auto(
+            self.V, Mi, dtype=self.dtype,
+            cache_key=None if ck is None else ck + "|i",
+        )
         # the fused assembly kernels produce mass+stiffness in ONE pass, so
         # the second mass is a by-product, not a second pipeline
-        _, k_e = fem.assemble_mass_stiffness_auto(self.V, Me, dtype=self.dtype)
+        _, k_e = fem.assemble_mass_stiffness_auto(
+            self.V, Me, dtype=self.dtype,
+            cache_key=None if ck is None else ck + "|e",
+        )
         # same mesh + assembler => shared pattern; combine is value-level
         k_ie = k_i.combine(1.0, k_e, 1.0)
         self._mass, self._k_i, self._k_ie = mass, k_i, k_ie
@@ -234,6 +246,7 @@ class BidomainSolver:
         if spec is None and want_amg:
             hier = build_amg(
                 self._k_ie, dtype=self.dtype, semidefinite=True,
+                cache_key=self.cache_key,
                 **(self.u_amg_opts or {}),
             )
         self._dct_dims = spec[1] if spec is not None else None

@@ -37,6 +37,77 @@ class Geometry(NamedTuple):
     n0: np.ndarray | None = None
 
 
+def _geometry_to_arrays(geo: Geometry) -> dict:
+    out = {
+        "coords": geo.mesh.coords,
+        "cells": geo.mesh.cells,
+        "cell_type": np.asarray(geo.mesh.cell_type.value),
+    }
+    if geo.ffun is not None:
+        out["ffun_dim"] = np.asarray(geo.ffun.dim)
+        out["ffun_indices"] = geo.ffun.indices
+        out["ffun_values"] = geo.ffun.values
+    if geo.markers:
+        out["marker_names"] = np.asarray(sorted(geo.markers), dtype="U32")
+        out["marker_vals"] = np.asarray(
+            [geo.markers[k] for k in sorted(geo.markers)], dtype=np.int64
+        )
+    for name in ("f0", "s0", "n0"):
+        v = getattr(geo, name)
+        if v is not None:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _geometry_from_arrays(d: dict) -> Geometry | None:
+    try:
+        from .mesh import meshtags
+
+        mesh = Mesh(
+            coords=d["coords"],
+            cells=d["cells"],
+            cell_type=CellType(int(d["cell_type"])),
+        )
+        ffun = None
+        if "ffun_indices" in d:
+            ffun = meshtags(
+                mesh, int(d["ffun_dim"]), d["ffun_indices"], d["ffun_values"]
+            )
+        markers = None
+        if "marker_names" in d:
+            markers = {
+                str(k): (int(v[0]), int(v[1]))
+                for k, v in zip(d["marker_names"], d["marker_vals"])
+            }
+        return Geometry(
+            mesh=mesh, ffun=ffun, markers=markers,
+            f0=d.get("f0"), s0=d.get("s0"), n0=d.get("n0"),
+        )
+    except Exception:
+        return None
+
+
+def _cached_geometry(kind: str, params: dict, build):
+    """Disk-backed memoization for the deterministic mesh generators:
+    the 10.6M-cell LV build costs 72.8 s of host time
+    (MULTICHIP_SCALING.json); the npz round-trip is seconds.  Keyed by
+    every generator parameter; products are bit-identical to a rebuild."""
+    from .cache import fingerprint, load_arrays, store_arrays
+
+    slot = fingerprint(
+        "geometry",
+        (kind,) + tuple(f"{k}={v!r}" for k, v in sorted(params.items())),
+    )
+    d = load_arrays(slot)
+    if d is not None:
+        geo = _geometry_from_arrays(d)
+        if geo is not None:
+            return geo
+    geo = build()
+    store_arrays(slot, _geometry_to_arrays(geo))
+    return geo
+
+
 def get_2D_slab_microstructure(mesh: Mesh, transverse: bool = False):
     """Constant fiber/sheet directions (reference ``geometry.py:18-44``)."""
     if transverse:
@@ -139,6 +210,7 @@ def get_lv_ellipsoid_geometry(
     fiber_angle_endo: float = 60.0,
     fiber_angle_epi: float = -60.0,
     dtype=np.float64,
+    cache: bool = True,
 ) -> Geometry:
     """Idealized truncated-ellipsoid left ventricle with rule-based fibers.
 
@@ -154,7 +226,25 @@ def get_lv_ellipsoid_geometry(
 
     The long axis is x, apex at x = -r_long; the base plane sits at
     x = ``base`` (markers dict matches cardiac-geometries: ENDO/EPI/BASE).
+
+    ``cache=True`` (default) memoizes the generated mesh + fiber field
+    on disk keyed by every parameter (:mod:`~fenicsx_beat_tpu.cache`).
     """
+    if cache:
+        params = dict(
+            r_short_endo=r_short_endo, r_short_epi=r_short_epi,
+            r_long_endo=r_long_endo, r_long_epi=r_long_epi, base=base,
+            psize_ref=psize_ref, fiber_angle_endo=fiber_angle_endo,
+            fiber_angle_epi=fiber_angle_epi, dtype=np.dtype(dtype).name,
+        )
+        return _cached_geometry(
+            "lv_ellipsoid", params,
+            lambda: get_lv_ellipsoid_geometry(
+                comm, cache=False, dtype=dtype, **{
+                    k: v for k, v in params.items() if k != "dtype"
+                },
+            ),
+        )
     import itertools as _it
 
     mu_base_endo = -np.arccos(np.clip(base / r_long_endo, -1.0, 1.0))
@@ -323,6 +413,7 @@ def get_biv_ellipsoid_geometry(
     fiber_angle_endo: float = 60.0,
     fiber_angle_epi: float = -60.0,
     dtype=np.float64,
+    cache: bool = True,
 ) -> Geometry:
     """Idealized TWO-CAVITY biventricular geometry with a shared septum.
 
@@ -357,7 +448,28 @@ def get_biv_ellipsoid_geometry(
     sheet normal, the apicobasal axis projects to the local tangent
     plane, and the fiber rotates ``fiber_angle_endo -> fiber_angle_epi``
     degrees across the wall.
+
+    ``cache=True`` (default) memoizes the generated mesh + fields on
+    disk keyed by every parameter (:mod:`~fenicsx_beat_tpu.cache`).
     """
+    if cache:
+        params = dict(
+            r_short_endo_lv=r_short_endo_lv, r_short_epi_lv=r_short_epi_lv,
+            r_long_endo_lv=r_long_endo_lv, r_long_epi_lv=r_long_epi_lv,
+            r_short_endo_rv=r_short_endo_rv, r_short_epi_rv=r_short_epi_rv,
+            r_long_endo_rv=r_long_endo_rv, r_long_epi_rv=r_long_epi_rv,
+            center_rv_y=center_rv_y, base=base, psize_ref=psize_ref,
+            fiber_angle_endo=fiber_angle_endo,
+            fiber_angle_epi=fiber_angle_epi, dtype=np.dtype(dtype).name,
+        )
+        return _cached_geometry(
+            "biv_ellipsoid", params,
+            lambda: get_biv_ellipsoid_geometry(
+                comm, cache=False, dtype=dtype, **{
+                    k: v for k, v in params.items() if k != "dtype"
+                },
+            ),
+        )
     from .mesh import meshtags
 
     rl_lv = lambda t: r_long_endo_lv + t * (r_long_epi_lv - r_long_endo_lv)  # noqa: E731

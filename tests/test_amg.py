@@ -214,3 +214,27 @@ def test_float32_hierarchy():
     )
     assert bool(info.converged)
     assert x.dtype == jnp.float32
+
+
+def test_amg_hierarchy_disk_cache_roundtrip():
+    """build_amg(cache_key=...) round-trips the full hierarchy through
+    the npz cache bit-identically (every level operator, transfer pair,
+    Chebyshev bound, and the dense bottom inverse)."""
+    import time
+
+    import scipy.sparse as sp
+
+    from fenicsx_beat_tpu.ops.amg import _csr_to_ell, amg_apply, build_amg
+
+    n1 = 30
+    L1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (n1, n1))
+    A = (sp.kron(sp.eye(n1), L1) + sp.kron(L1, sp.eye(n1))).tocsr()
+    A0 = _csr_to_ell(A, np.float64)
+    key = f"test-cache-{time.time_ns()}"  # fresh slot every run
+    h1 = build_amg(A0, dtype=jnp.float64, cache_key=key)
+    h2 = build_amg(A0, dtype=jnp.float64, cache_key=key)
+    assert len(h1.levels) == len(h2.levels)
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    z1 = amg_apply(h1.to_device(), r)
+    z2 = amg_apply(h2.to_device(), r)
+    assert float(jnp.max(jnp.abs(z1 - z2))) == 0.0

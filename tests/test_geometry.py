@@ -169,3 +169,23 @@ def test_biv_ellipsoid_solves_and_propagates():
     frac = (act[rv_free] >= 0).mean()
     assert frac > 0.9, f"only {frac:.0%} of the RV free wall activated"
     assert np.nanmedian(act[rv_free]) > np.nanmedian(act[~rv_free])
+
+
+def test_geometry_disk_cache_roundtrip():
+    """cache=True memoizes the generator products bit-identically
+    (fenicsx_beat_tpu.cache): a warm rebuild must match the cold one
+    field for field."""
+    import numpy as np
+
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    kw = dict(psize_ref=0.83, fiber_angle_endo=50.0)
+    cold = get_lv_ellipsoid_geometry(cache=False, **kw)
+    get_lv_ellipsoid_geometry(**kw)  # populate
+    warm = get_lv_ellipsoid_geometry(**kw)
+    assert np.array_equal(cold.mesh.coords, warm.mesh.coords)
+    assert np.array_equal(cold.mesh.cells, warm.mesh.cells)
+    assert np.array_equal(cold.f0, warm.f0)
+    assert np.array_equal(cold.ffun.indices, warm.ffun.indices)
+    assert np.array_equal(cold.ffun.values, warm.ffun.values)
+    assert cold.markers == warm.markers
