@@ -67,6 +67,8 @@ def cg_implicit(
     atol_scaled: float = 1e-12,
     maxiter: int = 1000,
     atol: float | None = None,
+    dot: Callable | None = None,
+    max_abs: Callable | None = None,
 ) -> jnp.ndarray:
     """Differentiable SPD solve ``x = A^{-1} b``.
 
@@ -102,7 +104,12 @@ def cg_implicit(
     normalization: dividing it by ``max|b|`` would loosen the adjoint
     solve by ~20 decades for a ``2**-64``-scaled seed, reintroducing the
     instant-convergence zero-gradient failure the normalization fixes.
-    ``atol`` is accepted as a deprecated alias for ``atol_scaled``."""
+    ``atol`` is accepted as a deprecated alias for ``atol_scaled``.
+
+    ``dot`` / ``max_abs`` override the inner product and the
+    normalization norm — the sharded path
+    (:mod:`~fenicsx_beat_tpu.parallel.adjoint`) passes psum/pmax-reduced
+    versions so the solve runs collectively inside ``shard_map``."""
     if atol is not None:
         import warnings
 
@@ -115,9 +122,13 @@ def cg_implicit(
         )
         atol_scaled = atol
 
+    _max_abs = max_abs if max_abs is not None else (
+        lambda r: jnp.max(jnp.abs(r))
+    )
+
     def _solve_from(guess):
         def solve(mv, rhs):
-            nb = jnp.max(jnp.abs(rhs))
+            nb = _max_abs(rhs)
             nb = jnp.where((nb > 0) & jnp.isfinite(nb), nb, 1.0)
             x, _info = cg(
                 mv,
@@ -127,6 +138,7 @@ def cg_implicit(
                 rtol=rtol,
                 atol=atol_scaled,
                 maxiter=maxiter,
+                dot=dot,
             )
             return x * nb
 

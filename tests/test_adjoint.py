@@ -1032,3 +1032,71 @@ def test_window_outlier_drops_nonfinite_window():
         truncate_every=1)
     # the 1e25-scaled window's grad is 2e50 -> Inf in f32: dropped
     np.testing.assert_allclose(float(g["p"]), 6.0, rtol=1e-5)
+
+
+def test_sharded_diff_simulator_matches_single_device():
+    """value_and_grad THROUGH shard_map == the single-device gradient
+    (VERDICT r4 #5): the halo exchange VJP is a ppermute, the implicit
+    CG adjoint re-runs the collective solver, and replicated parameter
+    cotangents psum-reduce across the mesh."""
+    from jax.sharding import Mesh
+
+    from fenicsx_beat_tpu.geometry import get_3D_slab_geometry
+    from fenicsx_beat_tpu.parallel.adjoint import build_sharded_diff_simulator
+
+    geo = get_3D_slab_geometry(None, dx=0.5, Lx=6.0, Ly=2.0, Lz=1.0)
+    m3 = geo.mesh
+    cells = meshmod.locate_entities(m3, 3, lambda x: x[0] <= 1.0)
+    tags = meshmod.meshtags(m3, 3, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=40.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(m3, subdomain_data=tags),
+        marker=1,
+    )
+    f0 = np.array([1.0, 0.0, 0.0])
+    Kf = np.outer(f0, f0)
+    Kt = np.eye(3) - Kf
+    kw = dict(
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=np.array([[1.0, 1.0, 0.5], [4.0, 1.0, 0.5]]),
+        dt=0.1,
+        n_steps=16,
+        theta=1.0,
+        pde_theta=0.5,
+        stiffness_components=[Kf, Kt],
+        cg_rtol=1e-11,
+        cg_atol=1e-13,
+        dtype=jnp.float64,
+    )
+    from fenicsx_beat_tpu.adjoint import build_diff_simulator
+
+    sim1 = build_diff_simulator(m3, **kw)
+    dm = Mesh(np.array(jax.devices()), ("shard",))
+    sim2 = build_sharded_diff_simulator(m3, dm, **kw)
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0),
+                        jnp.float64)
+    params = {"g": jnp.asarray([0.003, 0.001], jnp.float64), "ionic": ionic,
+              "stim_amplitude": jnp.asarray(40.0, jnp.float64)}
+
+    tr_ref = sim1(params)
+    target = tr_ref * 0.9
+
+    def loss(sim):
+        return lambda p: jnp.mean((sim(p) - target) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss(sim1))(params)
+    v2, g2 = jax.value_and_grad(loss(sim2))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g2["g"]), np.asarray(g1["g"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(g2["stim_amplitude"]), float(g1["stim_amplitude"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g2["ionic"]), np.asarray(g1["ionic"]),
+        rtol=1e-6, atol=1e-12)
+    # the sharded forward also matches trace-for-trace
+    np.testing.assert_allclose(
+        np.asarray(sim2(params)), np.asarray(tr_ref), rtol=1e-8, atol=1e-10)
