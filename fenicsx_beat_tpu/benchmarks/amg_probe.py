@@ -199,7 +199,8 @@ def run_pcg(args):
                 max_levels=levels, coarse_n=args.coarse_n,
                 degree=args.degree, omega=_levelspec(omega),
                 agg_passes=_levelspec(args.agg_passes),
-                strength_theta=args.theta,
+                strength_theta=_levelspec(args.theta),
+                cache_key=f"amg_probe_lv{args.psize}",
             )
             setup = _time.perf_counter() - t0
             hd = hier.to_device(level0_A=lane, lane_gather=True)
@@ -246,12 +247,13 @@ def run_solver(args):
     if args.agg_passes:
         amg_opts["agg_passes"] = _levelspec(args.agg_passes)
     if args.theta:
-        amg_opts["strength_theta"] = args.theta
+        amg_opts["strength_theta"] = _levelspec(args.theta)
     t0 = _time.perf_counter()
     bi = BidomainSolver(
         mesh=mesh, M_i=M_i, M_e=M_e, I_s=I_s, C_m=C_m, monitor=mon,
         u_precond=args.precond, u_amg_opts=amg_opts or None,
         scheme=args.scheme,
+        cache_key=f"amg_probe_lv{args.psize}",
         **_tp06_kwargs(),
     )
     setup_s = _time.perf_counter() - t0
@@ -296,8 +298,9 @@ def main(argv=None):
                     help="per-level spec, comma = tuple (e.g. 2,1)")
     pp.add_argument("--coarse-n", type=int, default=500)
     pp.add_argument("--degree", type=int, default=2)
-    pp.add_argument("--theta", type=float, default=0.05,
-                    help="strength threshold (0.10 semicoarsens along fibers)")
+    pp.add_argument("--theta", type=str, default="0.05",
+                    help="strength threshold, per-level spec (comma = "
+                         "tuple; 0.10 semicoarsens along fibers)")
     pp.add_argument("--rtol", type=float, default=1e-5)
     pp.add_argument("--reps", type=int, default=3)
     ps = sub.add_parser("solver")
@@ -308,8 +311,9 @@ def main(argv=None):
     ps.add_argument("--degree", type=int, default=0)
     ps.add_argument("--omega", type=str, default=None,
                     help="per-level spec, comma = tuple")
-    ps.add_argument("--theta", type=float, default=0.0,
-                    help="strength threshold (0 = build_amg default)")
+    ps.add_argument("--theta", type=str, default="",
+                    help="strength threshold, per-level spec "
+                         "(empty = build_amg default)")
     ps.add_argument("--scheme", default="monolithic",
                     help="bidomain time-coupling scheme (monolithic | gs)")
     ps.add_argument("--agg-passes", type=str, default="",

@@ -126,6 +126,9 @@ class BidomainSolver:
     # fingerprinted, so the string only namespaces; a warm second
     # construction skips minutes of host time on production meshes
     cache_key: str | None = None
+    # per-node marker array/Function for dict-valued ode_fun (multi-model
+    # tissue, e.g. endo/epi TP06 celltypes — fused.py's contract)
+    ode_markers: Any = None
 
     def __post_init__(self):
         from .config import default_dtype
@@ -138,6 +141,37 @@ class BidomainSolver:
             raise ValueError(
                 f"scheme must be 'monolithic' or 'gs', got {self.scheme!r}"
             )
+        if isinstance(self.ode_fun, dict):
+            # multi-marker ionic models: compose into one traceable step
+            # whose `parameters` are the node masks (fused.py's contract)
+            if self.ode_markers is None:
+                raise ValueError("dict-valued ode_fun requires ode_markers")
+            from .odesolver import make_multi_ode
+
+            markers = (
+                self.ode_markers.x.array
+                if hasattr(self.ode_markers, "x")
+                else self.ode_markers
+            )
+            markers = np.asarray(markers).astype(np.int64)
+            if markers.shape[0] != n:
+                raise ValueError(
+                    f"ode_markers has {markers.shape[0]} entries, expected {n}"
+                )
+            (
+                self.ode_fun,
+                self.init_states,
+                masks,
+                self.v_index,
+            ) = make_multi_ode(
+                markers,
+                self.ode_fun,
+                self.init_states,
+                self.parameters,
+                self.v_index,
+                dtype=self.dtype,
+            )
+            self.parameters = masks  # masks travel as the traced parameters
         if not 0.0 < self.theta <= 1.0:
             raise ValueError(f"splitting theta must lie in (0, 1], got {self.theta}")
         if not 0.0 < self.pde_theta <= 1.0:

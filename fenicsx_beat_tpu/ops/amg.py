@@ -304,7 +304,15 @@ class AMGHierarchy:
         put = jax.device_put
 
         def ship(M):
-            if not lane_gather:
+            # lane-gather only pays where rows are many: each repacked
+            # matrix lowers to its own Mosaic kernel, and a deep
+            # hierarchy's kernel collection blows past the remote-TPU
+            # compile-payload limit (HTTP 413, measured with the 6-8
+            # level theta=0.10 hierarchies) — the very failure mode
+            # behind the round-4 composed bidomain+AMG crash.  Below
+            # ~16k rows the XLA ELL gather's ~1 GB/s is microseconds
+            # anyway, so small levels stay on it.
+            if not lane_gather or max(M.shape) < 16_384:
                 return M.to_device()
             from .pallas_ell import LaneGatherMatrix
 
@@ -339,7 +347,7 @@ class AMGHierarchy:
 def build_amg(
     A,
     *,
-    strength_theta: float = 0.05,
+    strength_theta: float | tuple = 0.05,
     omega: float | tuple = 4.0 / 3.0,
     max_levels: int = 12,
     coarse_n: int = 500,
@@ -368,8 +376,16 @@ def build_amg(
     deterministic (seeded MIS), so the cached product is bit-identical
     to a rebuild.
 
-    ``omega`` and ``agg_passes`` take a scalar (every level) or a tuple
-    (level k uses entry ``min(k, len-1)``): ``omega`` is the prolongator
+    ``strength_theta``, ``omega`` and ``agg_passes`` take a scalar (every
+    level) or a tuple (level k uses entry ``min(k, len-1)``):
+    ``strength_theta`` is the strength-of-connection threshold — on
+    anisotropic fiber operators ``0.10`` SEMICOARSENS along fibers
+    (measured at the 79k LV: 23 its vs 59 at the 0.05 default, f64
+    rtol 1e-5) but coarsens only ~2.75x/level, and hierarchies deeper
+    than ~4 levels exceed the remote-TPU compile-payload limit (HTTP
+    413) — pair a fiber-aware first level with aggressive deeper levels,
+    e.g. ``strength_theta=(0.10, 0.05), agg_passes=(1, 2)``.  ``omega``
+    is the prolongator
     smoothing weight (0 = tentative/unsmoothed P), ``agg_passes`` the
     number of composed MIS aggregation passes per level (2 passes ~=
     16-60x coarsening).  The TPU-tuned configuration is
@@ -421,7 +437,8 @@ def build_amg(
         offdiag.setdiag(0.0)
         offdiag.eliminate_zeros()
         active = np.diff(offdiag.indptr) > 0
-        S = _strength_graph(Ak, strength_theta)
+        theta_k = _per_level(strength_theta, len(levels))
+        S = _strength_graph(Ak, theta_k)
         agg, n_agg = _aggregate(S, active)
         if n_agg == 0 or n_agg >= 0.9 * Ak.shape[0]:
             break  # coarsening stalled; stop and solve what we have densely
@@ -439,7 +456,7 @@ def build_amg(
                 shape=(Ak.shape[0], n_agg),
             )
             A1 = (T1.T @ Ak @ T1).tocsr()
-            S1 = _strength_graph(A1, strength_theta)
+            S1 = _strength_graph(A1, theta_k)
             agg1, n1 = _aggregate(S1, np.ones(n_agg, dtype=bool))
             if n1 == 0 or n1 >= 0.9 * n_agg:
                 break

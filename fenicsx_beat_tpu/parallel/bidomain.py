@@ -147,6 +147,9 @@ class ShardedBidomainSolver:
     monitor: BaseMonitor = field(default_factory=NullMonitor)
     dtype: Any = None
     u_precond: str = "auto"
+    # node-aligned ionic-model markers for dict-valued ode_fun (the same
+    # contract as ShardedMonodomainSolver / the fused solvers)
+    ode_markers: Any = None
 
     def __post_init__(self):
         self.dtype = self.dtype or default_dtype()
@@ -160,12 +163,40 @@ class ShardedBidomainSolver:
             raise ValueError(
                 f"u_precond must be auto/amg/jacobi, got {self.u_precond!r}"
             )
+        # multi-marker ionic models: compose into one traceable step whose
+        # `parameters` are the node masks, sharded along the node axis —
+        # the exact machinery ShardedMonodomainSolver uses
+        self._ode_masks = None
         if isinstance(self.ode_fun, dict):
-            raise NotImplementedError(
-                "multi-marker ionic models are not yet supported on the "
-                "sharded bidomain path (use ShardedMonodomainSolver or the "
-                "single-device BidomainSolver)"
+            if self.ode_markers is None:
+                raise ValueError("dict-valued ode_fun requires ode_markers")
+            from ..odesolver import make_multi_ode
+
+            markers = (
+                self.ode_markers.x.array
+                if hasattr(self.ode_markers, "x")
+                else self.ode_markers
             )
+            markers = np.asarray(markers).astype(np.int64)
+            if markers.shape[0] != self.mesh.num_vertices:
+                raise ValueError(
+                    f"ode_markers has {markers.shape[0]} entries, expected "
+                    f"{self.mesh.num_vertices}"
+                )
+            (
+                self.ode_fun,
+                self.init_states,
+                self._ode_masks,
+                self.v_index,
+            ) = make_multi_ode(
+                markers,
+                self.ode_fun,
+                self.init_states,
+                self.parameters,
+                self.v_index,
+                dtype=self.dtype,
+            )
+            self.parameters = None  # masks travel as the traced parameters
         # dtype-aware solver tolerances (bidomain.py does the same)
         if jnp.dtype(self.dtype).itemsize == 4:
             self.cg_rtol = max(self.cg_rtol, 1e-6)
@@ -272,11 +303,26 @@ class ShardedBidomainSolver:
             jnp.zeros((part.n_pad,), dtype=self.dtype), shard_vec
         )
         npdt = np.dtype(jnp.dtype(self.dtype).name)
-        self._params_j = (
-            None
-            if self.parameters is None
-            else np.asarray(self.parameters, dtype=npdt)
-        )
+        # ODE parameters: node-aligned arrays (multi-marker masks) are
+        # permuted/padded and threaded through shard_map along the node
+        # axis; plain vectors replicate (solver.py does the same)
+        self._params_sharded = False
+        if self._ode_masks is not None:
+            masks = self._ode_masks
+            if self._perm is not None:
+                masks = masks[:, self._perm]
+            if pad:
+                masks = np.concatenate(
+                    [masks, np.tile(masks[:, :1], (1, pad))], axis=1
+                )
+            self._params_j = np.asarray(masks)
+            self._params_sharded = True
+        else:
+            self._params_j = (
+                None
+                if self.parameters is None
+                else np.asarray(self.parameters, dtype=npdt)
+            )
         self._build_kernels()
 
     # ------------------------------------------------------------------
@@ -295,6 +341,7 @@ class ShardedBidomainSolver:
         windows, win_amp_idx = st.windows, st.win_amp_idx
         gen_Ns, gen_exprs, gen_amp_idx = st.gen_Ns, st.gen_exprs, st.gen_amp_idx
         rtol, atol, maxiter = self.cg_rtol, self.cg_atol, self.cg_maxiter
+        params_sharded = self._params_sharded
         fwd = [(i, i + 1) for i in range(nd - 1)]
         bwd = [(i + 1, i) for i in range(nd - 1)]
         npdt = np.dtype(jnp.dtype(self.dtype).name)
@@ -404,8 +451,9 @@ class ShardedBidomainSolver:
             states_loc, u_loc, cols3, vm3, vki3, vkie3,
             tr3, tc3, tvm3, tvi3, tvie3,
             Rc3, Rv3, Pc3, Pv3, dinv03, lmax0_, subh,
-            b_units, gq, t0, dt, amps, n_steps,
+            b_units, gq, pnode, t0, dt, amps, n_steps,
         ):
+            ode_params = pnode if params_sharded else params_j
             cols_loc = cols3[0]
             vm, vki, vkie = vm3[0], vki3[0], vkie3[0]
             A_vals = C_m * vm + (pde_theta * dt) * vki
@@ -498,7 +546,9 @@ class ShardedBidomainSolver:
 
             def one_step(carry, _):
                 states, u_e, t, dvu = carry
-                states = ode_fun(states=states, t=t, parameters=params_j, dt=theta * dt)
+                states = ode_fun(
+                    states=states, t=t, parameters=ode_params, dt=theta * dt
+                )
                 v = states[v_index]
                 ts = t + pde_theta * dt
                 rhs_v = (
@@ -522,7 +572,7 @@ class ShardedBidomainSolver:
                 if not godunov:
                     states = ode_fun(
                         states=states, t=t + theta * dt,
-                        parameters=params_j, dt=(1.0 - theta) * dt,
+                        parameters=ode_params, dt=(1.0 - theta) * dt,
                     )
                 return (states, u_new, t + dt, dvu), (
                     info.iterations, info.residual_norm, info.converged,
@@ -570,6 +620,9 @@ class ShardedBidomainSolver:
         else:
             tr3 = tc3 = np.zeros((nd, 0), dtype=np.int32)
             tvm3 = tvi3 = tvie3 = np.zeros((nd, 0), dtype=npdt)
+        pnode_arg = (
+            self._params_j if params_sharded else np.zeros((0,), dtype=npdt)
+        )
         self._operands = (
             put(cols_arg, P(axis, None, None)),
             put(self._vals_mass, P(axis, None, None)),
@@ -597,6 +650,7 @@ class ShardedBidomainSolver:
                 )
                 for (X4, W4, D4, O4) in st.gen_tables
             ),
+            put(pnode_arg, P(None, axis) if params_sharded else P()),
         )
 
         @partial(jax.jit, static_argnames=("n_steps",))
@@ -605,7 +659,7 @@ class ShardedBidomainSolver:
                 cols_arg, vals_mass, vals_ki, vals_kie,
                 tr3, tc3, tvm3, tvi3, tvie3,
                 Rc3, Rv3, Pc3, Pv3, dinv03, lmax0_, subh,
-                b_units, gen_tables,
+                b_units, gen_tables, pnode,
             ) = operands
             fn = shard_map(
                 partial(local_chunk, n_steps=n_steps),
@@ -639,6 +693,9 @@ class ShardedBidomainSolver:
                         )
                         for _ in st.gen_tables
                     ),
+                    # node-aligned ODE params (multi-marker masks) or a
+                    # replicated empty placeholder
+                    P(None, axis) if params_sharded else P(),
                     P(),  # t0
                     P(),  # dt
                     P(),  # amps
@@ -649,7 +706,7 @@ class ShardedBidomainSolver:
             return fn(states, u_e, cols_arg, vals_mass, vals_ki, vals_kie,
                       tr3, tc3, tvm3, tvi3, tvie3,
                       Rc3, Rv3, Pc3, Pv3, dinv03, lmax0_, subh,
-                      b_units, gen_tables, t0, dt, amps)
+                      b_units, gen_tables, pnode, t0, dt, amps)
 
         self._run_chunk = lambda *a: run_chunk_ops(self._operands, *a)
 

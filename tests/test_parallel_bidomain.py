@@ -159,9 +159,59 @@ def test_sharded_bidomain_validation():
             mesh=mesh, M_i=0.004, M_e=0.008, I_s=I_s,
             device_mesh=_device_mesh(2), u_precond="boomer", **kw,
         )
-    with pytest.raises(NotImplementedError, match="multi-marker"):
+    with pytest.raises(ValueError, match="ode_markers"):
+        # dict-valued ode_fun is supported, but needs the marker field
         ShardedBidomainSolver(
             mesh=mesh, M_i=0.004, M_e=0.008, I_s=I_s,
             device_mesh=_device_mesh(2),
             **{**kw, "ode_fun": {1: fhn.forward_euler}},
         )
+
+
+def test_sharded_multi_marker_matches_single_device():
+    """Two-marker TP06 endo/epi split on the sharded bidomain path
+    (VERDICT r4 #7): dict-valued ode_fun composes via make_multi_ode with
+    node masks sharded along the node axis, and must reproduce the
+    single-device BidomainSolver with the same markers."""
+    from fenicsx_beat_tpu import fem
+    from fenicsx_beat_tpu.models import tentusscher_panfilov_2006 as tp06
+
+    mesh, I_s = _sheet_setup(nx=12)
+    V = fem.functionspace(mesh, ("P", 1))
+    coords = V.tabulate_dof_coordinates()
+    marker_arr = np.where(coords[:, 0] < 0.5, 1, 2)
+    params = tp06.init_parameter_values(stim_amplitude=0.0)
+    kw = dict(
+        mesh=mesh,
+        M_i=0.004,
+        M_e=0.008,
+        I_s=I_s,
+        ode_fun={
+            1: tp06.generalized_rush_larsen,
+            2: tp06.generalized_rush_larsen,
+        },
+        init_states={
+            1: tp06.init_state_values(),
+            2: tp06.init_state_values(V=-60.0),
+        },
+        parameters={1: params, 2: params},
+        v_index={1: tp06.state_index("V"), 2: tp06.state_index("V")},
+        ode_markers=marker_arr,
+        theta=1.0,
+        pde_theta=0.5,
+        cg_rtol=1e-11,
+        cg_atol=1e-13,
+    )
+    n_steps, dt = 8, 0.05
+
+    bi = BidomainSolver(**kw)
+    bi.solve((0.0, n_steps * dt), dt=dt)
+
+    sb = ShardedBidomainSolver(device_mesh=_device_mesh(8), **kw)
+    assert sb._params_sharded
+    assert sb.solve((0.0, n_steps * dt), dt=dt) == Status.OK
+
+    np.testing.assert_allclose(np.asarray(sb.v), np.asarray(bi.v), rtol=0, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sb.u_e), np.asarray(bi.u_e), rtol=0, atol=5e-5
+    )
