@@ -253,6 +253,7 @@ def run_solver(args):
         mesh=mesh, M_i=M_i, M_e=M_e, I_s=I_s, C_m=C_m, monitor=mon,
         u_precond=args.precond, u_amg_opts=amg_opts or None,
         scheme=args.scheme,
+        gs_u_rtol=args.gs_u_rtol or None,
         cache_key=f"amg_probe_lv{args.psize}",
         **_tp06_kwargs(),
     )
@@ -316,6 +317,8 @@ def main(argv=None):
                          "(empty = build_amg default)")
     ps.add_argument("--scheme", default="monolithic",
                     help="bidomain time-coupling scheme (monolithic | gs)")
+    ps.add_argument("--gs-u-rtol", type=float, default=0.0,
+                    help="gs elliptic-solve relative tolerance (0 = cg_rtol)")
     ps.add_argument("--agg-passes", type=str, default="",
                     help="per-level spec, comma = tuple")
     ps.add_argument("--warm-ms", type=float, default=2.0)

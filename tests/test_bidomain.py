@@ -501,3 +501,31 @@ def test_gs_scheme_validation():
             v_index=fhn.state_index("v"),
             scheme="jacobi-outer",
         )
+
+
+def test_gs_loose_u_tolerance_error_bounded():
+    """Relaxing the gs elliptic solve to gs_u_rtol=1e-4 must not move the
+    fields beyond the scheme's own O(dt^2) coupling-lag error (the basis
+    for running the production u_e solve loose)."""
+    mesh, make_stim = _setup()
+    common = dict(
+        mesh=mesh, M_i=0.004, M_e=0.002, I_s=make_stim(),
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+        theta=1.0,
+        pde_theta=0.5,
+        scheme="gs",
+        dtype=jnp.float64,
+    )
+    tight = BidomainSolver(cg_rtol=1e-11, cg_atol=1e-13, **common)
+    tight.solve((0.0, 4.0), dt=0.05)
+    loose = BidomainSolver(
+        cg_rtol=1e-11, cg_atol=1e-13, gs_u_rtol=1e-4, **common
+    )
+    loose.solve((0.0, 4.0), dt=0.05)
+    v0, u0 = np.asarray(tight.v), np.asarray(tight.u_e)
+    v1, u1 = np.asarray(loose.v), np.asarray(loose.u_e)
+    assert np.abs(v1 - v0).max() < 2e-3 * np.abs(v0).max()
+    assert np.abs(u1 - u0).max() < 5e-3 * np.abs(u0).max()
