@@ -153,7 +153,53 @@ def cg_implicit(
     )
 
 
-def _stack_components(V, specs, dtype, mass=None):
+def _lane_combo_factory(lane0, vals_stack, tail_stack, diag_stack):
+    """Differentiable weighted-combination SpMV on the paged lane-gather
+    format: ``mv(w, x) = (sum_i w_i K_i) @ x`` where the ``K_i`` share one
+    page layout (``LaneGatherMatrix.from_operator_group``) so the combine
+    is value-level.  The pallas kernel is opaque to autodiff; the custom
+    VJP uses each component's SYMMETRY: ``dx = K(w) @ ybar`` is the same
+    kernel, and ``dw_i = ybar . (K_i @ x)`` is one extra kernel call per
+    component.  ``custom_linear_solve`` differentiates its matvec once
+    per solve (not per CG iteration), so the extra calls are per-step,
+    not per-iteration.  ``diag(w)`` comes free from the packed per-
+    component diagonals."""
+    from dataclasses import replace
+
+    nc = vals_stack.shape[0]
+    has_tail = tail_stack is not None
+
+    def _with(w):
+        v = jnp.tensordot(w, vals_stack, axes=1)
+        tv = jnp.tensordot(w, tail_stack, axes=1) if has_tail else None
+        return replace(lane0, vals=v, tail_vals=tv, diag=None)
+
+    def _apply(w, x):
+        return _with(w) @ x
+
+    @jax.custom_vjp
+    def mv(w, x):
+        return _apply(w, x)
+
+    def fwd(w, x):
+        return _apply(w, x), (w, x)
+
+    def bwd(res, yb):
+        w, x = res
+        dx = _apply(w, yb)
+        one = jnp.eye(nc, dtype=vals_stack.dtype)
+        dw = jnp.stack([jnp.vdot(yb, _apply(one[i], x)) for i in range(nc)])
+        return dw.astype(w.dtype), dx
+
+    mv.defvjp(fwd, bwd)
+
+    def diag(w):
+        return jnp.tensordot(w, diag_stack, axes=1)
+
+    return mv, diag
+
+
+def _stack_components(V, specs, dtype, mass=None, ops_out: list | None = None):
     """Assemble conductivity ``specs`` into one shared-pattern value stack.
 
     Returns ``(mass, kvals_stack, ktail_stack)``: the (first) mass
@@ -161,11 +207,15 @@ def _stack_components(V, specs, dtype, mass=None):
     streams ``[n_specs, ...vals]``, and the stacked hybrid apex-tail
     values (unstructured LV meshes) or ``None``.  Pass ``mass`` to pin a
     pattern assembled earlier (the bidomain's intra/extra stacks must
-    share one pattern so value-level combination stays valid)."""
+    share one pattern so value-level combination stays valid).
+    ``ops_out`` (a list) additionally receives each component's operator
+    object (the lane-gather repack needs them)."""
     kvals_list = []
     ktail_list = []
     for spec in specs:
         m_i, k_i = fem.assemble_mass_stiffness_auto(V, spec)
+        if ops_out is not None:
+            ops_out.append(k_i)
         if mass is None:
             mass = m_i
         kvals_list.append(jnp.asarray(k_i.vals, dtype=dtype))
@@ -329,6 +379,7 @@ def build_diff_simulator(
     cg_maxiter: int = 1000,
     dtype=jnp.float64,
     checkpoint_segments: int | None = None,
+    use_lane_ops: bool | None = None,
 ) -> Callable[[dict], jnp.ndarray]:
     """Build ``simulate(params) -> probe voltages [n_steps, n_probes]``.
 
@@ -380,10 +431,61 @@ def build_diff_simulator(
     n = V.ndofs
 
     specs = stiffness_components if stiffness_components is not None else [1.0]
-    mass, kvals_stack, ktail_stack = _stack_components(V, specs, dtype)
+    k_ops: list = []
+    mass, kvals_stack, ktail_stack = _stack_components(
+        V, specs, dtype, ops_out=k_ops
+    )
     has_tail = ktail_stack is not None
     mvals = jnp.asarray(mass.vals, dtype=dtype)
     mtail = jnp.asarray(mass.tail_vals, dtype=dtype) if has_tail else None
+
+    # TPU-unstructured fast path: the XLA gather behind the plain ELL
+    # SpMV measures ~1 GB/s effective on the chip (docs/DESIGN.md §3),
+    # which made unstructured differentiation production-infeasible (a
+    # 79k-node LV fit iteration would be SpMV-bound at ~15 min).  Pack
+    # mass + stiffness components into ONE shared paged lane-gather
+    # layout and ride the pallas kernel through a symmetry-based custom
+    # VJP (_lane_combo_factory).
+    combo_mv = combo_diag = None
+    if use_lane_ops is None:
+        use_lane_ops = (
+            jax.default_backend() == "tpu"
+            and not hasattr(mass, "offsets")  # ELL: unstructured mesh
+            and n >= 4096
+        )
+    if use_lane_ops and hasattr(mass, "offsets"):
+        raise ValueError("use_lane_ops requires an unstructured (ELL) mesh")
+    if use_lane_ops:
+        try:
+            from .ops.pallas_ell import LaneGatherMatrix
+
+            lanes = LaneGatherMatrix.from_operator_group(
+                (mass, *k_ops), dtype=dtype
+            )
+            lane0 = lanes[0].to_device()
+            vstack = jnp.stack(
+                [jnp.asarray(L.vals, dtype=dtype) for L in lanes]
+            )
+            tstack = (
+                jnp.stack(
+                    [jnp.asarray(L.tail_vals, dtype=dtype) for L in lanes]
+                )
+                if lanes[0].tail_vals is not None
+                else None
+            )
+            dstack = jnp.stack(
+                [jnp.asarray(L.diag, dtype=dtype) for L in lanes]
+            )
+            combo_mv, combo_diag = _lane_combo_factory(
+                lane0, vstack, tstack, dstack
+            )
+        except Exception as exc:  # pragma: no cover - backend-specific
+            logger = __import__("logging").getLogger(__name__)
+            logger.warning(
+                "lane-gather diff path unavailable (%s); using the XLA "
+                "ELL matvec", exc,
+            )
+            combo_mv = combo_diag = None
 
     default_amps, n_slots, b_stim_tables = _stimulus_setup(
         V, I_s, quadrature_degree, dtype, n
@@ -439,15 +541,34 @@ def build_diff_simulator(
         )
         # a scalar amplitude applies to every stimulus slot
         amps = jnp.broadcast_to(amps, (n_slots,))
-        mv, kv, kt = _operator_vals(g)
-        A = _with_values(
-            chi * C_m * mv + th * dt_f * kv,
-            chi * C_m * mtail + th * dt_f * kt if has_tail else None,
-        )
-        Mop = _with_values(mv, mtail)
-        Kop = _with_values(kv, kt)
-        diagA = A.diagonal()
-        diagM = Mop.diagonal() if W_e is not None else None
+        if combo_mv is not None:
+            gvec = jnp.atleast_1d(jnp.asarray(g, dtype=dtype))
+            e_m = jnp.zeros((1 + gvec.shape[0],), dtype).at[0].set(1.0)
+            w_k = jnp.concatenate([jnp.zeros((1,), dtype), gvec])
+            w_a = jnp.concatenate(
+                [jnp.full((1,), chi * C_m, dtype), th * dt_f * gvec]
+            )
+            Amv = lambda u: combo_mv(w_a, u)  # noqa: E731
+            Mmv = lambda u: combo_mv(e_m, u)  # noqa: E731
+            Kmv = lambda u: combo_mv(w_k, u)  # noqa: E731
+            diagA = jax.lax.stop_gradient(combo_diag(w_a))
+            diagM = (
+                jax.lax.stop_gradient(combo_diag(e_m))
+                if W_e is not None else None
+            )
+        else:
+            mv, kv, kt = _operator_vals(g)
+            A = _with_values(
+                chi * C_m * mv + th * dt_f * kv,
+                chi * C_m * mtail + th * dt_f * kt if has_tail else None,
+            )
+            Mop = _with_values(mv, mtail)
+            Kop = _with_values(kv, kt)
+            Amv = lambda u: A @ u  # noqa: E731
+            Mmv = lambda u: Mop @ u  # noqa: E731
+            Kmv = lambda u: Kop @ u  # noqa: E731
+            diagA = A.diagonal()
+            diagM = Mop.diagonal() if W_e is not None else None
 
         def b_stim(t):
             return b_stim_tables(t, amps, chi)
@@ -459,12 +580,12 @@ def build_diff_simulator(
             # stimulus evaluated at the PDE theta point, matching the
             # production solvers (fused.py:627, reference base_model.py:219)
             rhs = (
-                chi * C_m * (Mop @ v)
-                - (1.0 - th) * dt_f * (Kop @ v)
+                chi * C_m * Mmv(v)
+                - (1.0 - th) * dt_f * Kmv(v)
                 + dt_f * b_stim(t + th * dt_f)
             )
             return cg_implicit(
-                lambda u: A @ u,
+                Amv,
                 rhs,
                 x0=v,
                 precond_diag=diagA,
@@ -490,8 +611,8 @@ def build_diff_simulator(
             # pseudo-ECG: Im = -(1/C_m) Mass^{-1} K(g) v, phi = W Im
             vv = states[v_index]
             im = cg_implicit(
-                lambda u: Mop @ u,
-                Kop @ vv,
+                Mmv,
+                Kmv(vv),
                 precond_diag=diagM,
                 rtol=cg_rtol,
                 atol_scaled=cg_atol,

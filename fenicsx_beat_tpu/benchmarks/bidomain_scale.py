@@ -124,23 +124,27 @@ def _timed_solve(solver, T_warm, T_timed, dt, chunk_steps=100):
     return wall, (T_timed / wall if wall > 0 else 0.0)
 
 
-def run_slab(dx, dt=0.05, T_warm=5.0, T_timed=10.0, u_precond="auto"):
+def run_slab(dx, dt=0.05, T_warm=5.0, T_timed=10.0, u_precond="auto",
+             scheme="monolithic", gs_u_rtol=None):
     geo, mesh, I_s, C_m = _slab_problem(dx)
     mon = _IterMonitor()
     t_setup = _time.perf_counter()
     bi = BidomainSolver(
         mesh=mesh, M_i=_bidomain_tensors(geo.f0)[0],
         M_e=_bidomain_tensors(geo.f0)[1],
-        I_s=I_s, C_m=C_m, monitor=mon, u_precond=u_precond, **_tp06_kwargs(),
+        I_s=I_s, C_m=C_m, monitor=mon, u_precond=u_precond,
+        scheme=scheme, gs_u_rtol=gs_u_rtol,
+        cache_key=f"bidomain_slab{dx:g}", **_tp06_kwargs(),
     )
     setup_s = _time.perf_counter() - t_setup
     wall, ms_per_s = _timed_solve(bi, T_warm, T_timed, dt)
     v = np.asarray(bi.v)
     row = {
-        "case": f"slab_dx{dx:g}",
+        "case": f"slab_dx{dx:g}" + ("" if scheme == "monolithic" else f"_{scheme}"),
         "n_nodes": int(mesh.num_vertices),
         "dx": dx,
         "dt": dt,
+        "scheme": scheme,
         "u_precond": "dct" if bi._u_dct else ("amg" if bi._u_amg else "jacobi"),
         "setup_s": round(setup_s, 3),
         "timed_ms": T_timed,
@@ -169,7 +173,9 @@ def run_slab(dx, dt=0.05, T_warm=5.0, T_timed=10.0, u_precond="auto"):
     return row
 
 
-def run_lv(psize_ref, dt=0.05, T_warm=5.0, T_timed=10.0, preconds=("jacobi", "amg")):
+def run_lv(psize_ref, dt=0.05, T_warm=5.0, T_timed=10.0,
+           preconds=("jacobi", "amg"), scheme="monolithic", gs_u_rtol=None,
+           u_amg_opts=None):
     geo, mesh, I_s, C_m = _lv_problem(psize_ref)
     M_i, M_e = _bidomain_tensors(geo.f0)
     rows = []
@@ -179,7 +185,9 @@ def run_lv(psize_ref, dt=0.05, T_warm=5.0, T_timed=10.0, preconds=("jacobi", "am
         try:
             bi = BidomainSolver(
                 mesh=mesh, M_i=M_i, M_e=M_e, I_s=I_s, C_m=C_m,
-                monitor=mon, u_precond=precond, **_tp06_kwargs(),
+                monitor=mon, u_precond=precond, scheme=scheme,
+                gs_u_rtol=gs_u_rtol, u_amg_opts=u_amg_opts,
+                cache_key=f"bidomain_lv{psize_ref:g}", **_tp06_kwargs(),
             )
             setup_s = _time.perf_counter() - t_setup
             wall, ms_per_s = _timed_solve(bi, T_warm, T_timed, dt)
@@ -194,9 +202,14 @@ def run_lv(psize_ref, dt=0.05, T_warm=5.0, T_timed=10.0, preconds=("jacobi", "am
             })
             continue
         rows.append({
-            "case": f"lv_ps{psize_ref:g}_{precond}",
+            "case": f"lv_ps{psize_ref:g}_{precond}"
+                    + ("" if scheme == "monolithic" else f"_{scheme}"),
             "n_nodes": int(mesh.num_vertices),
             "dt": dt,
+            "scheme": scheme,
+            "u_amg_opts": {
+                k: str(v) for k, v in (u_amg_opts or {}).items()
+            } or None,
             "u_precond": "amg" if bi._u_amg else "jacobi",
             "setup_s": round(setup_s, 3),
             "timed_ms": T_timed,
@@ -217,6 +230,13 @@ def main(argv=None):
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--out", default="BIDOMAIN_SCALE.json")
     ap.add_argument("--skip-lv", action="store_true")
+    ap.add_argument("--scheme", default="monolithic",
+                    help="time-coupling scheme (monolithic | gs)")
+    ap.add_argument("--gs-u-rtol", type=float, default=0.0,
+                    help="gs elliptic-solve rtol (0 = cg_rtol)")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge rows into an existing --out by case name "
+                         "instead of overwriting the file")
     args = ap.parse_args(argv)
 
     import jax
@@ -233,13 +253,21 @@ def main(argv=None):
 
     rows = []
     for dx in args.dx:
-        row = run_slab(dx, dt=args.dt)
+        row = run_slab(dx, dt=args.dt, scheme=args.scheme,
+                       gs_u_rtol=args.gs_u_rtol or None)
         print(json.dumps(row))
         rows.append(row)
     if not args.skip_lv:
-        for row in run_lv(args.lv_psize, dt=args.dt):
+        for row in run_lv(args.lv_psize, dt=args.dt, scheme=args.scheme,
+                          gs_u_rtol=args.gs_u_rtol or None):
             print(json.dumps(row))
             rows.append(row)
+
+    if args.merge and Path(args.out).exists():
+        old = json.loads(Path(args.out).read_text())
+        merged = {r["case"]: r for r in old.get("rows", [])}
+        merged.update({r["case"]: r for r in rows})
+        rows = list(merged.values())
 
     out = {
         "description": (

@@ -1100,3 +1100,59 @@ def test_sharded_diff_simulator_matches_single_device():
     # the sharded forward also matches trace-for-trace
     np.testing.assert_allclose(
         np.asarray(sim2(params)), np.asarray(tr_ref), rtol=1e-8, atol=1e-10)
+
+
+def test_lane_ops_diff_path_matches_ell():
+    """The lane-gather diff path (pallas SpMV behind a symmetry-based
+    custom VJP) must reproduce the plain ELL path's value AND gradients
+    on an unstructured mesh (interpret mode on CPU)."""
+    from fenicsx_beat_tpu.adjoint import build_diff_simulator
+    from fenicsx_beat_tpu.conductivities import as_cell_tensors
+    from fenicsx_beat_tpu.geometry import get_lv_ellipsoid_geometry
+
+    geo = get_lv_ellipsoid_geometry(psize_ref=0.8)
+    m3 = geo.mesh
+    zmin = m3.coords[:, 2].min()
+    cells = meshmod.locate_entities(m3, 3, lambda x: x[2] <= zmin + 2.0)
+    tags = meshmod.meshtags(m3, 3, cells, 1)
+    I_s = stimulation.Stimulus(
+        expr=stimulation.TimeWindow(amplitude=50.0, start=0.0, duration=1.0),
+        dZ=stimulation.dx(m3, subdomain_data=tags),
+        marker=1,
+    )
+    f = np.asarray(geo.f0)
+    if f.shape[0] == m3.num_vertices:  # node field -> per-cell average
+        f = f[m3.cells].mean(axis=1)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+    Kf = np.einsum("ci,cj->cij", f, f)
+    Kt = np.eye(3)[None] - Kf
+    kw = dict(
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        v_index=fhn.state_index("v"),
+        I_s=I_s,
+        probe_points=m3.coords[::max(1, m3.num_vertices // 5)][:4],
+        dt=0.1,
+        n_steps=10,
+        stiffness_components=[as_cell_tensors(Kf, m3), as_cell_tensors(Kt, m3)],
+        cg_rtol=1e-11,
+        cg_atol=1e-13,
+        dtype=jnp.float64,
+    )
+    sim_ell = build_diff_simulator(m3, use_lane_ops=False, **kw)
+    sim_lane = build_diff_simulator(m3, use_lane_ops=True, **kw)
+    ionic = jnp.asarray(fhn.init_parameter_values(stim_amplitude=0.0),
+                        jnp.float64)
+    params = {"g": jnp.asarray([0.003, 0.001], jnp.float64), "ionic": ionic}
+    target = sim_ell(params) * 0.9
+
+    def loss(sim):
+        return lambda p: jnp.mean((sim(p) - target) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss(sim_ell))(params)
+    v2, g2 = jax.value_and_grad(loss(sim_lane))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g2["g"]), np.asarray(g1["g"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2["ionic"]),
+                               np.asarray(g1["ionic"]), rtol=1e-6, atol=1e-12)
