@@ -106,6 +106,10 @@ def run_components(args):
         hier = build_amg(
             k_ie, dtype=jnp.float32, semidefinite=True,
             max_levels=levels, coarse_n=args.coarse_n, degree=args.degree,
+            strength_theta=_levelspec(args.theta),
+            omega=_levelspec(args.omega),
+            agg_passes=_levelspec(args.agg_passes),
+            cache_key=f"amg_probe_lv{args.psize}",
         )
         setup_s = _time.perf_counter() - t0
         hd = hier.to_device(level0_A=lane, lane_gather=True)
@@ -123,20 +127,21 @@ def run_components(args):
             int(getattr(lv.P, "n_planes", -1)) for lv in hd.levels
         ]
         out[key + "_setup_s"] = round(setup_s, 2)
-        # per-level pieces of the FIRST level (the dominant one)
-        lv0 = hd.levels[0]
-        out[key + "_R_us"] = round(
-            _timed_loop(
-                lambda r: (lv0.P @ (lv0.R @ r))[: n], x0, 600
-            ) * 1e6, 1,
-        )
-        if len(hd.levels) > 1:
-            lv1 = hd.levels[1]
-            n1 = lv1.A.shape[0]
-            out[key + "_A1_us"] = round(
-                _timed_loop(lambda r: lv1.A @ r, jnp.ones((n1,), jnp.float32), 1000)
-                * 1e6, 1,
+        # per-level pieces: transfers and operator applications
+        for li, lv in enumerate(hd.levels):
+            nl = lv.A.shape[0]
+            xl = jnp.ones((nl,), jnp.float32)
+            out[key + f"_A{li}_us"] = round(
+                _timed_loop(lambda r, _A=lv.A: _A @ r, xl, 600) * 1e6, 1,
             )
+            out[key + f"_PR{li}_us"] = round(
+                _timed_loop(
+                    lambda r, _lv=lv, _nl=nl: (_lv.P @ (_lv.R @ r))[:_nl],
+                    xl, 600,
+                ) * 1e6, 1,
+            )
+            out[key + f"_A{li}_type"] = type(lv.A).__name__
+            out[key + f"_P{li}_type"] = type(lv.P).__name__
         nc = hd.coarse_inv.shape[0]
         out[key + "_dense_us"] = round(
             _timed_loop(
@@ -289,6 +294,9 @@ def main(argv=None):
     pc.add_argument("--levels", type=int, nargs="*", default=[12, 3, 2])
     pc.add_argument("--coarse-n", type=int, default=500)
     pc.add_argument("--degree", type=int, default=2)
+    pc.add_argument("--theta", type=str, default="0.05")
+    pc.add_argument("--omega", type=str, default="1.33333")
+    pc.add_argument("--agg-passes", type=str, default="1")
     pp = sub.add_parser("pcg")
     pp.add_argument("--psize", type=float, default=0.3)
     pp.add_argument("--levels", type=int, nargs="*", default=[12, 3])
