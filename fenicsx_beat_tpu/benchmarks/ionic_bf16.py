@@ -81,21 +81,24 @@ def main(argv=None):
 
     results = {}
     for tag, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        step = build_pallas_ode_step(
-            tp06.generalized_rush_larsen, num_states=S, n_nodes=n,
-            parameters=params, dtype=dt_, v_index=vi, blocked_io=True,
-        )
-        sb = jnp.asarray(states64, dt_).reshape(S, m, LANE)
-        vv = jnp.asarray(v64, dt_)
-        us = _timed_step(step, sb, vv) * 1e6
-        out[tag + "_us"] = round(us, 1)
+        try:
+            step = build_pallas_ode_step(
+                tp06.generalized_rush_larsen, num_states=S, n_nodes=n,
+                parameters=params, dtype=dt_, v_index=vi, blocked_io=True,
+            )
+            sb = jnp.asarray(states64, dt_).reshape(S, m, LANE)
+            vv = jnp.asarray(v64, dt_)
+            us = _timed_step(step, sb, vv) * 1e6
+            out[tag + "_us"] = round(us, 1)
 
-        # accuracy: paced integration vs float64 jnp reference
-        s_acc, v_acc = sb, vv
-        for k in range(args.acc_steps):
-            s_acc = step(s_acc, v_acc, k * 0.02, 0.02)
-            v_acc = s_acc[vi].reshape(-1)[:n]
-        results[tag] = np.asarray(v_acc, np.float64)
+            # accuracy: paced integration vs float64 jnp reference
+            s_acc, v_acc = sb, vv
+            for k in range(args.acc_steps):
+                s_acc = step(s_acc, v_acc, k * 0.02, 0.02)
+                v_acc = s_acc[vi].reshape(-1)[:n]
+            results[tag] = np.asarray(v_acc, np.float64)
+        except Exception as exc:  # record the failure mode honestly
+            out[tag + "_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     s_ref = jnp.asarray(states64, jnp.float64)
     for k in range(args.acc_steps):
@@ -103,11 +106,12 @@ def main(argv=None):
                                              jnp.asarray(params, jnp.float64),
                                              0.02)
     v_ref = np.asarray(s_ref[vi], np.float64)
-    for tag in ("f32", "bf16"):
+    for tag, v_acc in results.items():
         out[tag + "_max_dv_mV"] = round(
-            float(np.max(np.abs(results[tag] - v_ref))), 4
+            float(np.max(np.abs(v_acc - v_ref))), 4
         )
-    out["speedup_bf16"] = round(out["f32_us"] / out["bf16_us"], 3)
+    if "f32_us" in out and "bf16_us" in out:
+        out["speedup_bf16"] = round(out["f32_us"] / out["bf16_us"], 3)
     print(json.dumps(out))
 
 
