@@ -31,13 +31,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timed_step(step, states, v, n_iter=400, reps=3):
+def _timed_step(step, states, v, vi, n_iter=400, reps=3):
+    # t varies with the loop index and v chains from the stepped states:
+    # every iteration depends on the previous one AND on i, so XLA can
+    # neither hoist the body nor collapse the loop
     @jax.jit
     def run(s, vv):
         def body(i, carry):
             s, vv = carry
-            s = step(s, vv, 0.0, 0.02)
-            return (s, vv)
+            s = step(s, vv, i * 0.02, 0.02)
+            return (s, s[vi].reshape(vv.shape))
 
         return jax.lax.fori_loop(0, n_iter, body, (s, vv))
 
@@ -88,7 +91,7 @@ def main(argv=None):
             )
             sb = jnp.asarray(states64, dt_).reshape(S, m, LANE)
             vv = jnp.asarray(v64, dt_)
-            us = _timed_step(step, sb, vv) * 1e6
+            us = _timed_step(step, sb, vv, vi) * 1e6
             out[tag + "_us"] = round(us, 1)
 
             # accuracy: paced integration vs float64 jnp reference
@@ -96,7 +99,10 @@ def main(argv=None):
             for k in range(args.acc_steps):
                 s_acc = step(s_acc, v_acc, k * 0.02, 0.02)
                 v_acc = s_acc[vi].reshape(-1)[:n]
-            results[tag] = np.asarray(v_acc, np.float64)
+            v_end = np.asarray(v_acc, np.float64)
+            # degenerate-measurement guard: the trajectory must have moved
+            assert np.max(np.abs(v_end - v64)) > 1e-3, "trajectory frozen"
+            results[tag] = v_end
         except Exception as exc:  # record the failure mode honestly
             out[tag + "_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -304,15 +304,18 @@ class AMGHierarchy:
         put = jax.device_put
 
         def ship(M):
-            # lane-gather only pays where rows are many: each repacked
-            # matrix lowers to its own Mosaic kernel, and a deep
-            # hierarchy's kernel collection blows past the remote-TPU
-            # compile-payload limit (HTTP 413, measured with the 6-8
-            # level theta=0.10 hierarchies) — the very failure mode
-            # behind the round-4 composed bidomain+AMG crash.  Below
-            # ~16k rows the XLA ELL gather's ~1 GB/s is microseconds
-            # anyway, so small levels stay on it.
-            if not lane_gather or max(M.shape) < 16_384:
+            # Two measured failure modes bound this choice (amg_probe
+            # components, 79k LV): (a) each repacked matrix lowers to its
+            # own Mosaic kernel, and a deep hierarchy's kernel collection
+            # blows past the remote-TPU compile-payload limit (HTTP 413,
+            # 6-8 level theta=0.10 hierarchies) — the round-4 composed
+            # bidomain+AMG crash; (b) the XLA ELL gather fallback is
+            # LATENCY-pathological per application at coarse sizes
+            # (11.5 ms at 8.8k rows, 14 ms at 2.5k — ~100x a lane SpMV).
+            # So: lane-gather everything except the bottom-adjacent tiny
+            # levels, and keep hierarchies SHALLOW with unsmoothed
+            # (1-plane) transfers so the kernel count stays bounded.
+            if not lane_gather or max(M.shape) < 2048:
                 return M.to_device()
             from .pallas_ell import LaneGatherMatrix
 
