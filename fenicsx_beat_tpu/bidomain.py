@@ -285,10 +285,22 @@ class BidomainSolver:
             )
             want_amg = not lane_candidate
         if spec is None and want_amg:
+            # TPU-tuned defaults (round 5, measured at the 79k/244k LV):
+            # fiber-semicoarsening strength on the fine level, standard
+            # below; UNSMOOTHED (1-plane) transfers everywhere — cheap on
+            # the chip AND better convergence than smoothed on the
+            # anisotropic operator (16-21 its vs 31 smoothed vs 125
+            # Jacobi at 79k, f64 rtol 1e-5; 26 vs 143 at 244k); shallow
+            # enough that the lane-kernel collection stays under the
+            # remote-compile payload limit (docs/DESIGN.md 6b)
+            amg_opts = dict(
+                strength_theta=(0.15, 0.05), omega=0.0, coarse_n=2500,
+            )
+            amg_opts.update(self.u_amg_opts or {})
             hier = build_amg(
                 self._k_ie, dtype=self.dtype, semidefinite=True,
                 cache_key=self.cache_key,
-                **(self.u_amg_opts or {}),
+                **amg_opts,
             )
         self._dct_dims = spec[1] if spec is not None else None
         self._u_dct = spec is not None  # exposed for tests

@@ -275,7 +275,11 @@ class ShardedBidomainSolver:
         # same halo SpMV as the solve
         self._hier = None
         if self.u_precond in ("auto", "amg"):
-            self._hier = build_amg(kie_host, dtype=self.dtype, semidefinite=True)
+            # TPU-tuned hierarchy defaults — see bidomain.py _build_step
+            self._hier = build_amg(
+                kie_host, dtype=self.dtype, semidefinite=True,
+                strength_theta=(0.15, 0.05), omega=0.0, coarse_n=2500,
+            )
         self._u_amg = self._hier is not None  # exposed for tests
 
         st_part = partition_stimuli(
