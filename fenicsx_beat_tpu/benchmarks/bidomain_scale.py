@@ -145,6 +145,7 @@ def run_slab(dx, dt=0.05, T_warm=5.0, T_timed=10.0, u_precond="auto",
         "dx": dx,
         "dt": dt,
         "scheme": scheme,
+        "gs_u_rtol": gs_u_rtol,
         "u_precond": "dct" if bi._u_dct else ("amg" if bi._u_amg else "jacobi"),
         "setup_s": round(setup_s, 3),
         "timed_ms": T_timed,
@@ -207,6 +208,7 @@ def run_lv(psize_ref, dt=0.05, T_warm=5.0, T_timed=10.0,
             "n_nodes": int(mesh.num_vertices),
             "dt": dt,
             "scheme": scheme,
+            "gs_u_rtol": gs_u_rtol,
             "u_amg_opts": {
                 k: str(v) for k, v in (u_amg_opts or {}).items()
             } or None,
