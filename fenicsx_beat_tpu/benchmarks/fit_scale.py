@@ -209,12 +209,19 @@ def run_fit(
         ]
 
     theta = jnp.log(g_true_j * jnp.asarray(np.asarray(g0_scale), dtype))
-    # decay to 0.1x over the fit: a fixed lr=0.15 overshoots once the
-    # loss basin is reached (measured: slab dx=0.2 reached 3%/23% rel
-    # err at iter 9, then bounced to 18%/31% by iter 11)
+    # hold lr for the approach, then decay to 0.2x: a fixed lr=0.15
+    # overshoots once the loss basin is reached (measured: slab dx=0.2
+    # hit 3%/23% rel err at iter 9, then bounced to 18%/31% by 11),
+    # while an immediate 0.1x exponential decay starves the approach
+    # (g_l stalled at 45% err — both runs in FIT_SCALE history)
+    hold = max(n_iters // 2, 1)
     opt = optax.adam(
-        optax.exponential_decay(lr, transition_steps=max(n_iters - 1, 1),
-                                decay_rate=0.1)
+        optax.join_schedules(
+            [optax.constant_schedule(lr),
+             optax.exponential_decay(lr, transition_steps=max(n_iters - hold, 1),
+                                     decay_rate=0.2)],
+            [hold],
+        )
     )
     opt_state = opt.init(theta)
     history = []

@@ -416,9 +416,12 @@ def build_amg(
     if cache_key is not None:
         from ..cache import fingerprint, load_arrays
 
+        # content-addressed: cache_key only OPTS IN — the slot is keyed by
+        # the operator bytes + options, so different callers building the
+        # same hierarchy share it (a 330k-node build costs ~10 min host)
         slot = fingerprint(
             "amg",
-            (cache_key, strength_theta, omega, max_levels, coarse_n,
+            (strength_theta, omega, max_levels, coarse_n,
              degree, agg_passes, npdt, semidefinite),
             (A0.indptr, A0.indices, A0.data),
         )
