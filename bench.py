@@ -186,6 +186,17 @@ def main():
             extras["bidomain_dx0.2_cg_iters_mean"] = row["cg_iters_mean"]
             print(f"[bidomain dx=0.2] {row['ms_per_s']} ms/s, "
                   f"{row['bidomain_slowdown']}x mono", file=sys.stderr)
+            if time.perf_counter() - t_start <= args.budget:
+                # the round-5 Gauss-Seidel decoupled scheme at the
+                # north-star resolution (closed the dx=0.1 gap from
+                # 3.52x to ~1.5-1.8x mono; BIDOMAIN_SCALE.json)
+                row = run_slab(0.1, dt=args.dt, T_warm=5.0, T_timed=10.0,
+                               scheme="gs", gs_u_rtol=1e-4)
+                extras["bidomain_dx0.1_gs_ms_per_s"] = row["ms_per_s"]
+                extras["bidomain_dx0.1_gs_slowdown_vs_mono"] = row[
+                    "bidomain_slowdown"]
+                print(f"[bidomain dx=0.1 gs] {row['ms_per_s']} ms/s, "
+                      f"{row['bidomain_slowdown']}x mono", file=sys.stderr)
         except Exception as exc:  # the extra must never kill the bench
             extras["bidomain_error"] = str(exc)[:200]
             print(f"bidomain extra failed: {exc}", file=sys.stderr)
