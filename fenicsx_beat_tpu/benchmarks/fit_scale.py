@@ -178,6 +178,7 @@ def run_fit(
     lr: float = 0.15,
     g_true=(0.002, 0.0006),  # ~Niederer-like 3.3x anisotropy, cm^2-ish units
     g0_scale=(0.5, 1.8),  # start well off the truth, asymmetrically
+    n_polish: int = 6,
     carry_clip: float | None = 1e3,
     cotangent_scale: float = 2.0**-64,
     window_outlier: float | None = 20.0,
@@ -225,8 +226,10 @@ def run_fit(
     )
     opt_state = opt.init(theta)
     history = []
+    best = {"loss": np.inf, "theta": theta}
     t_fit = time.perf_counter()
-    for it in range(n_iters):
+
+    def fit_step(theta, opt, opt_state, it, phase):
         g = jnp.exp(theta)
         value, grads = host_segmented_value_and_grad(
             sim,
@@ -245,10 +248,14 @@ def run_fit(
         finite = bool(np.isfinite(np.asarray(g_theta)).all())
         if not finite:
             g_theta = jnp.zeros_like(g_theta)
+        if float(value) < best["loss"]:
+            best["loss"] = float(value)
+            best["theta"] = theta
         updates, opt_state = opt.update(g_theta, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         row = {
             "iter": it,
+            "phase": phase,
             "loss": float(value),
             "g": [float(x) for x in np.asarray(g)],
             "grad_logg": [float(x) for x in np.asarray(g_theta)],
@@ -256,6 +263,22 @@ def run_fit(
         }
         history.append(row)
         print(json.dumps(row), flush=True)
+        return theta, opt_state
+
+    for it in range(n_iters):
+        theta, opt_state = fit_step(theta, opt, opt_state, it, "main")
+    if n_polish:
+        # polish from the BEST iterate at a small lr: Adam's momentum
+        # bounces around the narrow valley near convergence (measured:
+        # rel err 3%/23% at iteration 9, 18-25% two iterations later)
+        theta = best["theta"]
+        opt2 = optax.adam(0.05 * lr)
+        opt_state2 = opt2.init(theta)
+        for it in range(n_polish):
+            theta, opt_state2 = fit_step(
+                theta, opt2, opt_state2, n_iters + it, "polish"
+            )
+    theta = best["theta"]
     fit_s = time.perf_counter() - t_fit
 
     g_fin = np.exp(np.asarray(theta))
@@ -276,7 +299,9 @@ def run_fit(
         "window_outlier": window_outlier,
         "cotangent_scale_log2": float(np.log2(cotangent_scale)),
         "n_iters": n_iters,
+        "n_polish": n_polish,
         "lr": lr,
+        "loss_best": best["loss"],
         "g_true": [float(x) for x in np.asarray(g_true)],
         "g0": [float(x) for x in history[0]["g"]],
         "g_recovered": [float(x) for x in g_fin],
