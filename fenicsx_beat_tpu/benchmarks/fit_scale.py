@@ -91,24 +91,33 @@ def _lv_problem(psize: float, dtype):
     geo = get_lv_ellipsoid_geometry(psize_ref=psize)
     mesh = geo.mesh
     coords = mesh.coords
-    zmin = coords[:, 2].min()
-    cells = locate_entities(mesh, 3, lambda x: x[2] <= zmin + 1.5)
+    # the LV long axis is x with the apex at x = -r_long (geometry.py):
+    # stimulate an apical cap
+    apex_x = coords[:, 0].min()
+    cells = locate_entities(mesh, 3, lambda x: x[0] <= apex_x + 2.0)
     tags = meshtags(mesh, 3, cells, 1)
     I_s = Stimulus(
-        expr=TimeWindow(amplitude=80.0, start=0.0, duration=2.0),
+        expr=TimeWindow(amplitude=30.0, start=0.0, duration=2.0),
         dZ=dx_measure(mesh, subdomain_data=tags),
         marker=1,
     )
     # per-cell fiber/transverse component tensors from the LDRB-lite
-    # fiber field: K(g) = g_l f f^T + g_t (I - f f^T)
+    # fiber field: K(g) = g_l f f^T + g_t (I - f f^T).  geo.f0 is a
+    # per-NODE field (geometry.py) — average to cells first
     f = np.asarray(geo.f0)
+    if f.shape[0] == mesh.num_vertices:
+        f = f[mesh.cells].mean(axis=1)
+        f /= np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
     K_f = np.einsum("ci,cj->cij", f, f)
     K_t = np.eye(3)[None] - K_f
     K_f = as_cell_tensors(K_f, mesh)
     K_t = as_cell_tensors(K_t, mesh)
-    # probes: spread over the wall by taking extreme + mid nodes
-    rng = np.random.default_rng(11)
-    probes = coords[rng.choice(coords.shape[0], size=12, replace=False)]
+    # probes along the long (x) axis at regular quantiles: the apex
+    # stimulus wavefront crosses them in sequence, so every probe trace
+    # carries conduction-velocity (hence conductivity) information
+    order = np.argsort(coords[:, 0])
+    qs = np.linspace(0.04, 0.96, 12)
+    probes = coords[order[(qs * (coords.shape[0] - 1)).astype(int)]]
     return mesh, I_s, [K_f, K_t], probes
 
 
