@@ -174,18 +174,29 @@ def run_pcg(args):
     out = {"mode": "pcg", "psize": args.psize, "n_nodes": int(n),
            "rtol": args.rtol}
 
-    def solve_with(tag, **prec_kwargs):
+    def solve_with(tag, hd=None, diag=None):
+        # the preconditioner operand (the AMG hierarchy pytree or the
+        # Jacobi diagonal) MUST ride the jit arguments: a closure-held
+        # device pytree is re-shipped per execution over the remote-TPU
+        # tunnel (fused.py:252-258 measured ~22 s/chunk; here an ~80 MB
+        # hierarchy read as a 2.2 s "solve")
         @jax.jit
-        def run(bb):
+        def run(bb, prec_arg):
+            kw = (
+                dict(precond=lambda r: amg_apply(prec_arg, r))
+                if hd is not None
+                else dict(precond_diag=prec_arg)
+            )
             x, info = cg(matvec, bb, rtol=args.rtol, atol=0.0,
-                         maxiter=2000, **prec_kwargs)
+                         maxiter=2000, **kw)
             return x, info
 
-        x, info = run(b)
+        prec_arg = hd if hd is not None else diag
+        x, info = run(b, prec_arg)
         x.block_until_ready()
         t0 = _time.perf_counter()
         for _ in range(args.reps):
-            x, info = run(b)
+            x, info = run(b, prec_arg)
             x.block_until_ready()
         wall = (_time.perf_counter() - t0) / args.reps
         res = matvec(x) - b
@@ -195,7 +206,7 @@ def run_pcg(args):
             jnp.linalg.norm(res) / jnp.linalg.norm(b)
         )
 
-    solve_with("jacobi", precond_diag=lane.diagonal())
+    solve_with("jacobi", diag=lane.diagonal())
     for levels in args.levels:
         for omega in args.omegas:
             t0 = _time.perf_counter()
@@ -210,7 +221,7 @@ def run_pcg(args):
             setup = _time.perf_counter() - t0
             hd = hier.to_device(level0_A=lane, lane_gather=True)
             tag = f"amg_L{levels}_w{omega}_p{args.agg_passes}"
-            solve_with(tag, precond=lambda r: amg_apply(hd, r))
+            solve_with(tag, hd=hd)
             out[tag + "_setup_s"] = round(setup, 2)
             out[tag + "_sizes"] = [int(lv.A.shape[0]) for lv in hd.levels] + [
                 int(hd.coarse_inv.shape[0])
