@@ -499,13 +499,19 @@ def build_amg(
         P.eliminate_zeros()
         Ac = (P.T @ Ak @ P).tocsr()
         Ac.eliminate_zeros()
-        # RCM-order the coarse level: aggregation scrambles locality, and
-        # both the banded partitioning downstream and the lane-gather TPU
-        # packing (ops/pallas_ell.py page counts) degrade badly on
-        # scattered patterns
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-        cperm = np.asarray(reverse_cuthill_mckee(Ac, symmetric_mode=True))
+        # Order the coarse level by each aggregate's FIRST fine member:
+        # aggregates are contiguous in the (already RCM'd/lexicographic)
+        # fine order, so first-member order inherits the fine level's
+        # bandedness for BOTH the coarse operator and — crucially — the
+        # transfers: P's column per fine row becomes near-monotone, so
+        # the lane-gather packing of P/R collapses to a few pages.  (A
+        # separate coarse RCM also bands Ac but scrambles P's columns
+        # relative to fine rows — measured 57 planes for a 1-nnz/row
+        # tentative P at the 79k LV.)
+        first_member = np.full(n_agg, Ak.shape[0], dtype=np.int64)
+        rows_fm = np.nonzero(agg >= 0)[0]
+        np.minimum.at(first_member, agg[rows_fm], rows_fm)
+        cperm = np.argsort(first_member, kind="stable")
         Ac = Ac[cperm][:, cperm].tocsr()
         P = P[:, cperm].tocsr()
 
