@@ -115,6 +115,16 @@ class BidomainSolver:
     # see (error-gated in tests/test_bidomain.py)
     gs_v_rtol: float | None = None
     gs_u_rtol: float | None = None
+    # gs-scheme elliptic cadence: solve the u_e block only on every k-th
+    # step; in between, u_e advances by the same O(dt^2) linear
+    # extrapolation already used for the coupling lag (the warm-start
+    # increment u_e^k - u_e^{k-1}).  The elliptic constraint has no time
+    # derivative — u_e is an algebraic function of v — so between solves
+    # the extrapolation tracks it to the same order as the gs lag itself.
+    # k=2 halves the step's elliptic CG traffic (the dominant cost at
+    # the dx=0.1 slab: ~10 of the 14 combined iterations/step are
+    # u-solves); error vs k=1 is gated in tests/test_bidomain.py
+    u_solve_every: int = 1
     # pallas kernels (None = auto: TPU backend only): the single-kernel
     # ionic step (the XLA TP06 GRL step measured ~13 ms standalone at
     # dx=0.1 vs the fused monodomain's ~130 us kernel) AND the
@@ -147,6 +157,15 @@ class BidomainSolver:
         if self.scheme not in ("monolithic", "gs"):
             raise ValueError(
                 f"scheme must be 'monolithic' or 'gs', got {self.scheme!r}"
+            )
+        if int(self.u_solve_every) < 1:
+            raise ValueError(
+                f"u_solve_every must be >= 1, got {self.u_solve_every!r}"
+            )
+        if int(self.u_solve_every) > 1 and self.scheme != "gs":
+            raise ValueError(
+                "u_solve_every > 1 requires scheme='gs' (the monolithic "
+                "block solve has no separate elliptic sub-solve to skip)"
             )
         if isinstance(self.ode_fun, dict):
             # multi-marker ionic models: compose into one traceable step
@@ -429,6 +448,7 @@ class BidomainSolver:
         scheme_gs = self.scheme == "gs"
         gs_v_rtol = self.gs_v_rtol if self.gs_v_rtol is not None else rtol
         gs_u_rtol = self.gs_u_rtol if self.gs_u_rtol is not None else rtol
+        u_every = int(self.u_solve_every)
 
         # pallas single-kernel ionic step (same integration as
         # fused.py:276-372): the scan carries states in the kernel's
@@ -534,7 +554,7 @@ class BidomainSolver:
                 v_lam = C_m * lam_m + (th_pde * dt) * lam_ki
             return mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg, v_lam
 
-        def one_step_gs(sops, carry, t, dt, amps):
+        def one_step_gs(sops, carry, t, dt, amps, k):
             # Gauss-Seidel decoupled step: parabolic v-solve with the
             # lagged u_e, then the elliptic constraint (the block
             # system's second row with v at its theta point) — ONE
@@ -570,7 +590,6 @@ class BidomainSolver:
             def deflate(x):
                 return x - jnp.mean(x)
 
-            rhs_u = deflate(-mvKi(th_pde * v_new + (1.0 - th_pde) * v))
             if u_lam is not None:
                 u_prec = dict(
                     precond=lambda r: deflate(_dct_solve(r, u_lam, u_dims))
@@ -579,16 +598,47 @@ class BidomainSolver:
                 u_prec = dict(precond=lambda r: deflate(_amg_apply(u_amg, r)))
             else:
                 u_prec = dict(precond_diag=diag_kie)
-            u_new, info_u = cg(
-                lambda x: deflate(mvKie(deflate(x))), rhs_u,
-                deflate(u_e + dvu[1]), rtol=gs_u_rtol, atol=atol,
-                maxiter=maxiter, **u_prec,
-            )
+            u_star = deflate(u_e + dvu[1])  # O(dt^2) extrapolated u_e
+
+            def _solve_u(_):
+                rhs_u = deflate(
+                    -mvKi(th_pde * v_new + (1.0 - th_pde) * v)
+                )
+                u_new, info_u = cg(
+                    lambda x: deflate(mvKie(deflate(x))), rhs_u,
+                    u_star, rtol=gs_u_rtol, atol=atol,
+                    maxiter=maxiter, **u_prec,
+                )
+                return (
+                    u_new,
+                    info_u.iterations,
+                    info_u.residual_norm,
+                    info_u.converged,
+                )
+
+            if u_every > 1:
+                # elliptic cadence: the constraint is algebraic in v, so
+                # skipped steps ride the extrapolation (exactly what the
+                # v-solve's coupling already consumes); the solve only
+                # rebases the slope every u_every steps
+                u_new, it_u, rn_u, cv_u = jax.lax.cond(
+                    (k % u_every) == 0,
+                    _solve_u,
+                    lambda _: (
+                        u_star,
+                        jnp.zeros((), jnp.int32),
+                        jnp.zeros((), u_star.dtype),
+                        jnp.ones((), jnp.bool_),
+                    ),
+                    None,
+                )
+            else:
+                u_new, it_u, rn_u, cv_u = _solve_u(None)
             dvu = jnp.stack([v_new - v, u_new - u_e])
             stats = (
-                info_v.iterations + info_u.iterations,
-                jnp.maximum(info_v.residual_norm, info_u.residual_norm),
-                jnp.logical_and(info_v.converged, info_u.converged),
+                info_v.iterations + it_u,
+                jnp.maximum(info_v.residual_norm, rn_u),
+                jnp.logical_and(info_v.converged, cv_u),
             )
             if pallas_step is not None:
                 if godunov:
@@ -605,7 +655,8 @@ class BidomainSolver:
                 carry_out = (states, u_new, dvu)
             return carry_out, stats
 
-        def one_step(sops, carry, t, dt, amps):
+        def one_step(sops, carry, t, dt, amps, k):
+            del k  # monolithic: every step solves the full block system
             mvA, mvB, mvKi, mvKie, diag_v, diag_kie, u_lam, u_amg, _v_lam = sops
             # general theta splitting: tentative theta*dt ionic step, PDE
             # over dt, corrective (1-theta)*dt ionic step (the reference's
@@ -695,7 +746,7 @@ class BidomainSolver:
 
             def body(carry, k):
                 t = t0 + k * dt
-                return step_fn(sops, carry, t, dt, amps)
+                return step_fn(sops, carry, t, dt, amps, k)
 
             if pallas_step is not None:
                 # blocked<->flat is a physical relayout: once per chunk,

@@ -447,15 +447,18 @@ def _fcass_rates(Ca_ss, xp=jnp):
     return 0.6 * y + 0.4, 80 * y + 2
 
 
-def _currents_and_gates(states, t, p):
+def _currents_and_gates(states, t, p, xp=jnp):
     """All ionic currents, gate (x_inf, tau) pairs and concentration fluxes
-    (exact transcendental evaluation — the solve path)."""
+    (exact transcendental evaluation — the solve path).  ``xp`` follows
+    the module convention; passing :data:`~..ops.fastmath.FASTEXP_XP`
+    swaps every ``exp`` for the bit-trick VPU variant."""
     V = states[0]
     Ca_ss = states[16]
-    gates = dict(_gate_rates(V, p))
-    gates["fCass"] = _fcass_rates(Ca_ss)
-    fac = _v_current_factors(V, p)
-    nongates, rp = _currents_and_derivs(states, t, p, fac, _k1_xinf)
+    gates = dict(_gate_rates(V, p, xp=xp))
+    gates["fCass"] = _fcass_rates(Ca_ss, xp=xp)
+    fac = _v_current_factors(V, p, xp=xp)
+    k1 = lambda u: _k1_xinf(u, xp=xp)  # noqa: E731
+    nongates, rp = _currents_and_derivs(states, t, p, fac, k1, xp=xp)
     return gates, nongates, rp
 
 
@@ -478,22 +481,26 @@ def forward_euler(states, t, parameters, dt, **kwargs):
     return states + dt * rhs(states, t, parameters)
 
 
-def generalized_rush_larsen(states, t, parameters, dt, **kwargs):
+def generalized_rush_larsen(states, t, parameters, dt, xp=jnp, **kwargs):
     """Generalized Rush-Larsen step (the scheme the reference requests from
     gotranx, ``demos/niederer_benchmark.py:82-86``): exact exponential
     update for the 12 Hodgkin-Huxley gates and the linear R_prime ODE,
-    explicit update for V and the concentrations."""
+    explicit update for V and the concentrations.  ``xp=FASTEXP_XP``
+    (:mod:`..ops.fastmath`) swaps the ~58 exp/node for the bit-trick
+    VPU variant — measured by benchmarks/ionic_bf16.py."""
     states = jnp.asarray(states)
     p = _unpack_params(parameters)
-    gates, nongates, (rp_inf, rp_rate) = _currents_and_gates(states, t, p)
+    gates, nongates, (rp_inf, rp_rate) = _currents_and_gates(
+        states, t, p, xp=xp
+    )
     out = []
     for i, name in enumerate(_STATE_NAMES):
         x = states[i]
         if name in gates:
             x_inf, tau = gates[name]
-            out.append(x_inf + (x - x_inf) * jnp.exp(-dt / tau))
+            out.append(x_inf + (x - x_inf) * xp.exp(-dt / tau))
         elif name == "R_prime":
-            out.append(rp_inf + (x - rp_inf) * jnp.exp(-dt * rp_rate))
+            out.append(rp_inf + (x - rp_inf) * xp.exp(-dt * rp_rate))
         else:
             out.append(x + dt * nongates[name])
     return jnp.stack(out)

@@ -529,3 +529,50 @@ def test_gs_loose_u_tolerance_error_bounded():
     v1, u1 = np.asarray(loose.v), np.asarray(loose.u_e)
     assert np.abs(v1 - v0).max() < 2e-3 * np.abs(v0).max()
     assert np.abs(u1 - u0).max() < 5e-3 * np.abs(u0).max()
+
+
+def test_gs_u_solve_every_error_bounded():
+    """u_solve_every=2 halves the elliptic CG traffic by advancing u_e on
+    skipped steps with the same O(dt^2) extrapolation the coupling lag
+    already uses; the fields must stay within the gs scheme's own
+    coupling-lag error of the every-step solution.  The constraint is
+    algebraic in v (no time derivative), so the cadence only ages the
+    extrapolation base, not the dynamics."""
+    mesh, make_stim = _setup()
+    common = dict(
+        mesh=mesh, M_i=0.004, M_e=0.002, I_s=make_stim(),
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(stim_amplitude=0.0),
+        v_index=fhn.state_index("v"),
+        theta=1.0,
+        pde_theta=0.5,
+        scheme="gs",
+        cg_rtol=1e-11,
+        cg_atol=1e-13,
+        dtype=jnp.float64,
+    )
+    every = BidomainSolver(**common)
+    every.solve((0.0, 4.0), dt=0.05)
+    v0, u0 = np.asarray(every.v), np.asarray(every.u_e)
+    for k, tol in ((2, 2e-3), (4, 8e-3)):
+        cad = BidomainSolver(u_solve_every=k, **common)
+        cad.solve((0.0, 4.0), dt=0.05)
+        v1, u1 = np.asarray(cad.v), np.asarray(cad.u_e)
+        assert np.abs(v1 - v0).max() < tol * np.abs(v0).max(), k
+        assert np.abs(u1 - u0).max() < 4 * tol * np.abs(u0).max(), k
+
+
+def test_u_solve_every_validation():
+    mesh, make_stim = _setup(4)
+    common = dict(
+        mesh=mesh, M_i=0.004, M_e=0.002, I_s=make_stim(),
+        ode_fun=fhn.forward_euler,
+        init_states=fhn.init_state_values(),
+        parameters=fhn.init_parameter_values(),
+        v_index=fhn.state_index("v"),
+    )
+    with pytest.raises(ValueError, match="u_solve_every"):
+        BidomainSolver(scheme="monolithic", u_solve_every=2, **common)
+    with pytest.raises(ValueError, match="u_solve_every"):
+        BidomainSolver(scheme="gs", u_solve_every=0, **common)
